@@ -32,8 +32,13 @@ class CrawlConfig:
 
     # ---- distributed execution knobs ----
     num_shards: int = 4                     # frontier/seen actor shards
-    fetch_concurrency: int = 4              # FetchSimulator actor pool size
+    fetch_concurrency: int = 4              # round-stage worker pool size
     batch_size: int = 4096                  # rows per Arrow batch in map_batches
+    # "tasks": per-round stage runs as Ray tasks with per-worker-process
+    # cached state (no pool spin-up per round — right for many small rounds);
+    # "actors": explicit actor pool per round (state amortized per round —
+    # right for few, very wide rounds at cluster scale)
+    stage_mode: str = "tasks"
     max_depth: int | None = None            # None = crawl to exhaustion
     max_rounds: int = 10_000                # safety bound on BFS rounds
 
@@ -53,8 +58,23 @@ class CrawlConfig:
     checkpoint_dir: str | None = None       # None = no checkpointing
     checkpoint_every: int = 1               # rounds between checkpoints
 
+    # fields that change WHAT the crawl computes (participate in the
+    # checkpoint lineage hash). Execution knobs (max_rounds, batch_size,
+    # concurrency, stage_mode, checkpoint cadence) don't — a resumed run may
+    # retune them freely. num_shards is semantic: it keys the checkpoint
+    # shard files and host ownership.
+    _SEMANTIC_FIELDS = (
+        "user_agent", "obey_robots", "check_head", "trim_query",
+        "trim_fragment", "record_redirects", "allowed_mime_types", "headers",
+        "strip_default_ports", "num_shards", "max_depth",
+        "politeness_budget", "round_window_s", "seen_mode", "cuckoo_capacity",
+    )
+
     def config_hash(self) -> str:
-        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        d = asdict(self)
+        payload = json.dumps(
+            {k: d[k] for k in self._SEMANTIC_FIELDS}, sort_keys=True, default=str
+        )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
     def as_dict(self) -> dict:

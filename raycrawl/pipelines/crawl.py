@@ -1,5 +1,318 @@
-"""Placeholder — the round-based crawl loop lands after the stateful stages."""
+"""The crawl pipeline: iterative BFS rounds over Ray Data.
+
+Dataflow per round (SURVEY §3.4; replaces the reference's dispatch loop,
+/root/reference/simple_crawler/crawler.py:196-242):
+
+    released_r = FrontierShard.release()            per-host politeness order
+    gated      = map_batches(RobotsGate actor pool) admission (can_fetch)
+    fetched    = map_batches(FetchSimulator pool)   corpus lookup, Arrow
+    tall_r     = map_batches(extract_route)         extract + trim/join/filter
+                                                    + offer candidates to shards
+    [barrier]  = tall_r.materialize()               small: bodies never leave
+                                                    the fetch/extract stages
+    commit_round() on every shard                   deterministic dedup + seen-gate
+    checkpoint + manifest                           resumable lineage
+
+Termination: every shard's pending queue is empty (the deterministic
+dataflow translation of the reference's queue-timeout / seen==done exits,
+crawler.py:206-217 — see SURVEY §2.5 A3).
+
+Scale notes: the frontier never materializes on the driver
+(``from_arrow_refs`` of per-shard tables); per-round intermediates hold no
+html; with ``output_dir`` set, round outputs stream to
+``rounds/round=<r>/`` Parquet so a resumed run skips finished rounds.
+map_batches actor pools are per-round — amortized because BFS levels are
+wide at scale (a 1e10-url frontier has few, huge rounds); tiny-round
+overhead only matters for toy crawls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from raycrawl.config import CrawlConfig
+from raycrawl.functions.canonicalize import normalise_url, url_host
+from raycrawl.sources.synth import N_BUCKETS_DEFAULT
+from raycrawl.stages.extract_route import empty_tall
+from raycrawl.stages.round_stage import CrawlRoundStage, make_round_task_fn
+from raycrawl.state.frontier import make_frontier_shards, shard_of_host
+from raycrawl.state.robots import RobotsCache
+
+__all__ = ["crawl", "CrawlResult"]
 
 
-def crawl(*args, **kwargs):
-    raise NotImplementedError("crawl pipeline under construction")
+@dataclass
+class CrawlResult:
+    """Crawl outputs. Tables are driver-side Arrow only when collect=True
+    (tests / small crawls); with output_dir the Parquet on disk is the
+    authoritative, resumable artifact."""
+
+    config: CrawlConfig
+    rounds: int
+    metrics: list = field(default_factory=list)
+    tall: pa.Table | None = None
+    seen: list | None = None
+    done: list | None = None
+    output_dir: str | None = None
+
+    def done_urls(self) -> set:
+        """Reference render-results parity: set of normalized done urls
+        (crawler.py:244-251)."""
+        return set(self.done or [])
+
+    def seen_urls(self) -> set:
+        return set(self.seen or [])
+
+    def _kind(self, kind: str) -> pa.Table:
+        t = self.tall if self.tall is not None else self._read_rounds()
+        return t.filter(pc.equal(t["kind"], kind))
+
+    def _read_rounds(self) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        return pads.dataset(
+            os.path.join(self.output_dir, "rounds"), partitioning="hive"
+        ).to_table()
+
+    def edges(self) -> pa.Table:
+        return self._kind("edge")
+
+    def errors(self) -> pa.Table:
+        return self._kind("error")
+
+    def done_table(self) -> pa.Table:
+        return self._kind("done")
+
+    def depths(self) -> dict:
+        """url_norm -> BFS discovery depth for done pages."""
+        t = self.done_table()
+        return dict(zip(t["url_norm"].to_pylist(), t["depth"].to_pylist()))
+
+
+def _seed_rows(seeds, num_shards):
+    by_shard = {}
+    for s in seeds:
+        norm = normalise_url(s)
+        host = url_host(s)
+        by_shard.setdefault(shard_of_host(host, num_shards), []).append(
+            (s, norm, host, 0)
+        )
+    return by_shard
+
+
+def _write_manifest(output_dir, round_no, cfg_hash, shard_infos, counts):
+    manifest = {
+        "round": round_no,
+        "config_hash": cfg_hash,
+        "shards": shard_infos,
+        "counts": counts,
+    }
+    path = os.path.join(output_dir, "manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    os.replace(tmp, path)  # manifest-last, atomic: partial rounds never resume
+
+
+def _load_manifest(output_dir):
+    path = os.path.join(output_dir, "manifest.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def crawl(
+    corpus_path: str,
+    seeds,
+    config: CrawlConfig | None = None,
+    output_dir: str | None = None,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    collect: bool = True,
+    resume: bool = False,
+) -> CrawlResult:
+    """Run the BFS crawl of ``seeds`` against a Parquet corpus.
+
+    Ray must already be initialised (library code never calls ray.init).
+    ``collect=True`` keeps the per-round tall tables on the driver (fine for
+    tests/small crawls); at scale pass ``output_dir`` and ``collect=False``.
+    ``resume=True`` restores frontier shards from ``output_dir/checkpoints``
+    via the manifest and continues after the last committed round.
+    """
+    if not os.path.exists(corpus_path):
+        raise FileNotFoundError(f"corpus path does not exist: {corpus_path}")
+    config = config or CrawlConfig()
+    cfg_hash = config.config_hash()
+    num_shards = config.num_shards
+
+    shards = make_frontier_shards(
+        num_shards,
+        seen_mode=config.seen_mode,
+        cuckoo_capacity=config.cuckoo_capacity,
+    )
+
+    robots_actor = None
+    if config.obey_robots or config.politeness_budget == "robots":
+        robots_actor = RobotsCache.remote(corpus_path)
+
+    # politeness budgets: crawl_delay d -> at most round_window/d fetches of
+    # that host per round (per-host-serial release inside the owning shard —
+    # strictly more faithful at scale than the reference's global sleep,
+    # crawler.py:229-239, while preserving its single-host behavior)
+    budgets, default_budget = {}, None
+    if config.politeness_budget == "robots" and robots_actor is not None:
+        texts = ray.get(robots_actor.all_texts.remote())
+        delays = ray.get(
+            robots_actor.delays.remote(config.user_agent, list(texts))
+        )
+        budgets = {
+            h: max(1, int(config.round_window_s / d)) for h, d in delays.items()
+        }
+    elif isinstance(config.politeness_budget, int):
+        default_budget = config.politeness_budget
+
+    start_round = 0
+    if resume and output_dir:
+        manifest = _load_manifest(output_dir)
+        if manifest is not None:
+            if manifest["config_hash"] != cfg_hash:
+                raise ValueError("resume with a different config (hash mismatch)")
+            ckpt_dir = os.path.join(output_dir, "checkpoints")
+            ray.get([s.restore.remote(ckpt_dir) for s in shards])
+            start_round = manifest["round"] + 1
+    if start_round == 0:
+        if isinstance(seeds, str):
+            seeds = pq.read_table(seeds)["url"].to_pylist()
+        by_shard = _seed_rows(seeds, num_shards)
+        ray.get(
+            [shards[i].seed.remote(rows) for i, rows in by_shard.items()]
+        )
+
+    if output_dir:
+        os.makedirs(os.path.join(output_dir, "rounds"), exist_ok=True)
+
+    collected = []
+    metrics = []
+    round_no = start_round
+    while round_no < config.max_rounds:
+        t0 = time.perf_counter()
+        ref_tables = [
+            s.release_table.remote(budgets, default_budget) for s in shards
+        ]
+        # actor tasks run in submission order: these counts describe the
+        # release_table results above without pulling the tables to the driver
+        n_released = sum(
+            ray.get([s.last_release_count.remote() for s in shards])
+        )
+        if n_released == 0:
+            break
+
+        # from_arrow_refs: the frontier never lands on the driver
+        frontier = rd.from_arrow_refs(ref_tables)
+
+        stage_kwargs = dict(
+            corpus_path=corpus_path,
+            n_buckets=n_buckets,
+            config=config,
+            shards=shards,
+            robots_actor=robots_actor,
+        )
+        if config.stage_mode == "actors":
+            tall = frontier.map_batches(
+                CrawlRoundStage,
+                fn_constructor_kwargs=stage_kwargs,
+                batch_format="pyarrow",
+                batch_size=config.batch_size,
+                concurrency=(1, config.fetch_concurrency),
+                num_cpus=1,
+            )
+        else:
+            tall = frontier.map_batches(
+                make_round_task_fn(**stage_kwargs),
+                batch_format="pyarrow",
+                batch_size=config.batch_size,
+            )
+
+        # barrier: consuming the round guarantees every offer/mark_done
+        # actor call has completed (ExtractRouter ray.gets them per batch)
+        mat = tall.materialize()
+
+        enqueued = sum(ray.get([s.commit_round.remote() for s in shards]))
+
+        tbls = ray.get(mat.to_arrow_refs())
+        round_tbl = (
+            pa.concat_tables(tbls, promote_options="default")
+            if tbls
+            else empty_tall()
+        )
+        kinds = round_tbl["kind"].to_pylist()
+        counts = {
+            "round": round_no,
+            "released": n_released,
+            "done": kinds.count("done"),
+            "error": kinds.count("error"),
+            "edges": kinds.count("edge"),
+            "blocked": kinds.count("blocked"),
+            "enqueued": enqueued,
+            "sec": round(time.perf_counter() - t0, 4),
+        }
+        metrics.append(counts)
+
+        if output_dir:
+            rdir = os.path.join(output_dir, "rounds", f"round={round_no}")
+            os.makedirs(rdir, exist_ok=True)
+            pq.write_table(round_tbl, os.path.join(rdir, "part-0.parquet"))
+        if collect:
+            collected.append(round_tbl)
+
+        if output_dir and config.checkpoint_every and (
+            round_no % config.checkpoint_every == 0
+        ):
+            ckpt_dir = os.path.join(output_dir, "checkpoints")
+            shard_infos = ray.get(
+                [s.checkpoint.remote(ckpt_dir, round_no) for s in shards]
+            )
+            _write_manifest(output_dir, round_no, cfg_hash, shard_infos, counts)
+
+        round_no += 1
+        pending = sum(ray.get([s.pending_count.remote() for s in shards]))
+        if pending == 0:
+            break
+
+    seen = done = None
+    if config.seen_mode == "exact":
+        seen = sorted(
+            set().union(*ray.get([s.seen_snapshot.remote() for s in shards]))
+        )
+    done = sorted(
+        set().union(*ray.get([s.done_snapshot.remote() for s in shards]))
+    )
+
+    for s in shards:
+        ray.kill(s)
+    if robots_actor is not None:
+        ray.kill(robots_actor)
+
+    tall_all = (
+        pa.concat_tables(collected, promote_options="default")
+        if collected
+        else (empty_tall() if collect else None)
+    )
+    return CrawlResult(
+        config=config,
+        rounds=round_no - start_round,
+        metrics=metrics,
+        tall=tall_all,
+        seen=seen,
+        done=done,
+        output_dir=output_dir,
+    )

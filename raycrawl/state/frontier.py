@@ -1,0 +1,276 @@
+"""FrontierShard — the sharded URL-seen + politeness-queue actor.
+
+Replaces the reference's driver-local crawl state (queue.Queue frontier,
+``_seen_urls``/``_done_urls`` sets — /root/reference/simple_crawler/
+crawler.py:81-83,159-163) with a pool of Ray actors sharded by
+``hash(host) % num_shards``: every URL of a host lives on exactly one shard,
+which is what lets politeness stay per-host-serial while fetches run in
+parallel across hosts (north_rule).
+
+Each shard holds:
+* the seen-set for its hosts — exact (python set, conformance mode) or a
+  cuckoo filter (~2 B/url, bench/scale mode; see state/cuckoo.py)
+* the done-set (status-200 pages; the reference's dequeue-time done check,
+  crawler.py:219-221, only ever fires for re-discovered seeds)
+* per-host pending priority queues ordered by (depth, url_norm) — the
+  deterministic total order this engine defines in place of the reference's
+  hash-seed-dependent set-iteration order (SURVEY §4)
+* per-host politeness budgets (crawl_delay-derived or fixed per round)
+
+Checkpointing (north_rule: per-partition lineage): ``checkpoint(dir, round)``
+writes seen + pending + counters for this shard atomically (tmp + rename);
+``restore`` reloads them. The driver's manifest (pipelines/crawl.py) is
+written last, so a partially-checkpointed round is never resumed from.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import pickle
+
+import pyarrow as pa
+import ray
+
+from raycrawl.state.cuckoo import CuckooFilter, url_hash64
+
+__all__ = [
+    "FrontierShard",
+    "shard_of_host",
+    "make_frontier_shards",
+    "FRONTIER_SCHEMA",
+]
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url_raw", pa.string()),
+        ("url_norm", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+    ]
+)
+
+
+def shard_of_host(host: str, num_shards: int) -> int:
+    return url_hash64("host:" + host) % num_shards
+
+
+@ray.remote(num_cpus=0.25)
+class FrontierShard:
+    """One shard of the frontier service. All methods take/return plain
+    python lists/dicts (cheap to serialize; row dicts stay columnar until
+    the map_batches boundary)."""
+
+    def __init__(self, shard_id: int, seen_mode: str = "exact",
+                 cuckoo_capacity: int = 1 << 20, seed: int = 0):
+        self.shard_id = shard_id
+        self.seen_mode = seen_mode
+        if seen_mode == "cuckoo":
+            self._cuckoo = CuckooFilter(cuckoo_capacity, seed=seed + shard_id)
+        elif seen_mode == "exact":
+            self._seen: set = set()
+        else:
+            raise ValueError(f"unknown seen_mode {seen_mode!r}")
+        self._done: set = set()
+        # host -> heap of (depth, url_norm, url_raw)
+        self._pending: dict = {}
+        self._pending_n = 0
+        # candidates buffered within a round, committed at the round barrier
+        self._buffer: list = []
+        self.stats = {"seen_added": 0, "gate_dropped": 0, "released": 0,
+                      "deferred_rounds": 0}
+
+    # ---- seen-gate --------------------------------------------------------
+    def _seen_check_add(self, url_norm: str) -> bool:
+        """True if url was unseen (and is now marked seen)."""
+        if self.seen_mode == "exact":
+            if url_norm in self._seen:
+                return False
+            self._seen.add(url_norm)
+            return True
+        h = url_hash64(url_norm)
+        if self._cuckoo.contains_hash(h):
+            return False
+        self._cuckoo.add_hash(h)
+        return True
+
+    def offer_buffer(self, rows: list) -> int:
+        """Buffer candidate rows [(url_raw, url_norm, host, depth), ...]
+        until the round barrier. Batches arrive in nondeterministic order
+        during the round; determinism is restored at commit_round."""
+        self._buffer.extend(rows)
+        return len(self._buffer)
+
+    def commit_round(self) -> int:
+        """Round barrier: deterministically dedup buffered candidates, run
+        the seen-gate, enqueue the unseen. Returns number enqueued.
+
+        Dedup keeps the min (depth, url_raw) representative per url_norm —
+        a deterministic stand-in for the reference's hash-seed-dependent
+        set-iteration pick (its own result SETS are unaffected, SURVEY §4).
+        Gate semantics mirror crawler.py:159-163 + :219-221: an unseen url
+        is ALWAYS added to seen; it is enqueued only if not already done
+        (the rediscovered-seed case enters seen but is skipped at dequeue).
+        """
+        best = {}
+        for url_raw, url_norm, host, depth in self._buffer:
+            cur = best.get(url_norm)
+            if cur is None or (depth, url_raw) < (cur[0], cur[1]):
+                best[url_norm] = (depth, url_raw, host)
+        self._buffer.clear()
+        n = 0
+        for url_norm in sorted(best, key=lambda u: (best[u][0], u)):
+            depth, url_raw, host = best[url_norm]
+            if not self._seen_check_add(url_norm):
+                self.stats["gate_dropped"] += 1
+                continue
+            self.stats["seen_added"] += 1
+            if url_norm in self._done:
+                continue
+            heapq.heappush(self._pending.setdefault(host, []),
+                           (depth, url_norm, url_raw))
+            self._pending_n += 1
+            n += 1
+        return n
+
+    def seed(self, rows: list) -> int:
+        """Enqueue seeds WITHOUT touching the seen-set — the reference only
+        adds a seed to seen if it is re-discovered (crawler.py:198-199)."""
+        n = 0
+        for url_raw, url_norm, host, depth in rows:
+            if url_norm in self._done:
+                continue
+            heapq.heappush(self._pending.setdefault(host, []),
+                           (depth, url_norm, url_raw))
+            self._pending_n += 1
+            n += 1
+        return n
+
+    # ---- politeness release ----------------------------------------------
+    def release(self, budgets: dict | None = None, default_budget: int | None = None) -> dict:
+        """Pop this round's fetchable rows, per-host-serial politeness.
+
+        budgets: host -> max rows this round (crawl_delay-derived); hosts
+        absent use default_budget; budget None = unlimited. Rows come out in
+        (depth, url_norm) order per host — deterministic. Returns columnar
+        {url_raw, url_norm, host, depth}; deferred rows stay queued.
+        """
+        out = {"url_raw": [], "url_norm": [], "host": [], "depth": []}
+        budgets = budgets or {}
+        for host in sorted(self._pending):
+            heap = self._pending[host]
+            budget = budgets.get(host, default_budget)
+            take = len(heap) if budget is None else min(budget, len(heap))
+            if take < len(heap):
+                self.stats["deferred_rounds"] += 1
+            for _ in range(take):
+                depth, url_norm, url_raw = heapq.heappop(heap)
+                # done check at dequeue (crawler.py:219-221): seeds that were
+                # re-discovered after completing land here
+                if url_norm in self._done:
+                    self._pending_n -= 1
+                    continue
+                out["url_raw"].append(url_raw)
+                out["url_norm"].append(url_norm)
+                out["host"].append(host)
+                out["depth"].append(depth)
+                self._pending_n -= 1
+                self.stats["released"] += 1
+            if not heap:
+                del self._pending[host]
+        return out
+
+    def release_table(self, budgets: dict | None = None,
+                      default_budget: int | None = None) -> pa.Table:
+        """release() as a zero-copy Arrow table — the driver passes the
+        ObjectRef straight into ``ray.data.from_arrow_refs`` so the frontier
+        never materializes on the driver."""
+        tbl = pa.table(self.release(budgets, default_budget),
+                       schema=FRONTIER_SCHEMA)
+        self._last_release_count = tbl.num_rows
+        return tbl
+
+    def last_release_count(self) -> int:
+        """Row count of the preceding release_table call (actor tasks run in
+        submission order, so calling this right after release_table is safe
+        and keeps the table itself off the driver)."""
+        return getattr(self, "_last_release_count", 0)
+
+    # ---- done bookkeeping -------------------------------------------------
+    def mark_done(self, url_norms: list) -> None:
+        self._done.update(url_norms)
+
+    def pending_count(self) -> int:
+        return self._pending_n
+
+    def counts(self) -> dict:
+        seen_n = len(self._seen) if self.seen_mode == "exact" else self._cuckoo.size
+        return {"shard": self.shard_id, "seen": seen_n, "done": len(self._done),
+                "pending": self._pending_n, **self.stats}
+
+    # ---- introspection (tests / conformance) ------------------------------
+    def seen_snapshot(self) -> list:
+        if self.seen_mode != "exact":
+            raise RuntimeError("seen_snapshot requires exact mode")
+        return sorted(self._seen)
+
+    def done_snapshot(self) -> list:
+        return sorted(self._done)
+
+    # ---- checkpoint / restore --------------------------------------------
+    def checkpoint(self, ckpt_dir: str, round_no: int) -> dict:
+        """Atomically persist shard state; returns lineage info for the
+        driver manifest."""
+        os.makedirs(ckpt_dir, exist_ok=True)
+        state = {
+            "shard_id": self.shard_id,
+            "seen_mode": self.seen_mode,
+            "round": round_no,
+            "done": sorted(self._done),
+            "pending": {h: sorted(q) for h, q in self._pending.items()},
+            "buffer": list(self._buffer),  # empty at round boundaries
+            "stats": self.stats,
+        }
+        if self.seen_mode == "exact":
+            state["seen"] = sorted(self._seen)
+        else:
+            state["cuckoo"] = self._cuckoo.to_state()
+        path = os.path.join(ckpt_dir, f"shard_{self.shard_id}.pkl")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        os.replace(tmp, path)
+        return {"shard": self.shard_id, "path": path,
+                "seen": len(state.get("seen", [])) or (self.seen_mode == "cuckoo" and self._cuckoo.size),
+                "done": len(state["done"]), "pending": self._pending_n}
+
+    def restore(self, ckpt_dir: str) -> int:
+        path = os.path.join(ckpt_dir, f"shard_{self.shard_id}.pkl")
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        assert state["shard_id"] == self.shard_id
+        self.seen_mode = state["seen_mode"]
+        if self.seen_mode == "exact":
+            self._seen = set(state["seen"])
+        else:
+            self._cuckoo = CuckooFilter.from_state(state["cuckoo"])
+        self._done = set(state["done"])
+        self._pending = {}
+        self._pending_n = 0
+        for host, rows in state["pending"].items():
+            heap = [tuple(r) for r in rows]
+            heapq.heapify(heap)
+            self._pending[host] = heap
+            self._pending_n += len(heap)
+        self._buffer = [tuple(r) for r in state.get("buffer", [])]
+        self.stats = state["stats"]
+        return state["round"]
+
+
+def make_frontier_shards(num_shards: int, seen_mode: str = "exact",
+                         cuckoo_capacity: int = 1 << 20, seed: int = 0) -> list:
+    return [
+        FrontierShard.remote(i, seen_mode=seen_mode,
+                             cuckoo_capacity=cuckoo_capacity, seed=seed)
+        for i in range(num_shards)
+    ]

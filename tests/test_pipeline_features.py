@@ -1,0 +1,128 @@
+"""Pipeline feature tests: resume, politeness deferral, cuckoo mode,
+config variants, determinism."""
+
+import pytest
+
+from raycrawl.config import CrawlConfig
+from raycrawl.pipelines.crawl import crawl
+from raycrawl.sources.synth import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("feat")
+    return generate_corpus(str(out), n_hosts=3, pages_per_host=12, seed=21)
+
+
+BASE = dict(num_shards=3, fetch_concurrency=2)
+
+
+def test_determinism_two_runs(ray_session, corpus):
+    a = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE))
+    b = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE))
+    assert a.done_urls() == b.done_urls()
+    assert a.seen_urls() == b.seen_urls()
+    assert a.depths() == b.depths()
+
+
+def test_resume_from_checkpoint(ray_session, corpus, tmp_path):
+    full = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE))
+
+    # killed run: stop after 2 rounds
+    out1 = str(tmp_path / "run")
+    cfg = CrawlConfig(**BASE, max_rounds=2)
+    partial = crawl(corpus["corpus"], corpus["seeds"], cfg, output_dir=out1)
+    assert partial.rounds == 2
+    assert partial.done_urls() != full.done_urls()
+
+    # resume (same semantic config -> same hash; max_rounds is an execution
+    # knob excluded from the lineage hash) and run to exhaustion
+    resumed = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE),
+                    output_dir=out1, resume=True)
+    assert resumed.rounds > 0
+
+    # final state: union of all runs' done sets equals the uninterrupted run
+    import pyarrow.dataset as pads
+
+    tall = pads.dataset(f"{out1}/rounds", partitioning="hive").to_table()
+    done = {
+        u for u, k in zip(tall["url_norm"].to_pylist(), tall["kind"].to_pylist())
+        if k == "done"
+    }
+    assert done == full.done_urls()
+
+
+def test_resume_rejects_config_change(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "run")
+    crawl(corpus["corpus"], corpus["seeds"],
+          CrawlConfig(**BASE, max_rounds=1), output_dir=out)
+    with pytest.raises(ValueError, match="hash mismatch"):
+        crawl(corpus["corpus"], corpus["seeds"],
+              CrawlConfig(**BASE, max_rounds=1, trim_query=False),
+              output_dir=out, resume=True)
+
+
+def test_politeness_deferral_same_results_more_rounds(ray_session, corpus):
+    fast = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE))
+    slow = crawl(corpus["corpus"], corpus["seeds"],
+                 CrawlConfig(**BASE, politeness_budget=3))
+    assert slow.rounds > fast.rounds
+    assert slow.done_urls() == fast.done_urls()
+    assert slow.seen_urls() == fast.seen_urls()
+    assert slow.depths() == fast.depths()  # discovery depth, not fetch round
+
+
+def test_politeness_robots_budget(ray_session, tmp_path):
+    info = generate_corpus(str(tmp_path), n_hosts=2, pages_per_host=10,
+                           crawl_delays={"h0.example.com": 30}, seed=5)
+    free = crawl(info["corpus"], info["seeds"], CrawlConfig(**BASE))
+    # round_window 60s, crawl_delay 30s -> budget 2 fetches/round for h0
+    polite = crawl(info["corpus"], info["seeds"],
+                   CrawlConfig(**BASE, politeness_budget="robots",
+                               round_window_s=60.0))
+    assert polite.done_urls() == free.done_urls()
+    assert polite.seen_urls() == free.seen_urls()
+    # h0's done pages at 2/round force more rounds than the free run
+    assert polite.rounds > free.rounds
+    h0_released_per_round = [
+        m["released"] for m in polite.metrics
+    ]
+    assert max(h0_released_per_round) <= 2 + 20  # h1 unconstrained
+
+
+def test_cuckoo_mode_matches_exact(ray_session, corpus):
+    exact = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE))
+    approx = crawl(corpus["corpus"], corpus["seeds"],
+                   CrawlConfig(**BASE, seen_mode="cuckoo",
+                               cuckoo_capacity=1 << 16))
+    # at this scale the FP probability is ~1e-4 — sets should match
+    assert approx.done_urls() == exact.done_urls()
+
+
+def test_trim_query_false_variant(ray_session, corpus):
+    res = crawl(corpus["corpus"], corpus["seeds"],
+                CrawlConfig(**BASE, trim_query=False, trim_fragment=False))
+    # ?with=query urls survive the pipeline and 404 (not in corpus)
+    assert any("with=query" in u for u in res.seen_urls())
+    assert not any("with=query" in u for u in res.done_urls())
+    assert any("#" not in u for u in res.seen_urls())
+
+
+def test_max_depth(ray_session, corpus):
+    res = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE, max_depth=1))
+    assert res.depths() and max(res.depths().values()) <= 1
+
+
+def test_output_dir_rounds_parquet(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "o")
+    res = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE),
+                output_dir=out, collect=False)
+    import pyarrow.dataset as pads
+
+    tall = pads.dataset(f"{out}/rounds", partitioning="hive").to_table()
+    done = {
+        u for u, k in zip(tall["url_norm"].to_pylist(), tall["kind"].to_pylist())
+        if k == "done"
+    }
+    assert done == res.done_urls()
+    assert res.tall is None  # collect=False keeps the driver clean
