@@ -1,16 +1,20 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship BFS crawl at sf0.001 scale; ``queries()``
+exposes one callable per implemented operator family (SURVEY.md §2 plus the
+training-data operators); ``oracle_sql()`` gives DuckDB twins for every
+SQL-expressible query — column names and integer-only aggregates are
+mirrored exactly (money sums in cents; see raycrawl/pipelines/relops.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the raycrawl library) calls ray.init()/ray.shutdown().
+
+The crawl-family queries run over the deterministic synthetic
+Common-Crawl-style corpus (BASELINE.json input_hint schema) cached under
+/tmp/raycrawl_corpus/<sf>; their oracles read the SAME parquet files by
+literal path, so both sides see identical bytes. The corpus for sf0.01 (the
+driver's correctness scale) is materialized at import time so the oracle
+can run regardless of execution order.
 """
 
 from __future__ import annotations
@@ -18,27 +22,214 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from raycrawl.pipelines import ann, dedup, multimodal, relops, textops
+from raycrawl.pipelines.crawlqueries import (
+    corpus_for,
+    crawl_bfs,
+    crawl_edges,
+    crawl_text_identity,
+)
+
+# materialize the correctness-scale corpus for the oracle's literal path
+corpus_for("/root/testdata/sf0.01")
+
+_SF001_CORPUS = "/tmp/raycrawl_corpus/sf0.01/corpus/*/*.parquet"
+
+_HTML_FILTER = (
+    "url NOT LIKE '%/robots.txt' AND url NOT LIKE '%.pdf' "
+    "AND url NOT LIKE '%.png' AND url NOT LIKE '%.css'"
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full BFS crawl of the sf0.001-scale corpus."""
+    return crawl_bfs("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # ---- crawl family (SURVEY §2.1-2.5) ----
+        "crawl_bfs": crawl_bfs,
+        "crawl_edges": crawl_edges,
+        "crawl_text_identity": crawl_text_identity,
+        # ---- text analysis ----
+        "docs_token_stats": textops.token_stats,
+        "docs_quality": textops.quality_stats,
+        "docs_lang_counts": textops.lang_counts,
+        "docs_langid": textops.langid,
+        "docs_fingerprints": textops.fingerprints,
+        # ---- dedup ----
+        "docs_exact_dedup": dedup.exact_dedup,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash_pairs,
+        "dedup_embedding_cosine": lambda sf: dedup.embedding_near_dup(sf, threshold=0.3),
+        # ---- similarity search ----
+        "ann_brute_topk": ann.brute_force_topk,
+        "ann_lsh_topk": ann.lsh_topk,
+        # ---- multimodal plumbing ----
+        "multimodal_meta": _multimodal_meta,
+        "multimodal_decode": multimodal.decode_features,
+        # ---- relational breadth (groupby/join/sort/window/sessionize) ----
+        "q1_returnflag_agg": relops.q1_returnflag_agg,
+        "mktsegment_revenue": relops.mktsegment_revenue,
+        "lineitem_topk": relops.lineitem_topk,
+        "events_window_agg": relops.events_window_agg,
+        "events_sessionize": relops.events_sessionize,
+        "region_nation_counts": relops.region_nation_counts,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _multimodal_meta(sf_dir: str):
+    """SQL-comparable projection of the multimodal decode stage."""
+    ds = multimodal.decode_features(sf_dir)
+    return ds.select_columns(["doc_id", "n_bytes", "first_byte"])
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "crawl_bfs": f"""
+WITH RECURSIVE corpus AS (
+  SELECT url, text, regexp_extract(url, '^http://([^/]+)', 1) AS host
+  FROM read_parquet('{_SF001_CORPUS}')
+),
+pages AS (
+  SELECT * FROM corpus WHERE {_HTML_FILTER}
+),
+bfs(url, host, depth) AS (
+  SELECT url, host, 0 FROM corpus WHERE url = 'http://' || host || '/'
+  UNION
+  SELECT cand.cand, b.host, b.depth + 1
+  FROM bfs b
+  JOIN pages p ON p.url = CASE
+      WHEN b.url LIKE '%/redirect/%'
+      THEN 'http://' || b.host || '/' || split_part(b.url, '/redirect/', 2)
+      ELSE b.url END,
+  LATERAL (
+    SELECT CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+                ELSE 'http://' || b.host || h1 END AS cand
+    FROM (
+      SELECT split_part(split_part(href, '#', 1), '?', 1) AS h1
+      FROM unnest(string_split(p.text, chr(10))) AS t(href)
+    )
+  ) AS cand
+  WHERE b.depth < 64
+    AND p.text <> ''
+    AND cand.cand LIKE 'http://' || b.host || '/%'
+    AND cand.cand NOT LIKE '%/private/%'
+)
+SELECT b.url AS url_norm, CAST(MIN(b.depth) AS BIGINT) AS depth
+FROM bfs b
+WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.url = b.url)
+   OR (b.url LIKE '%/redirect/%' AND EXISTS (
+         SELECT 1 FROM pages p
+         WHERE p.url = 'http://' || b.host || '/' ||
+               split_part(b.url, '/redirect/', 2)))
+GROUP BY b.url
+""",
+        "crawl_edges": f"""
+SELECT url AS src_url, unnest(string_split(text, chr(10))) AS href_norm
+FROM read_parquet('{_SF001_CORPUS}')
+WHERE {_HTML_FILTER} AND text <> ''
+""",
+        "crawl_text_identity": f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pages, CAST(COUNT(*) AS BIGINT) AS n_match
+FROM read_parquet('{_SF001_CORPUS}')
+WHERE {_HTML_FILTER}
+""",
+        "docs_token_stats": r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+""",
+        "docs_quality": r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+       CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       CAST(length(regexp_extract_all(text, '\S')) AS BIGINT) AS n_nonspace
+FROM documents
+""",
+        "docs_lang_counts": """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+""",
+        "docs_exact_dedup": """
+SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text
+""",
+        "dedup_embedding_cosine": """
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+""",
+        "ann_brute_topk": """
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id
+FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                    v.vec_id
+         ) AS rank
+  FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+) WHERE rank <= 10
+""",
+        "multimodal_meta": """
+SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
+FROM documents
+""",
+        "q1_returnflag_agg": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "mktsegment_revenue": """
+SELECT c.c_mktsegment,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+        "lineitem_topk": """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM lineitem
+ORDER BY price_cents DESC, l_orderkey, l_linenumber
+LIMIT 20
+""",
+        "events_window_agg": """
+SELECT event_type,
+       CAST(floor((epoch_us(ts) // 1000000) / 3600.0) AS BIGINT) AS win,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type, win
+""",
+        "events_sessionize": """
+WITH d AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev IS NULL
+                      OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM d GROUP BY user_id
+""",
+        "region_nation_counts": """
+SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    }

@@ -1,0 +1,185 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: the flagship BFS crawl (fetch+extract) over a bench-scale
+synthetic corpus with a deliberately skewed host distribution (FIXTURES.md
+§5), reported in seconds plus derived urls/sec. The ``queries`` dict times
+the representative operator pipelines over ``$GRAFT_SF_DIR``.
+
+``--scaling`` runs the headline pipeline in fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the SAME corpus and reports both
+throughputs + scaling efficiency (the sandbox evidence for the north_rule's
+N-vs-4N-nodes criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_CORPUS_DIR = "/tmp/raycrawl_bench"
+
+
+def ensure_bench_corpus() -> dict:
+    """Bench corpus keyed by sf: skewed host distribution (hot host ~40% of
+    pages) to exercise the skew path. Generated once, cached."""
+    sf = os.path.basename(os.path.normpath(SF_DIR))
+    scales = {"sf0.001": (4, 200), "sf0.01": (6, 1500), "sf0.1": (8, 12000)}
+    n_hosts, pages = scales.get(sf, (8, 12000))
+    out = os.path.join(BENCH_CORPUS_DIR, sf)
+    marker = os.path.join(out, "COMPLETE")
+    from raycrawl.sources.synth import generate_corpus
+
+    if not os.path.exists(marker):
+        info = generate_corpus(
+            out, n_hosts=n_hosts, pages_per_host=pages, links_per_page=12,
+            seed=1234, skew_host_frac=0.4, relative_links=False,
+        )
+        with open(marker, "w") as f:
+            f.write(str(info["n_rows"]))
+    with open(marker) as f:
+        n_rows = int(f.read())
+    return {
+        "corpus": os.path.join(out, "corpus"),
+        "seeds": os.path.join(out, "seeds.parquet"),
+        "n_rows": n_rows,
+    }
+
+
+def run_headline() -> dict:
+    """Full BFS crawl of the bench corpus; returns timing + counts."""
+    from raycrawl.config import CrawlConfig
+    from raycrawl.pipelines.crawl import crawl
+
+    info = ensure_bench_corpus()
+    cfg = CrawlConfig(
+        num_shards=max(4, NUM_CPUS // 4),
+        fetch_concurrency=max(2, NUM_CPUS - 2),
+        batch_size=2048,
+        stage_mode="tasks",
+    )
+    t0 = time.perf_counter()
+    res = crawl(info["corpus"], info["seeds"], cfg, collect=True)
+    sec = time.perf_counter() - t0
+    n_done = len(res.done_urls())
+    n_edges = res.edges().num_rows
+    return {
+        "sec": sec,
+        "urls_done": n_done,
+        "edges": n_edges,
+        "rounds": res.rounds,
+        "urls_per_sec": n_done / sec if sec else 0.0,
+    }
+
+
+def run_queries() -> dict:
+    """Representative operator timings over $GRAFT_SF_DIR."""
+    from raycrawl.pipelines import ann, dedup, relops, textops
+
+    def consume(x):
+        import pyarrow as pa
+
+        if isinstance(x, pa.Table):
+            return x.num_rows
+        return x.count() if hasattr(x, "count") else len(x)
+
+    timings = {}
+    for name, fn in {
+        "q1_returnflag_agg": lambda: relops.q1_returnflag_agg(SF_DIR),
+        "mktsegment_revenue": lambda: relops.mktsegment_revenue(SF_DIR),
+        "events_window_agg": lambda: relops.events_window_agg(SF_DIR),
+        "events_sessionize": lambda: relops.events_sessionize(SF_DIR),
+        "lineitem_topk": lambda: relops.lineitem_topk(SF_DIR),
+        "docs_token_stats": lambda: textops.token_stats(SF_DIR),
+        "docs_exact_dedup": lambda: dedup.exact_dedup(SF_DIR),
+        "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(SF_DIR),
+        "ann_brute_topk": lambda: ann.brute_force_topk(SF_DIR),
+    }.items():
+        t0 = time.perf_counter()
+        consume(fn())
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    # warm the page cache + Ray Data executor so we measure compute
+    ensure_bench_corpus()
+
+    headline = run_headline()
+    queries = run_queries()
+
+    out = {
+        "metric": "crawl_fetch_extract",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "urls_per_sec": round(headline["urls_per_sec"], 1),
+        "urls_done": headline["urls_done"],
+        "edges": headline["edges"],
+        "rounds": headline["rounds"],
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling():
+    """Fresh-process runs at 8 and 32 CPUs on the same corpus."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    thr_lo = r_lo["urls_per_sec"]
+    thr_hi = r_hi["urls_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": r_lo["value"],
+                "sec_hi": r_hi["value"],
+                "urls_per_sec_lo": thr_lo,
+                "urls_per_sec_hi": thr_hi,
+                "sf": r_hi["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,114 @@
+"""CLI — parity with the reference's click command (cli.py:17-59) plus the
+corpus/engine knobs. Run as ``python -m raycrawl.cli crawl <seed> --corpus
+<dir>`` (or via ``ray job submit -- python -m raycrawl.cli ...``).
+
+``--debug`` prints the resolved config without crawling, exactly like the
+reference's debug short-circuit (cli.py:49-59).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from raycrawl.config import DEFAULT_USER_AGENT, CrawlConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="raycrawl")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="BFS-crawl a parquet corpus from seed URLs")
+    c.add_argument("seeds", nargs="+", help="seed URL(s) or a seeds.parquet path")
+    c.add_argument("--corpus", required=True, help="corpus parquet directory")
+    c.add_argument("-u", "--user-agent", default=DEFAULT_USER_AGENT)
+    c.add_argument("-d", "--disobey-robots", action="store_true")
+    c.add_argument("-h2", "--check-head", action="store_true")
+    c.add_argument("-wq", "--with-query", action="store_true")
+    c.add_argument("-wf", "--with-fragment", action="store_true")
+    c.add_argument("--num-shards", type=int, default=4)
+    c.add_argument("--fetch-concurrency", type=int, default=4)
+    c.add_argument("--max-depth", type=int, default=None)
+    c.add_argument("--politeness", default=None,
+                   help="'robots' | integer fetches/host/round | default none")
+    c.add_argument("--seen-mode", choices=["exact", "cuckoo"], default="exact")
+    c.add_argument("--output-dir", default=None)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--debug", action="store_true",
+                   help="print config and exit without crawling")
+
+    s = sub.add_parser("synth", help="generate a synthetic corpus")
+    s.add_argument("--out", required=True)
+    s.add_argument("--hosts", type=int, default=4)
+    s.add_argument("--pages", type=int, default=64)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--skew", type=float, default=0.0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "synth":
+        from raycrawl.sources.synth import generate_corpus
+
+        info = generate_corpus(args.out, n_hosts=args.hosts,
+                               pages_per_host=args.pages, seed=args.seed,
+                               skew_host_frac=args.skew)
+        print(f"corpus: {info['corpus']} ({info['n_rows']} rows)")
+        print(f"seeds:  {info['seeds']}")
+        return 0
+
+    politeness = args.politeness
+    if politeness is not None and politeness != "robots":
+        try:
+            politeness = int(politeness)
+        except ValueError:
+            build_parser().error(
+                f"--politeness must be 'robots' or an integer, got {politeness!r}"
+            )
+    config = CrawlConfig(
+        user_agent=args.user_agent,
+        obey_robots=not args.disobey_robots,
+        check_head=args.check_head,
+        trim_query=not args.with_query,
+        trim_fragment=not args.with_fragment,
+        num_shards=args.num_shards,
+        fetch_concurrency=args.fetch_concurrency,
+        max_depth=args.max_depth,
+        politeness_budget=politeness,
+        seen_mode=args.seen_mode,
+    )
+
+    if args.debug:
+        print("debug mode is on: crawling not running")
+        for k, v in config.as_dict().items():
+            print(f"{k.replace('_', ' ')}: {v}")
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from raycrawl.pipelines.crawl import crawl
+
+    seeds = args.seeds[0] if (
+        len(args.seeds) == 1 and args.seeds[0].endswith(".parquet")
+    ) else args.seeds
+    res = crawl(args.corpus, seeds, config, output_dir=args.output_dir,
+                resume=args.resume)
+    print(f"WHEN CRAWLING: {args.seeds} THE CRAWLER FOUND:")
+    for url in sorted(res.done_urls()):
+        print(f"FOUND: {url}")
+    print(f"rounds={res.rounds} done={len(res.done_urls())} "
+          f"seen={len(res.seen_urls() or [])}")
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,176 @@
+"""Similarity search over an embedding column (training-data pipeline).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``) and every batch scores a dense numpy matmul against it;
+per-batch top-k partials are then merged in one tiny driver-side reduction
+(k x n_queries rows). Scale path: LSH-bucketed variant — random-hyperplane
+signatures bucket both queries and vectors, so each batch only scores
+queries sharing a bucket (candidate-set pruning instead of full scan).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+__all__ = ["brute_force_topk", "lsh_topk"]
+
+
+def _load_queries(sf_dir: str, n_queries: int):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    mask = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False) < n_queries)
+    sub = t.filter(pa.array(mask))
+    ids = sub["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = np.stack(sub["embedding"].to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    return ids[order], _normalize(m[order])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return m / norms[:, None]
+
+
+def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
+    """(query_id, rank, vec_id): cosine top-k per query, self-hit excluded.
+
+    Ties break by (-sim, vec_id) — deterministic. Partial top-k per batch
+    (k rows per query per batch) -> merge on the driver: the reduction is
+    O(batches * k * n_queries), never O(n_vectors).
+    """
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    q_ref = ray.put((q_ids, q_mat))
+
+    def score(t: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(q_ref)  # object-store read, worker-cached
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+        sims = q_mat @ m.T  # (n_queries, batch)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])  # +1: self-hit may be in-batch
+        for qi, qid in enumerate(q_ids):
+            row = sims[qi]
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            for j in idx:
+                if ids[j] == qid:
+                    continue
+                out_q.append(qid)
+                out_v.append(ids[j])
+                out_s.append(row[j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    merged = (
+        partials.sort_values(["query_id", "sim", "vec_id"],
+                             ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+    )
+    merged["rank"] = merged.groupby("query_id").cumcount() + 1
+    out = merged[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema(
+            [("query_id", pa.int64()), ("rank", pa.int64()), ("vec_id", pa.int64())]
+        )
+    )
+
+
+def lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+             n_planes: int = 6, n_tables: int = 8, seed: int = 13) -> pa.Table:
+    """Approximate top-k: random-hyperplane LSH candidate pruning.
+
+    Each of n_tables signature functions buckets vectors by the sign
+    pattern of n_planes projections; a vector is scored only if it shares a
+    bucket with the query in ANY table. Same output schema as
+    brute_force_topk plus ``n_candidates`` is traded for recall — the unit
+    tests measure recall against the exact result.
+    """
+    rng = np.random.RandomState(seed)
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    dim = q_mat.shape[1]
+    planes = rng.randn(n_tables, n_planes, dim)
+
+    def signatures(m: np.ndarray) -> np.ndarray:
+        """(n_tables, n_rows) int bucket ids."""
+        sigs = np.empty((n_tables, m.shape[0]), dtype=np.int64)
+        pows = (1 << np.arange(n_planes)).astype(np.int64)
+        for t_i in range(n_tables):
+            bits = (m @ planes[t_i].T) > 0
+            sigs[t_i] = bits.astype(np.int64) @ pows
+        return sigs
+
+    q_sigs = signatures(q_mat)
+    q_ref = ray.put((q_ids, q_mat, q_sigs))
+
+    def score(t: pa.Table) -> pa.Table:
+        q_ids, q_mat, q_sigs = ray.get(q_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+        sigs = signatures(m)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            cand = np.zeros(len(ids), dtype=bool)
+            for t_i in range(n_tables):
+                cand |= sigs[t_i] == q_sigs[t_i, qi]
+            cand &= ids != qid
+            if not cand.any():
+                continue
+            row = q_mat[qi] @ m[cand].T
+            cids = ids[cand]
+            kk = min(k, len(cids))
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            out_q += [qid] * len(idx)
+            out_v += cids[idx].tolist()
+            out_s += row[idx].tolist()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    merged = (
+        partials.sort_values(["query_id", "sim", "vec_id"],
+                             ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+    )
+    merged["rank"] = merged.groupby("query_id").cumcount() + 1
+    out = merged[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema(
+            [("query_id", pa.int64()), ("rank", pa.int64()), ("vec_id", pa.int64())]
+        )
+    )

@@ -1,0 +1,142 @@
+"""Crawl-family query entry points over sf-scaled synthetic corpora.
+
+The driver's tables (TPC-H-ish) are not web-shaped; the crawl queries run
+over the deterministic synthetic Common-Crawl-style corpus (FIXTURES.md §1,
+BASELINE.json input_hint schema), cached under /tmp/raycrawl_corpus/<sf>
+keyed by the sf name so the Ray query and the DuckDB oracle (which reads
+the same parquet files by literal path) see identical bytes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+from raycrawl.config import CrawlConfig
+from raycrawl.functions.extract import extract_edges_rows, page_text
+from raycrawl.pipelines.crawl import crawl
+from raycrawl.sources.synth import generate_corpus
+
+__all__ = ["corpus_for", "crawl_bfs", "crawl_edges", "crawl_text_identity",
+           "CORPUS_ROOT", "SCALES"]
+
+CORPUS_ROOT = "/tmp/raycrawl_corpus"
+
+# sf name -> (n_hosts, pages_per_host); sizes keep the sf ratios meaningful
+SCALES = {
+    "sf0.001": (2, 32),
+    "sf0.01": (4, 64),
+    "sf0.1": (8, 2000),
+}
+
+
+def corpus_for(sf_dir: str) -> dict:
+    """Deterministic corpus for an sf dir (generated once, cached)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n_hosts, pages = SCALES.get(name, (2, 32))
+    out = os.path.join(CORPUS_ROOT, name)
+    marker = os.path.join(out, "COMPLETE.v2")
+    if not os.path.exists(marker):
+        # relative_links=False: the SQL BFS oracle models joins from the
+        # normalized text lines, which is exact only for base-independent
+        # href forms (see sources/synth.py docstring)
+        info = generate_corpus(out, n_hosts=n_hosts, pages_per_host=pages,
+                               seed=42, relative_links=False)
+        with open(marker, "w") as f:
+            f.write(str(info["n_rows"]))
+    return {
+        "corpus": os.path.join(out, "corpus"),
+        "seeds": os.path.join(out, "seeds.parquet"),
+    }
+
+
+_NON_HTML_SUFFIXES = (".pdf", ".png", ".css", "/robots.txt")
+
+
+def _is_html_url(url: str) -> bool:
+    return not any(url.endswith(s) for s in _NON_HTML_SUFFIXES)
+
+
+def crawl_bfs(sf_dir: str) -> pa.Table:
+    """Full BFS crawl of the sf corpus from its seeds: (url_norm, depth).
+
+    The flagship pipeline (frontier shards + robots gate + fetch-sim +
+    extract rounds). Oracle: recursive-CTE BFS over the same corpus parquet
+    (__ray_entry__.oracle_sql)."""
+    info = corpus_for(sf_dir)
+    res = crawl(info["corpus"], info["seeds"],
+                CrawlConfig(num_shards=4, fetch_concurrency=4))
+    done = res.done_table()
+    return pa.table(
+        {
+            "url_norm": done["url_norm"],
+            "depth": pa.array(
+                [int(d) for d in done["depth"].to_pylist()], pa.int64()
+            ),
+        }
+    )
+
+
+def crawl_edges(sf_dir: str) -> rd.Dataset:
+    """The minimum end-to-end slice (SURVEY §7 step 3): corpus parquet ->
+    map_batches(extract+canonicalize) -> edge rows. Stateless tasks, no
+    shuffle, streaming end to end."""
+    info = corpus_for(sf_dir)
+
+    def extract(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        htmls = t["html"].to_pylist()
+        keep_u, keep_h = [], []
+        for u, h in zip(urls, htmls):
+            if _is_html_url(u):
+                keep_u.append(u)
+                keep_h.append(h)
+        src, _raw, norm, _es, _em = extract_edges_rows(keep_u, keep_h)
+        return pa.table(
+            {
+                "src_url": pa.array(src, pa.string()),
+                "href_norm": pa.array(norm, pa.string()),
+            }
+        )
+
+    return rd.read_parquet(info["corpus"], columns=["url", "html"]).map_batches(
+        extract, batch_format="pyarrow"
+    )
+
+
+def crawl_text_identity(sf_dir: str) -> pa.Table:
+    """Recompute every html page's extraction and compare byte-for-byte to
+    the corpus golden ``text`` column: (n_pages, n_match). The oracle
+    asserts n_match == n_pages — any extractor drift fails the compare."""
+    info = corpus_for(sf_dir)
+
+    def check(t: pa.Table) -> pa.Table:
+        n_pages = n_match = 0
+        for u, h, txt in zip(
+            t["url"].to_pylist(), t["html"].to_pylist(), t["text"].to_pylist()
+        ):
+            if not _is_html_url(u):
+                continue
+            n_pages += 1
+            recomputed = page_text(bytes(h).decode("utf-8"))
+            if recomputed.encode() == (txt or "").encode():
+                n_match += 1
+        return pa.table(
+            {
+                "n_pages": pa.array([n_pages], pa.int64()),
+                "n_match": pa.array([n_match], pa.int64()),
+            }
+        )
+
+    parts = rd.read_parquet(info["corpus"], columns=["url", "html", "text"]).map_batches(
+        check, batch_format="pyarrow"
+    )
+    agg = parts.sum(["n_pages", "n_match"])  # tiny driver-side reduction
+    return pa.table(
+        {
+            "n_pages": pa.array([agg["sum(n_pages)"]], pa.int64()),
+            "n_match": pa.array([agg["sum(n_match)"]], pa.int64()),
+        }
+    )

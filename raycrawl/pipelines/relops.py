@@ -1,0 +1,231 @@
+"""Relational operator pipelines over the driver-provided tables.
+
+The reference has no relational operators (SURVEY §2.6); these exist to
+exercise the engine's groupby / join / sort / window machinery with exact
+DuckDB oracles (every query here has an oracle_sql twin — column names and
+integer-only aggregates are deliberately mirrored; money sums use cents to
+avoid float-representation hash drift).
+
+Patterns demonstrated: pruned reads (columns=...), per-batch partial
+pre-aggregation before the shuffle, broadcast hash join (small side via
+ray.put, no shuffle), top-k via sort+limit, sessionization via
+groupby().map_groups over ts-sorted groups.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+__all__ = [
+    "q1_returnflag_agg",
+    "mktsegment_revenue",
+    "lineitem_topk",
+    "events_window_agg",
+    "events_sessionize",
+    "region_nation_counts",
+]
+
+
+def _read(sf_dir, name, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _cents(col):
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def q1_returnflag_agg(sf_dir: str) -> rd.Dataset:
+    """TPC-H-Q1-shaped: lineitem grouped by (returnflag, linestatus).
+
+    Partial per-batch aggregation first: the shuffle moves one row per
+    (batch, flag, status) instead of every lineitem.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "price_cents": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_cents", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "n_items"]
+        )
+
+    return (
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+
+def mktsegment_revenue(sf_dir: str) -> rd.Dataset:
+    """Broadcast hash join: orders x customer (small side via ray.put),
+    then revenue by market segment. No shuffle join — the dimension table
+    rides the object store once and each batch does a vectorized take."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    )
+
+    class Join:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            segs = [self.lookup.get(k) for k in t["o_custkey"].to_pylist()]
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "price_cents": _cents(t["o_totalprice"]),
+                }
+            )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_mktsegment").aggregate(
+            [("price_cents", "sum"), ("price_cents", "count")]
+        )
+        return g.rename_columns(["c_mktsegment", "revenue_cents", "n_orders"])
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(Join, batch_format="pyarrow", concurrency=2, num_cpus=1)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+def lineitem_topk(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """Top-k by extended price; deterministic tie-break on the key columns."""
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "price_cents": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return ds.sort(
+        ["price_cents", "l_orderkey", "l_linenumber"],
+        descending=[True, False, False],
+    ).limit(k)
+
+
+def events_window_agg(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour windows per event_type: streaming-shaped aggregate
+    expressed as a derived window key + grouped aggregate."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        win = pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), 3600.0)), pa.int64())
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "win": win,
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "win"]).aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")]
+        )
+        return g.rename_columns(["event_type", "win", "total_cents", "n_events"])
+
+    return (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "win"])
+        .aggregate(
+            Sum("total_cents", alias_name="total_cents"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Per-user sessionization (gap > 30min splits a session): partition by
+    user, sort by ts inside the group, count gap breaks. The ordering
+    assumption (ts sorted within each user group) is established inside
+    map_groups — Ray Data groupby guarantees key-colocation, not order."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions],
+             "n_events": [len(ts)]}
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def region_nation_counts(sf_dir: str) -> rd.Dataset:
+    """Two-level broadcast join: customer -> nation -> region, counted by
+    region name (dimension tables broadcast; no shuffle join)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    class Join:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.lookup.get(k) for k in t["c_nationkey"].to_pylist()]
+            return pa.table({"r_name": pa.array(names, pa.string())})
+
+    return (
+        _read(sf_dir, "customer", ["c_nationkey"])
+        .map_batches(Join, batch_format="pyarrow", concurrency=2, num_cpus=1)
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+    )

@@ -1,0 +1,189 @@
+"""Text-analysis operators over a documents table (training-data pipeline).
+
+Beyond-the-reference operators a large-scale text pipeline needs (prompt
+spec): token counting, quality scoring, language-ID, document
+fingerprinting. All are single-pass ``map_batches`` stages: stateless ones
+run as Ray tasks on zero-copy Arrow batches with pyarrow.compute kernels;
+the language-ID model (compiled stopword tables) is a callable class =
+actor pool, loaded once per actor.
+
+Integer-only outputs where a DuckDB oracle exists (float aggregate hashes
+are representation-fragile; see __ray_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+__all__ = [
+    "token_stats",
+    "quality_stats",
+    "lang_counts",
+    "langid",
+    "fingerprints",
+    "LangId",
+]
+
+
+def _read_docs(sf_dir: str, columns):
+    import os
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def token_stats(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, text_len): whitespace-token count + char length.
+
+    n_tokens counts non-overlapping ``\\S+`` matches — matches DuckDB's
+    ``length(regexp_extract_all(text, '\\S+'))`` exactly.
+    """
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
+                "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def quality_stats(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, n_punct, n_nonspace): quality-score raw features.
+
+    Integer features only; a downstream scorer thresholds them. Vectorized
+    pyarrow regex kernels — no Python loop.
+    """
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
+                "n_punct": pc.cast(
+                    pc.count_substring_regex(t["text"], r"[.,!?;:]"), pa.int64()
+                ),
+                "n_nonspace": pc.cast(
+                    pc.count_substring_regex(t["text"], r"\S"), pa.int64()
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def lang_counts(sf_dir: str) -> rd.Dataset:
+    """(lang, n_docs, total_chars): grouped aggregate with per-batch partial
+    pre-aggregation, so the shuffle moves one row per (batch, lang) instead
+    of every document (SURVEY aggregation-at-scale pattern)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate(
+            [("doc_id", "count"), ("text_len", "sum")]
+        )
+        return g.rename_columns(["lang", "n_docs", "total_chars"])
+
+    def add_len(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "doc_id": t["doc_id"],
+                "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    ds = (
+        _read_docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(add_len, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+    )
+    out = ds.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_chars", alias_name="total_chars"),
+    )
+    return out
+
+
+# deliberately tiny, deterministic stopword tables: a real deployment loads
+# fasttext-style models here — the actor-pool shape is identical
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une"},
+    "es": {"el", "la", "los", "y", "es", "un", "una"},
+    "zh": set(),
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage: stopword/char-ngram heuristic.
+
+    State (compiled token regex + stopword tables) builds once per actor in
+    __init__; __call__ scores batches. Deterministic; defaults to 'en' when
+    no evidence (synthetic corpora have no real language signal — this
+    demonstrates the stage shape, scoring, and plumbing).
+    """
+
+    def __init__(self):
+        import re
+
+        self.tok = re.compile(r"[a-zA-ZÀ-ɏ]+")
+        self.tables = {k: v for k, v in _STOPWORDS.items() if v}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = []
+        for text in t["text"].to_pylist():
+            words = set(self.tok.findall((text or "").lower()))
+            best, best_n = "en", 0
+            for lang in sorted(self.tables):
+                n = len(words & self.tables[lang])
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(preds)})
+
+
+def langid(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2, num_cpus=1
+    )
+
+
+_FP_MOD = (1 << 61) - 1  # Mersenne prime: keeps values in int64 range
+_FP_BASE = 257
+
+
+def fingerprint64(text: str) -> int:
+    """Deterministic polynomial rolling hash of the whole document
+    (content fingerprint for shard-stable identity; PYTHONHASHSEED-proof)."""
+    h = 0
+    for b in text.encode("utf-8"):
+        h = (h * _FP_BASE + b + 1) % _FP_MOD
+    return h
+
+
+def fingerprints(sf_dir: str) -> rd.Dataset:
+    """(doc_id, fp): int64 content fingerprint per document."""
+    import numpy as np
+
+    def fp(t: pa.Table) -> pa.Table:
+        vals = np.fromiter(
+            (fingerprint64(x or "") for x in t["text"].to_pylist()),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(vals)})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )

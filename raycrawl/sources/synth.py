@@ -80,9 +80,16 @@ def _page_path(j: int) -> str:
     return "/" if j == 0 else f"/p{j}"
 
 
-def _links_for_page(rng: random.Random, j: int, n_pages: int, links_per_page: int, host: str):
+def _links_for_page(rng: random.Random, j: int, n_pages: int, links_per_page: int,
+                    host: str, relative_links: bool = True,
+                    redirect_links: bool = True):
     """Seeded link mix for page j of a host. Binary-tree children guarantee
-    reachability; extras exercise the canonicalizer/filter matrix."""
+    reachability; extras exercise the canonicalizer/filter matrix.
+
+    relative_links=False restricts the grammar to join-base-independent
+    forms (absolute paths / absolute urls) so a SQL BFS oracle over the
+    ``text`` column can model the crawl exactly; raw-form join semantics
+    stay covered by the unit + HTTP-conformance suites."""
     links = []
     for child in (2 * j + 1, 2 * j + 2):
         if child < n_pages:
@@ -90,13 +97,16 @@ def _links_for_page(rng: random.Random, j: int, n_pages: int, links_per_page: in
 
     styles = [
         lambda t: _page_path(t),                      # absolute path
-        lambda t: _page_path(t).lstrip("/") or "/",   # relative
-        lambda t: "./" + (_page_path(t).lstrip("/") or ""),
         lambda t: _page_path(t) + "?with=query",
         lambda t: _page_path(t) + "#frag",
         lambda t: _page_path(t) + "?a=1#f",
         lambda t: f"http://{host}{_page_path(t)}",    # same-host absolute
     ]
+    if relative_links:
+        styles += [
+            lambda t: _page_path(t).lstrip("/") or "/",   # relative
+            lambda t: "./" + (_page_path(t).lstrip("/") or ""),
+        ]
     n_extra = max(0, links_per_page - len(links))
     for _ in range(n_extra):
         roll = rng.random()
@@ -111,9 +121,15 @@ def _links_for_page(rng: random.Random, j: int, n_pages: int, links_per_page: in
             links.append(f"http://offsite-{rng.randrange(3)}.example.net/x")
         elif roll < 0.86:
             links.append(f"/error/{rng.choice([403, 404, 500, 503])}")
-        elif roll < 0.93:
+        elif roll < 0.93 or not redirect_links:
             links.append(rng.choice(["/doc1.pdf", "/img1.png", "/style.css"]))
         else:
+            # NB combining redirect pages WITH relative links makes the
+            # REFERENCE crawler's done-set hash-seed-nondeterministic: a
+            # page holding raws "p5" and "/p5" (equal normalized) keeps an
+            # arbitrary one (set semantics), and under a /redirect/<p> base
+            # the two join to different urls (SURVEY §4). Deterministic
+            # corpora enable at most one of the two features.
             links.append(f"/redirect/p{rng.randrange(1, max(2, n_pages))}")
     if rng.random() < 0.3:
         links.append(rng.choice(links))                # literal duplicate
@@ -147,6 +163,8 @@ def generate_corpus(
     robots: dict | None = None,
     crawl_delays: dict | None = None,
     hosts: list | None = None,
+    relative_links: bool = True,
+    redirect_links: bool = True,
 ) -> dict:
     """Write a corpus under ``out_dir/corpus/bucket=<b>/`` + ``seeds.parquet``.
 
@@ -198,7 +216,9 @@ def generate_corpus(
 
         for j in range(n_pages):
             rng = random.Random((seed, host, j).__repr__())
-            links = _links_for_page(rng, j, n_pages, links_per_page, host)
+            links = _links_for_page(rng, j, n_pages, links_per_page, host,
+                                    relative_links=relative_links,
+                                    redirect_links=redirect_links)
             html = page_html(links)
             emit(host, f"http://{host}{_page_path(j)}", html, page_text(html), rng.choice(langs))
 

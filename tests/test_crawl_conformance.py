@@ -27,11 +27,23 @@ PORT = 9973
 HOST = f"127.0.0.1:{PORT}"
 
 
-@pytest.fixture(scope="module")
-def corpus(tmp_path_factory):
+# Two deterministic corpus flavors (redirect pages + relative links together
+# make the REFERENCE's done-set hash-seed-nondeterministic — see
+# sources/synth.py _links_for_page): redirects-without-relatives and
+# relatives-without-redirects jointly cover both feature sets e2e.
+@pytest.fixture(
+    scope="module",
+    params=[
+        dict(relative_links=False, redirect_links=True),
+        dict(relative_links=True, redirect_links=False),
+    ],
+    ids=["redirects", "relatives"],
+)
+def corpus(tmp_path_factory, request):
     out = tmp_path_factory.mktemp("conformance")
     info = generate_corpus(
-        str(out), hosts=[HOST], pages_per_host=14, links_per_page=6, seed=11
+        str(out), hosts=[HOST], pages_per_host=14, links_per_page=6, seed=11,
+        **request.param,
     )
     info["dict"] = load_corpus_dict(info["corpus"])
     info["seed_url"] = f"http://{HOST}/"
