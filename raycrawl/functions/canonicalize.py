@@ -46,6 +46,7 @@ __all__ = [
     "normalise_query",
     "normalise_fragment",
     "normalise_url",
+    "normalise_url_cached",
     "normalise_url_many",
     "normalise_component_kwargs",
     "split_components",
@@ -203,6 +204,23 @@ def normalise_url_many(urls, strip_default_ports: bool = False) -> list:
         except (ValueError, TypeError):
             out.append(None)
     return out
+
+
+# bounded per-process memo for the hot extract/linkflow path: hrefs repeat
+# heavily across pages (nav links, tree edges), and workers are
+# single-threaded per task, so a plain dict is safe
+_NORM_CACHE: dict = {}
+_NORM_CACHE_MAX = 500_000
+
+
+def normalise_url_cached(url: str) -> str:
+    v = _NORM_CACHE.get(url)
+    if v is None:
+        v = normalise_url(url)
+        if len(_NORM_CACHE) >= _NORM_CACHE_MAX:
+            _NORM_CACHE.clear()
+        _NORM_CACHE[url] = v
+    return v
 
 
 _COMPONENT_NORMALISERS = {

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from html.parser import HTMLParser
 
-from raycrawl.functions.canonicalize import normalise_url
+from raycrawl.functions.canonicalize import normalise_url, normalise_url_cached
 
 __all__ = [
     "ExtractError",
@@ -73,7 +73,7 @@ def hrefs_with_norm(html: str) -> list:
     seen = set()
     out = []
     for raw in p.hrefs:
-        key = normalise_url(raw)
+        key = normalise_url_cached(raw)
         if key not in seen:
             seen.add(key)
             out.append((raw, key))

@@ -22,14 +22,32 @@ the resulting SETS — see SURVEY §4 ordering note).
 
 from __future__ import annotations
 
+from urllib.parse import urlsplit
+
 from raycrawl.functions.canonicalize import (
     authority_of,
     join_url,
-    normalise_url,
+    normalise_authority,
+    normalise_url_cached,
     trim_url,
 )
 
 __all__ = ["parse_page_hrefs"]
+
+# per-process memo of the pure trim transform (hrefs repeat across pages)
+_TRIM_CACHE: dict = {}
+_TRIM_CACHE_MAX = 500_000
+
+
+def _trim_cached(raw: str, tq: bool, tf: bool) -> str:
+    key = (raw, tq, tf)
+    v = _TRIM_CACHE.get(key)
+    if v is None:
+        v = trim_url(raw, query=tq, fragment=tf)
+        if len(_TRIM_CACHE) >= _TRIM_CACHE_MAX:
+            _TRIM_CACHE.clear()
+        _TRIM_CACHE[key] = v
+    return v
 
 
 def parse_page_hrefs(
@@ -44,27 +62,44 @@ def parse_page_hrefs(
     frontier row's raw url (the reference enqueues the joined Hyperlink whose
     ``_input_url`` is exactly this resolution, crawler.py:159-163), used as
     the base when the candidate's own page is later parsed.
+
+    Hot-path notes: trim results and normalizations are memoized per worker
+    (pure functions, repeating inputs), and absolute-path hrefs take the
+    RFC-3986 shortcut ``join(base, "/p") == scheme://netloc + "/p"`` —
+    identical to urljoin's result, with the candidate authority known to be
+    the page's without re-parsing.
     """
-    page_authority = authority_of(base_raw)
+    base_parts = urlsplit(base_raw)
+    page_authority = normalise_authority(base_parts.netloc)
+    origin = (
+        f"{base_parts.scheme}://{base_parts.netloc}"
+        if base_parts.scheme and base_parts.netloc
+        else None
+    )
 
     # stage 1: trim (always applied — the urlunsplit round-trip is part of
     # the reference semantics even with both flags off)
     trimmed, seen = [], set()
     for raw in raw_hrefs:
-        t = trim_url(raw, query=trim_query, fragment=trim_fragment)
-        key = normalise_url(t)
+        t = _trim_cached(raw, trim_query, trim_fragment)
+        key = normalise_url_cached(t)
         if key not in seen:
             seen.add(key)
             trimmed.append(t)
 
-    # stage 2: join against the page's RAW url
-    joined, seen = [], set()
+    # stage 2: join against the page's RAW url; stage 3: same-authority
+    out, seen = [], set()
     for t in trimmed:
-        j = join_url(base_raw, t)
-        key = normalise_url(j)
-        if key not in seen:
-            seen.add(key)
-            joined.append((j, key))
-
-    # stage 3: same-authority filter
-    return [(j, k) for j, k in joined if authority_of(j) == page_authority]
+        if origin is not None and t.startswith("/") and not t.startswith("//"):
+            j = origin + t
+            auth = page_authority
+        else:
+            j = join_url(base_raw, t)
+            auth = authority_of(j)
+        key = normalise_url_cached(j)
+        if key in seen:
+            continue
+        seen.add(key)
+        if auth == page_authority:
+            out.append((j, key))
+    return out

@@ -200,23 +200,36 @@ def crawl(
     if output_dir:
         os.makedirs(os.path.join(output_dir, "rounds"), exist_ok=True)
 
+    debug_timing = os.environ.get("RAYCRAWL_TIMING") == "1"
     collected = []
     metrics = []
     round_no = start_round
     while round_no < config.max_rounds:
         t0 = time.perf_counter()
-        ref_tables = [
-            s.release_table.remote(budgets, default_budget) for s in shards
-        ]
-        # actor tasks run in submission order: these counts describe the
-        # release_table results above without pulling the tables to the driver
+        phase = {}
+        # chunked release: a hot host's rows split into many Dataset blocks
+        # so the fused round stage parallelizes across all cores/nodes even
+        # under heavy host skew (politeness stays per-host-serial inside the
+        # shard); the frontier never lands on the driver (from_arrow_refs)
+        n_chunks = ray.get(
+            [
+                s.release_chunks.remote(budgets, default_budget,
+                                        config.batch_size)
+                for s in shards
+            ]
+        )
         n_released = sum(
             ray.get([s.last_release_count.remote() for s in shards])
         )
+        phase["release"] = round(time.perf_counter() - t0, 3)
         if n_released == 0:
             break
 
-        # from_arrow_refs: the frontier never lands on the driver
+        ref_tables = [
+            shards[si].fetch_chunk.remote(i)
+            for si, n in enumerate(n_chunks)
+            for i in range(n)
+        ]
         frontier = rd.from_arrow_refs(ref_tables)
 
         stage_kwargs = dict(
@@ -244,10 +257,17 @@ def crawl(
 
         # barrier: consuming the round guarantees every offer/mark_done
         # actor call has completed (ExtractRouter ray.gets them per batch)
+        t1 = time.perf_counter()
         mat = tall.materialize()
+        phase["exec"] = round(time.perf_counter() - t1, 3)
+        if debug_timing and phase["exec"] > 5:
+            print(f"--- round {round_no} stats ---\n{mat.stats()}", flush=True)
 
+        t1 = time.perf_counter()
         enqueued = sum(ray.get([s.commit_round.remote() for s in shards]))
+        phase["commit"] = round(time.perf_counter() - t1, 3)
 
+        t1 = time.perf_counter()
         tbls = ray.get(mat.to_arrow_refs())
         round_tbl = (
             pa.concat_tables(tbls, promote_options="default")
@@ -265,6 +285,9 @@ def crawl(
             "enqueued": enqueued,
             "sec": round(time.perf_counter() - t0, 4),
         }
+        phase["collect"] = round(time.perf_counter() - t1, 3)
+        if debug_timing:
+            counts["phases"] = phase
         metrics.append(counts)
 
         if output_dir:

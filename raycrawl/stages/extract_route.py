@@ -58,28 +58,25 @@ def empty_tall() -> pa.Table:
     return TALL_SCHEMA.empty_table()
 
 
-class _TallBuilder:
-    def __init__(self):
-        self.cols = {name: [] for name in TALL_SCHEMA.names}
-
-    def row(self, **kw):
-        for name in TALL_SCHEMA.names:
-            self.cols[name].append(kw.get(name))
-
-    def table(self) -> pa.Table:
-        return pa.table(self.cols, schema=TALL_SCHEMA)
+def _kind_table(kind: str, n: int, **cols) -> pa.Table:
+    """Build a tall-schema table for one row kind, null-filling the unused
+    columns (columnar construction — no per-row dict churn in the hot path)."""
+    arrays = []
+    for field in TALL_SCHEMA:
+        if field.name == "kind":
+            arrays.append(pa.array([kind] * n, pa.string()))
+        elif field.name in cols:
+            arrays.append(pa.array(cols[field.name], field.type))
+        else:
+            arrays.append(pa.nulls(n, field.type))
+    return pa.Table.from_arrays(arrays, schema=TALL_SCHEMA)
 
 
 def blocked_rows(url_norms, hosts, depths) -> pa.Table:
     """Robots-blocked frontier rows -> tall 'blocked' rows (stay seen,
     never done — crawler.py:223-227)."""
-    n = len(url_norms)
-    cols = {name: [None] * n for name in TALL_SCHEMA.names}
-    cols["kind"] = ["blocked"] * n
-    cols["url_norm"] = list(url_norms)
-    cols["host"] = list(hosts)
-    cols["depth"] = list(depths)
-    return pa.table(cols, schema=TALL_SCHEMA)
+    return _kind_table("blocked", len(url_norms), url_norm=list(url_norms),
+                       host=list(hosts), depth=list(depths))
 
 
 class ExtractRouter:
@@ -97,7 +94,12 @@ class ExtractRouter:
         self.max_depth = max_depth
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = _TallBuilder()
+        # columnar accumulators per row kind (hot path: no per-row dicts)
+        dn = {k: [] for k in ("url_norm", "host", "depth", "status",
+                              "content_type", "text")}
+        er = {k: [] for k in ("url_norm", "host", "depth", "status",
+                              "content_type", "err")}
+        ed = {k: [] for k in ("src_url", "href_norm", "host", "depth")}
         cand_by_shard = {}   # shard -> [(url_raw, url_norm, host, depth)]
         done_by_shard = {}   # shard -> [url_norm]
 
@@ -112,29 +114,24 @@ class ExtractRouter:
             batch.column("html").to_pylist(),
             batch.column("text").to_pylist(),
         ):
-            s = str(status)
-            if s.startswith("4") or s.startswith("5"):
+            if 400 <= status < 600:
                 # ClientError/ServerError: NOT done (crawler.py:168-174)
-                out.row(kind="error", url_norm=norm, host=host, depth=depth,
-                        status=status, content_type=ctype,
-                        err=f"{status} status")
+                er["url_norm"].append(norm)
+                er["host"].append(host)
+                er["depth"].append(depth)
+                er["status"].append(status)
+                er["content_type"].append(ctype)
+                er["err"].append(f"{status} status")
                 continue
 
             mime_ok = any(m in (ctype or "").lower() for m in self.allowed_mimes)
-            is_redirect = self.record_redirects and s.startswith("3")
-            if not mime_ok and not is_redirect:
-                # WrongMIMEType: done, no extraction (crawler.py:176-180)
-                done_by_shard.setdefault(
-                    shard_of_host(host, self.num_shards), []
-                ).append(norm)
-                out.row(kind="done", url_norm=norm, host=host, depth=depth,
-                        status=status, content_type=ctype, text=text)
-                continue
+            is_redirect = self.record_redirects and 300 <= status < 400
 
+            pairs = ()
             if is_redirect:
                 # hrefs = {Location header} (crawler.py:124-128)
                 pairs = [(loc, normalise_url(loc))] if loc else []
-            else:
+            elif mime_ok:
                 try:
                     pairs = hrefs_with_norm(
                         bytes(html).decode("utf-8", errors="replace")
@@ -142,32 +139,43 @@ class ExtractRouter:
                         else (html or "")
                     )
                 except ExtractError as exc:
-                    out.row(kind="error", url_norm=norm, host=host,
-                            depth=depth, status=status, content_type=ctype,
-                            err=str(exc))
+                    er["url_norm"].append(norm)
+                    er["host"].append(host)
+                    er["depth"].append(depth)
+                    er["status"].append(status)
+                    er["content_type"].append(ctype)
+                    er["err"].append(str(exc))
                     continue
+            # else: WrongMIMEType — done with no extraction (crawler.py:176-180)
 
-            for _href_raw, href_norm in pairs:
-                out.row(kind="edge", src_url=norm, href_norm=href_norm,
-                        host=host, depth=depth)
+            if pairs:
+                for _href_raw, href_norm in pairs:
+                    ed["src_url"].append(norm)
+                    ed["href_norm"].append(href_norm)
+                    ed["host"].append(host)
+                    ed["depth"].append(depth)
 
-            cand_depth = (depth or 0) + 1
-            if self.max_depth is None or cand_depth <= self.max_depth:
-                for cand_raw, cand_norm in parse_page_hrefs(
-                    [r for r, _ in pairs], raw,
-                    trim_query=self.trim_query,
-                    trim_fragment=self.trim_fragment,
-                ):
-                    chost = url_host(cand_raw)
-                    cand_by_shard.setdefault(
-                        shard_of_host(chost, self.num_shards), []
-                    ).append((cand_raw, cand_norm, chost, cand_depth))
+                cand_depth = (depth or 0) + 1
+                if self.max_depth is None or cand_depth <= self.max_depth:
+                    for cand_raw, cand_norm in parse_page_hrefs(
+                        [r for r, _ in pairs], raw,
+                        trim_query=self.trim_query,
+                        trim_fragment=self.trim_fragment,
+                    ):
+                        chost = url_host(cand_raw)
+                        cand_by_shard.setdefault(
+                            shard_of_host(chost, self.num_shards), []
+                        ).append((cand_raw, cand_norm, chost, cand_depth))
 
             done_by_shard.setdefault(
                 shard_of_host(host, self.num_shards), []
             ).append(norm)
-            out.row(kind="done", url_norm=norm, host=host, depth=depth,
-                    status=status, content_type=ctype, text=text)
+            dn["url_norm"].append(norm)
+            dn["host"].append(host)
+            dn["depth"].append(depth)
+            dn["status"].append(status)
+            dn["content_type"].append(ctype)
+            dn["text"].append(text)
 
         futs = [
             self.shards[i].offer_buffer.remote(rows)
@@ -179,4 +187,13 @@ class ExtractRouter:
         ]
         if futs:
             ray.get(futs)
-        return out.table()
+        parts = []
+        if dn["url_norm"]:
+            parts.append(_kind_table("done", len(dn["url_norm"]), **dn))
+        if er["url_norm"]:
+            parts.append(_kind_table("error", len(er["url_norm"]), **er))
+        if ed["src_url"]:
+            parts.append(_kind_table("edge", len(ed["src_url"]), **ed))
+        if not parts:
+            return empty_tall()
+        return pa.concat_tables(parts)

