@@ -148,6 +148,12 @@ _FAST_URL = re.compile(
     r"(/[A-Za-z0-9/_.\-~%]*)?$"
 )
 
+# scheme-less, authority-less inputs whose normalization is a pure path
+# transform: chars that quote(safe="/%") passes through, no query/fragment.
+# "/a/b" -> itself; "a/b" -> "/a/b" (the urljoin("/") quirk makes them
+# root-relative paths). Verified equivalent by the fuzz suite.
+_FAST_PATH = re.compile(r"^[A-Za-z0-9/_.\-~%]*$")
+
 
 def normalise_url(url: str, strip_default_ports: bool = False) -> str:
     """Canonicalize any URL string (see module docstring for the contract).
@@ -164,6 +170,14 @@ def normalise_url(url: str, strip_default_ports: bool = False) -> str:
     m = _FAST_URL.match(url)
     if m and not strip_default_ports:
         return url if m.group(1) else url + "/"
+    if _FAST_PATH.match(url) and not url.startswith("//"):
+        # pure-path input: quote() is identity on this charset, no
+        # components beyond the path -> leading-slash normalization only.
+        # NB urljoin("/", "") == "/" and urljoin("/", ".") == "/" style
+        # dot-resolution: urljoin DOES resolve leading dot-segments against
+        # "/", so paths containing "." segments take the slow path.
+        if "." not in url or not re.search(r"(?:^|/)\.{1,2}(?:/|$)", url):
+            return url if url.startswith("/") else "/" + url
     # scheme-less inputs become root-relative paths: urljoin("/", ...) quirk
     url = urljoin("/", url)
     scheme, netloc, path, query, fragment = urlsplit(url)

@@ -24,6 +24,7 @@ to the reference parser+normalizer output.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 from raycrawl.functions.canonicalize import normalise_url, normalise_url_cached
@@ -39,6 +40,39 @@ __all__ = [
 
 class ExtractError(ValueError):
     """A page whose markup the reference would crash on (valueless href)."""
+
+
+# --- fast path: strictly well-formed pages -------------------------------
+# Applies only when the page provably contains nothing HTMLParser treats
+# specially: no comments/PI/doctype ("<!", "<?"), no script/style bodies,
+# and every <a ...> tag is a run of double-quoted, entity-free attributes.
+# Anything else falls back to the HTMLParser (byte-identical semantics);
+# the fuzz suite proves fast == parser on the pages the gate accepts.
+_PAGE_GATE = re.compile(
+    # comments/PI/doctype/script/style; a "<" inside a tag body (malformed
+    # tags can swallow a following <a> in HTMLParser); unbalanced quote
+    # shapes are rejected tag-by-tag by _STRICT_TAG below
+    r"<!|<\?|<script|<style|<[^>]*<",
+    re.I,
+)
+_A_TAG = re.compile(r"<a(?=[\s/>])([^<>]*)>", re.I)
+_STRICT_TAG = re.compile(r'^(?:\s+[a-zA-Z-]+\s*=\s*"[^"<>&]*")*\s*/?$')
+_ATTR = re.compile(r'([a-zA-Z-]+)\s*=\s*"([^"<>&]*)"')
+
+
+def _fast_hrefs(html: str):
+    """Raw hrefs in document order, or None if the page needs the parser."""
+    if _PAGE_GATE.search(html):
+        return None
+    out = []
+    for m in _A_TAG.finditer(html):
+        body = m.group(1)
+        if not _STRICT_TAG.match(body):
+            return None
+        for name, val in _ATTR.findall(body):
+            if name.lower() == "href":
+                out.append(val)
+    return out
 
 
 class _AnchorHrefs(HTMLParser):
@@ -68,11 +102,14 @@ def hrefs_with_norm(html: str) -> list:
     document order. Raises ExtractError on valueless ``href`` (the
     page-level error row path).
     """
-    p = _AnchorHrefs()
-    p.feed(html)
+    raws = _fast_hrefs(html)
+    if raws is None:
+        p = _AnchorHrefs()
+        p.feed(html)
+        raws = p.hrefs
     seen = set()
     out = []
-    for raw in p.hrefs:
+    for raw in raws:
         key = normalise_url_cached(raw)
         if key not in seen:
             seen.add(key)

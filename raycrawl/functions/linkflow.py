@@ -22,6 +22,7 @@ the resulting SETS — see SURVEY §4 ordering note).
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urlsplit
 
 from raycrawl.functions.canonicalize import (
@@ -33,6 +34,11 @@ from raycrawl.functions.canonicalize import (
 )
 
 __all__ = ["parse_page_hrefs"]
+
+_DOT_SEGMENT = re.compile(r"(?:^|/)\.{1,2}(?:/|$)")
+# a bare filename segment: no scheme colon, no slash, no query/fragment,
+# not a dot segment ("." / ".." excluded by requiring a non-dot char)
+_PLAIN_SEGMENT = re.compile(r"^(?!\.{1,2}$)[A-Za-z0-9._~%\-]+$")
 
 # per-process memo of the pure trim transform (hrefs repeat across pages)
 _TRIM_CACHE: dict = {}
@@ -76,6 +82,15 @@ def parse_page_hrefs(
         if base_parts.scheme and base_parts.netloc
         else None
     )
+    # plain-segment fast join: urljoin(base, "seg") == origin + base_dir +
+    # "seg" when seg is a simple filename and the base path holds no dot
+    # segments (urljoin would otherwise collapse them in the merged path)
+    seg_prefix = None
+    if origin is not None:
+        bp = base_parts.path
+        if not _DOT_SEGMENT.search(bp):
+            base_dir = bp[: bp.rfind("/") + 1] if "/" in bp else "/"
+            seg_prefix = origin + base_dir
 
     # stage 1: trim (always applied — the urlunsplit round-trip is part of
     # the reference semantics even with both flags off)
@@ -90,8 +105,16 @@ def parse_page_hrefs(
     # stage 2: join against the page's RAW url; stage 3: same-authority
     out, seen = [], set()
     for t in trimmed:
-        if origin is not None and t.startswith("/") and not t.startswith("//"):
+        if (
+            origin is not None
+            and t.startswith("/")
+            and not t.startswith("//")
+            and not _DOT_SEGMENT.search(t)  # urljoin resolves "/a/../b"
+        ):
             j = origin + t
+            auth = page_authority
+        elif seg_prefix is not None and _PLAIN_SEGMENT.match(t):
+            j = seg_prefix + t
             auth = page_authority
         else:
             j = join_url(base_raw, t)

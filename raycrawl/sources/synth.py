@@ -165,6 +165,7 @@ def generate_corpus(
     hosts: list | None = None,
     relative_links: bool = True,
     redirect_links: bool = True,
+    seed_every: int | None = None,
 ) -> dict:
     """Write a corpus under ``out_dir/corpus/bucket=<b>/`` + ``seeds.parquet``.
 
@@ -189,55 +190,49 @@ def generate_corpus(
 
     robots = robots or {}
     crawl_delays = crawl_delays or {}
-    langs = ["en"] * 8 + ["de", "fr"]
-
-    buckets = {b: {k: [] for k in ("url", "warc_ts", "html", "text", "lang")} for b in range(n_buckets)}
-    row_idx = 0
-
-    def emit(host, url, html_str, text, lang):
-        nonlocal row_idx
-        b = buckets[host_bucket(host, n_buckets)]
-        b["url"].append(url)
-        b["warc_ts"].append(EPOCH + datetime.timedelta(seconds=row_idx))
-        b["html"].append(html_str.encode("utf-8"))
-        b["text"].append(text)
-        b["lang"].append(lang)
-        row_idx += 1
 
     if hosts is not None:
         n_hosts = len(hosts)
         if len(pages_by_host) != n_hosts:
             pages_by_host = [pages_per_host] * n_hosts
-    seeds = []
+
+    jobs = []
     for i in range(n_hosts):
         host = hosts[i] if hosts is not None else f"h{i}.example.com"
-        n_pages = pages_by_host[i]
-        seeds.append(f"http://{host}/")
-
-        for j in range(n_pages):
-            rng = random.Random((seed, host, j).__repr__())
-            links = _links_for_page(rng, j, n_pages, links_per_page, host,
-                                    relative_links=relative_links,
-                                    redirect_links=redirect_links)
-            html = page_html(links)
-            emit(host, f"http://{host}{_page_path(j)}", html, page_text(html), rng.choice(langs))
-
-        # a couple of robots-disallowed pages, linked from the root
-        # (reference: disallowed -> skipped, stays in seen, crawler.py:223-227)
-        for k in range(2):
-            html = page_html([_page_path(k)])
-            emit(host, f"http://{host}/private/x{k}", html, page_text(html), "en")
-
-        # non-html mime rows (WrongMIMEType -> done without links)
-        for p in ("/doc1.pdf", "/img1.png", "/style.css"):
-            emit(host, f"http://{host}{p}", "", "", "en")
-
         if host in robots:
             rules = robots[host]
         else:
             rules = default_robots(crawl_delays.get(host))
-        if rules is not None:
-            emit(host, f"http://{host}/robots.txt", rules, rules, "en")
+        jobs.append(
+            (host, i, pages_by_host[i], links_per_page, seed,
+             relative_links, redirect_links, seed_every, rules)
+        )
+
+    # per-host generation is independent and seeded -> deterministic under
+    # parallelism; only parallelize when the corpus is large enough to pay
+    if n_hosts * max(pages_by_host) > 20_000 and n_hosts > 1:
+        import concurrent.futures as cf
+
+        with cf.ProcessPoolExecutor(max_workers=min(n_hosts, 8)) as ex:
+            results = list(ex.map(_host_rows, jobs))
+    else:
+        results = [_host_rows(j) for j in jobs]
+
+    buckets = {b: {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+               for b in range(n_buckets)}
+    seeds = []
+    n_rows = 0
+    for host_seeds, rows in results:
+        seeds += host_seeds
+        for url, ts, html, text, lang in rows:
+            b = buckets[host_bucket(url.split("://", 1)[1].split("/", 1)[0],
+                                    n_buckets)]
+            b["url"].append(url)
+            b["warc_ts"].append(ts)
+            b["html"].append(html)
+            b["text"].append(text)
+            b["lang"].append(lang)
+            n_rows += 1
 
     schema = corpus_schema()
     for b, cols in buckets.items():
@@ -247,4 +242,58 @@ def generate_corpus(
 
     seeds_path = os.path.join(out_dir, "seeds.parquet")
     pq.write_table(pa.table({"url": seeds, "depth": [0] * len(seeds)}), seeds_path)
-    return {"corpus": corpus_dir, "seeds": seeds_path, "n_rows": row_idx}
+    return {"corpus": corpus_dir, "seeds": seeds_path, "n_rows": n_rows}
+
+
+def _host_rows(job):
+    """Generate one host's pages (runs in a worker process for big corpora).
+
+    warc_ts is deterministic per (host index, local row): EPOCH +
+    host_idx*10^6 + local_idx seconds — independent of generation order.
+    """
+    (host, host_idx, n_pages, links_per_page, seed,
+     relative_links, redirect_links, seed_every, rules) = job
+    langs = ["en"] * 8 + ["de", "fr"]
+    rows = []
+    local = 0
+
+    def emit(url, html_str, text, lang):
+        nonlocal local
+        ts = EPOCH + datetime.timedelta(seconds=host_idx * 1_000_000 + local)
+        rows.append((url, ts, html_str.encode("utf-8"), text, lang))
+        local += 1
+
+    host_seeds = [f"http://{host}/"]
+    if seed_every:
+        # wide seed list (every Nth page): the production shape of a
+        # re-crawl from a known frontier — BFS-from-one-root warmup rounds
+        # are inherently serial and don't reflect engine throughput at
+        # 1e10-frontier scale
+        host_seeds += [
+            f"http://{host}{_page_path(j)}"
+            for j in range(seed_every, n_pages, seed_every)
+        ]
+
+    for j in range(n_pages):
+        rng = random.Random((seed, host, j).__repr__())
+        links = _links_for_page(rng, j, n_pages, links_per_page, host,
+                                relative_links=relative_links,
+                                redirect_links=redirect_links)
+        html = page_html(links)
+        emit(f"http://{host}{_page_path(j)}", html, page_text(html),
+             rng.choice(langs))
+
+    # a couple of robots-disallowed pages, linked from the root
+    # (reference: disallowed -> skipped, stays in seen, crawler.py:223-227)
+    for k in range(2):
+        html = page_html([_page_path(k)])
+        emit(f"http://{host}/private/x{k}", html, page_text(html), "en")
+
+    # non-html mime rows (WrongMIMEType -> done without links)
+    for p in ("/doc1.pdf", "/img1.png", "/style.css"):
+        emit(f"http://{host}{p}", "", "", "en")
+
+    if rules is not None:
+        emit(f"http://{host}/robots.txt", rules, rules, "en")
+
+    return host_seeds, rows

@@ -20,28 +20,29 @@ Row routing encodes the reference's error semantics exactly
 * robots-blocked (round stage)   -> kind=blocked, NOT fetched, stays seen
 
 Candidates go through trim -> join -> same-authority filter
-(functions/linkflow.py) with the page's RAW url as join base, then are
-offered to ``shard_of_host(host)`` — the shard buffers them and the driver
-commits the round after the barrier (deterministic first-wins dedup).
+(functions/linkflow.py) with the page's RAW url as join base and come out
+as ``kind='cand'`` rows; after the round barrier the DRIVER routes them to
+``shard_of_host(host)`` (vectorized host->shard mapping, one actor call per
+shard per round) and commits (deterministic first-wins dedup).
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
-import ray
 
 from raycrawl.functions.canonicalize import normalise_url, url_host
 from raycrawl.functions.extract import ExtractError, hrefs_with_norm
 from raycrawl.functions.linkflow import parse_page_hrefs
-from raycrawl.state.frontier import shard_of_host
+from raycrawl.state.cuckoo import url_hash64
 
 __all__ = ["ExtractRouter", "TALL_SCHEMA", "empty_tall", "blocked_rows"]
 
 
 TALL_SCHEMA = pa.schema(
     [
-        ("kind", pa.string()),       # done | error | edge | blocked
-        ("url_norm", pa.string()),   # page url (done/error/blocked), null for edge
+        ("kind", pa.string()),       # done | error | edge | blocked | cand
+        ("url_norm", pa.string()),   # page/candidate url, null for edge
+        ("url_raw", pa.string()),    # cand rows: the raw join resolution
         ("host", pa.string()),
         ("depth", pa.int32()),
         ("status", pa.int16()),
@@ -50,7 +51,8 @@ TALL_SCHEMA = pa.schema(
         ("href_norm", pa.string()),  # edge rows: per-page normalized href (pre-join)
         ("err", pa.string()),
         ("text", pa.string()),       # done rows: golden extracted text (byte-identity)
-    ]
+        ("gshard", pa.int32()),      # cand/done rows: hash(url_norm) % num_shards
+    ]                                # — the BALANCED seen-gate partition key
 )
 
 
@@ -80,28 +82,34 @@ def blocked_rows(url_norms, hosts, depths) -> pa.Table:
 
 
 class ExtractRouter:
-    """Fetched batch (pa.Table) -> tall table; offers candidates and done
-    marks to the FrontierShard actors (ray.get inside = completion barrier:
-    when the round's Dataset is consumed, every offer has landed)."""
+    """Fetched batch (pa.Table) -> tall table.
 
-    def __init__(self, shards, config, max_depth=None):
-        self.shards = shards
-        self.num_shards = len(shards)
+    PURE function of its input — candidates and done pages come out as
+    tall rows (kind='cand'/'done'); the DRIVER routes them to the
+    FrontierShard actors after the round barrier. No actor calls in the
+    stage: an in-stage ray.get on a shared actor convoys every worker
+    behind the hottest shard and collapses parallelism (measured: 32-CPU
+    runs slower than 8-CPU before this restructure)."""
+
+    def __init__(self, config, max_depth=None):
         self.allowed_mimes = tuple(m.lower() for m in config.allowed_mime_types)
         self.trim_query = config.trim_query
         self.trim_fragment = config.trim_fragment
         self.record_redirects = config.record_redirects
         self.max_depth = max_depth
+        self.num_shards = config.num_shards
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # columnar accumulators per row kind (hot path: no per-row dicts)
         dn = {k: [] for k in ("url_norm", "host", "depth", "status",
-                              "content_type", "text")}
+                              "content_type", "text", "gshard")}
         er = {k: [] for k in ("url_norm", "host", "depth", "status",
                               "content_type", "err")}
         ed = {k: [] for k in ("src_url", "href_norm", "host", "depth")}
-        cand_by_shard = {}   # shard -> [(url_raw, url_norm, host, depth)]
-        done_by_shard = {}   # shard -> [url_norm]
+        # batch-local candidate dedup, min (depth, url_raw) per url_norm —
+        # popular links ("/", nav links) repeat on most pages, so this
+        # shrinks the routed candidate volume ~10x before it leaves the task
+        cand_best: dict = {}
 
         for raw, norm, host, depth, status, ctype, loc, html, text in zip(
             batch.column("url_raw").to_pylist(),
@@ -162,31 +170,18 @@ class ExtractRouter:
                         trim_query=self.trim_query,
                         trim_fragment=self.trim_fragment,
                     ):
-                        chost = url_host(cand_raw)
-                        cand_by_shard.setdefault(
-                            shard_of_host(chost, self.num_shards), []
-                        ).append((cand_raw, cand_norm, chost, cand_depth))
+                        cur = cand_best.get(cand_norm)
+                        if cur is None or (cand_depth, cand_raw) < cur:
+                            cand_best[cand_norm] = (cand_depth, cand_raw)
 
-            done_by_shard.setdefault(
-                shard_of_host(host, self.num_shards), []
-            ).append(norm)
             dn["url_norm"].append(norm)
             dn["host"].append(host)
             dn["depth"].append(depth)
             dn["status"].append(status)
             dn["content_type"].append(ctype)
             dn["text"].append(text)
+            dn["gshard"].append(url_hash64(norm) % self.num_shards)
 
-        futs = [
-            self.shards[i].offer_buffer.remote(rows)
-            for i, rows in cand_by_shard.items()
-        ]
-        futs += [
-            self.shards[i].mark_done.remote(urls)
-            for i, urls in done_by_shard.items()
-        ]
-        if futs:
-            ray.get(futs)
         parts = []
         if dn["url_norm"]:
             parts.append(_kind_table("done", len(dn["url_norm"]), **dn))
@@ -194,6 +189,17 @@ class ExtractRouter:
             parts.append(_kind_table("error", len(er["url_norm"]), **er))
         if ed["src_url"]:
             parts.append(_kind_table("edge", len(ed["src_url"]), **ed))
+        if cand_best:
+            ca = {
+                "url_norm": list(cand_best),
+                "depth": [d for d, _ in cand_best.values()],
+                "url_raw": [r for _, r in cand_best.values()],
+            }
+            ca["host"] = [url_host(r) for r in ca["url_raw"]]
+            ca["gshard"] = [
+                url_hash64(u) % self.num_shards for u in ca["url_norm"]
+            ]
+            parts.append(_kind_table("cand", len(ca["url_norm"]), **ca))
         if not parts:
             return empty_tall()
         return pa.concat_tables(parts)

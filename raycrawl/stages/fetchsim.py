@@ -34,6 +34,7 @@ from urllib.parse import urljoin, urlsplit
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
+import ray
 
 from raycrawl.functions.canonicalize import normalise_url
 from raycrawl.sources.synth import host_bucket
@@ -41,6 +42,37 @@ from raycrawl.sources.synth import host_bucket
 __all__ = ["FetchSimulator", "content_type_for_path"]
 
 _MAX_HOPS = 8
+
+# (corpus_path, bucket) -> pa.Table VIEW over plasma shared memory;
+# worker-process lifetime. The bytes live once per node in the object
+# store — this cache only holds zero-copy table handles.
+_BUCKET_CACHE: dict = {}
+
+
+@ray.remote(num_cpus=0.1)
+class BucketStore:
+    """Owner of the corpus bucket tables in the object store.
+
+    Each bucket is read from Parquet ONCE per crawl and ray.put into
+    plasma; every fetch worker on the node maps the same physical bytes
+    zero-copy. At 100 TB scale get_ref becomes a per-node cache over
+    lazily-read row-group ranges; the worker-side protocol is unchanged.
+    """
+
+    def __init__(self, corpus_path: str):
+        self._ds = pads.dataset(corpus_path, partitioning="hive")
+        self._refs: dict = {}
+
+    def get_ref(self, b: int):
+        ref = self._refs.get(b)
+        if ref is None:
+            tbl = self._ds.to_table(
+                columns=["url", "html", "text"],
+                filter=pc.field("bucket") == b,
+            )
+            ref = ray.put(tbl)
+            self._refs[b] = ref
+        return ref
 
 _OUT_FIELDS = [
     ("status", pa.int16()),
@@ -75,9 +107,11 @@ class FetchSimulator:
         load_body_mimes: tuple | None = ("text/html",),
         check_head: bool = False,
         max_cached_buckets: int = 64,
+        bucket_store=None,
     ):
         self.corpus_path = corpus_path
         self.n_buckets = n_buckets
+        self.bucket_store = bucket_store
         self.follow_redirects = follow_redirects
         # check_head/load_body_mimes are accepted for API parity; mime
         # routing happens downstream and columnar reads make the HEAD-gate
@@ -86,20 +120,28 @@ class FetchSimulator:
         self.check_head = check_head
         self.load_body_mimes = tuple(m.lower() for m in (load_body_mimes or ()))
         self.max_cached_buckets = max_cached_buckets
-        self._buckets: dict = {}  # bucket -> pa.Table (url, html, text)
         self._ds = pads.dataset(corpus_path, partitioning="hive")
 
     # -- corpus access ------------------------------------------------------
     def _bucket_table(self, b: int) -> pa.Table:
-        tbl = self._buckets.get(b)
+        # per-worker cache of zero-copy plasma views: the parquet read
+        # happens once per crawl in the BucketStore actor; without a store
+        # (standalone use) fall back to a direct read
+        # store identity in the key = cache buster across crawls (a corpus
+        # regenerated at the same path gets a fresh store, hence fresh views)
+        key = (self.corpus_path, b, str(self.bucket_store))
+        tbl = _BUCKET_CACHE.get(key)
         if tbl is None:
-            tbl = self._ds.to_table(
-                columns=["url", "html", "text"],
-                filter=pc.field("bucket") == b,
-            )
-            if len(self._buckets) >= self.max_cached_buckets:
-                self._buckets.pop(next(iter(self._buckets)))
-            self._buckets[b] = tbl
+            if self.bucket_store is not None:
+                tbl = ray.get(ray.get(self.bucket_store.get_ref.remote(b)))
+            else:
+                tbl = self._ds.to_table(
+                    columns=["url", "html", "text"],
+                    filter=pc.field("bucket") == b,
+                )
+            if len(_BUCKET_CACHE) >= self.max_cached_buckets:
+                _BUCKET_CACHE.pop(next(iter(_BUCKET_CACHE)))
+            _BUCKET_CACHE[key] = tbl
         return tbl
 
     # -- per-row classification (string work only) --------------------------

@@ -29,10 +29,13 @@ __all__ = ["CrawlRoundStage", "make_round_task_fn"]
 
 
 class CrawlRoundStage:
-    """frontier batch (url_raw, url_norm, host, depth) -> tall event table."""
+    """frontier batch (url_raw, url_norm, host, depth) -> tall event table.
 
-    def __init__(self, corpus_path, n_buckets, config, shards,
-                 robots_actor=None):
+    Pure data transform — no actor round-trips in the hot path (see
+    ExtractRouter docstring for why)."""
+
+    def __init__(self, corpus_path, n_buckets, config, robots_actor=None,
+                 bucket_store=None):
         self.config = config
         self.fetch = FetchSimulator(
             corpus_path=corpus_path,
@@ -40,13 +43,14 @@ class CrawlRoundStage:
             follow_redirects=not config.record_redirects,
             load_body_mimes=config.allowed_mime_types,
             check_head=config.check_head,
+            bucket_store=bucket_store,
         )
         self.rules = (
             RulesView(robots_actor)
             if (config.obey_robots and robots_actor is not None)
             else None
         )
-        self.route = ExtractRouter(shards, config, max_depth=config.max_depth)
+        self.route = ExtractRouter(config, max_depth=config.max_depth)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blocked = None
@@ -76,23 +80,24 @@ class CrawlRoundStage:
 _STAGE_CACHE: dict = {}
 
 
-def make_round_task_fn(corpus_path, n_buckets, config, shards,
-                       robots_actor=None):
+def make_round_task_fn(corpus_path, n_buckets, config, robots_actor=None,
+                       bucket_store=None):
     """Build a plain map_batches function whose heavy state is cached per
-    worker process (keyed by config hash + corpus + shard identities, so
+    worker process (keyed by config hash + corpus + actor identities, so
     concurrent crawls don't cross wires)."""
     key = (
         corpus_path,
         n_buckets,
         config.config_hash(),
-        tuple(str(s) for s in shards),
+        str(robots_actor),
+        str(bucket_store),
     )
 
     def round_fn(batch: pa.Table) -> pa.Table:
         stage = _STAGE_CACHE.get(key)
         if stage is None:
             stage = CrawlRoundStage(
-                corpus_path, n_buckets, config, shards, robots_actor
+                corpus_path, n_buckets, config, robots_actor, bucket_store
             )
             _STAGE_CACHE.clear()  # one live crawl per worker is the norm
             _STAGE_CACHE[key] = stage

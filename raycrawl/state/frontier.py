@@ -101,6 +101,133 @@ class FrontierShard:
         self._buffer.extend(rows)
         return len(self._buffer)
 
+    def gate_round(self, cand_tbl, done_tbl, num_shards: int) -> pa.Table:
+        """Round barrier phase A (balanced): seen-gate MY url-hash
+        partition of the round's candidates.
+
+        Every shard plays two roles with the same id: (1) seen/done owner
+        for the urls whose ``hash(url_norm) % num_shards`` is its id — that
+        partition BALANCES regardless of host skew — and (2) politeness
+        queue owner for its hosts (phase B, enqueue_rows). The seen-gate is
+        the expensive part; giving it the balanced key is what keeps a
+        40%-hot-host crawl scaling.
+
+        Tables arrive via the object store (zero-copy, same bytes for all
+        shards). Returns the accepted (unseen, not-done) rows as an Arrow
+        table — deterministic min-(depth,url_raw) representative per url,
+        sorted by (depth, url_norm).
+        """
+        import pyarrow.compute as pc
+
+        def mine(tbl):
+            # gshard was computed in the extract stage (distributed);
+            # selecting my partition is one vectorized equality filter
+            if tbl is None or tbl.num_rows == 0:
+                return None
+            sub = tbl.filter(pc.equal(tbl["gshard"], self.shard_id))
+            return sub if sub.num_rows else None
+
+        done_mine = mine(done_tbl)
+        if done_mine is not None:
+            self._done.update(done_mine["url_norm"].to_pylist())
+
+        cand_mine = mine(cand_tbl)
+        if cand_mine is None:
+            return FRONTIER_SCHEMA.empty_table()
+
+        # deterministic dedup: sort by (url_norm, depth, url_raw), keep the
+        # first row of each url_norm run — all vectorized
+        idx = pc.sort_indices(
+            cand_mine,
+            sort_keys=[("url_norm", "ascending"), ("depth", "ascending"),
+                       ("url_raw", "ascending")],
+        )
+        sub = cand_mine.take(idx)
+        norms = sub["url_norm"].combine_chunks()
+        if len(norms) > 1:
+            prev = pa.concat_arrays(
+                [pa.array([None], pa.string()), norms.slice(0, len(norms) - 1)]
+            )
+            sub = sub.filter(pc.fill_null(pc.not_equal(norms, prev), True))
+
+        norm_list = sub["url_norm"].to_pylist()
+        if self.seen_mode == "exact":
+            # C-speed set algebra: unseen = candidates - seen; everything
+            # gated becomes seen; only unseen-and-not-done rows come out
+            norm_set = set(norm_list)
+            fresh = norm_set - self._seen
+            self._seen |= norm_set
+            accepted = fresh - self._done
+            self.stats["gate_dropped"] += len(norm_set) - len(fresh)
+            self.stats["seen_added"] += len(fresh)
+            keep = [u in accepted for u in norm_list]
+        else:
+            keep = []
+            for u in norm_list:
+                if self._seen_check_add(u):
+                    self.stats["seen_added"] += 1
+                    keep.append(u not in self._done)
+                else:
+                    self.stats["gate_dropped"] += 1
+                    keep.append(False)
+        out = sub.filter(pa.array(keep, pa.bool_())).select(
+            ["url_raw", "url_norm", "host", "depth"]
+        )
+        # (depth, url_norm) ordering for deterministic enqueue downstream
+        return out.take(
+            pc.sort_indices(
+                out, sort_keys=[("depth", "ascending"), ("url_norm", "ascending")]
+            )
+        ).cast(FRONTIER_SCHEMA)
+
+    def enqueue_round(self, num_shards: int, *tbls) -> int:
+        """Round barrier phase B (host-affine): from the gated tables of
+        ALL gate shards, enqueue the rows whose hosts I own into my
+        per-host politeness heaps. Cheap (vectorized host filter +
+        heappush) — fine even for a hot host."""
+        import pyarrow.compute as pc
+
+        n = 0
+        for tbl in tbls:
+            if tbl is None or tbl.num_rows == 0:
+                continue
+            hosts = tbl["host"]
+            mine = [
+                h
+                for h in pc.unique(hosts).to_pylist()
+                if h is not None and shard_of_host(h, num_shards) == self.shard_id
+            ]
+            if not mine:
+                continue
+            sub = tbl.filter(pc.is_in(hosts, value_set=pa.array(mine)))
+            for url_raw, url_norm, host, depth in zip(
+                sub["url_raw"].to_pylist(),
+                sub["url_norm"].to_pylist(),
+                sub["host"].to_pylist(),
+                sub["depth"].to_pylist(),
+            ):
+                heapq.heappush(self._pending.setdefault(host, []),
+                               (depth, url_norm, url_raw))
+                self._pending_n += 1
+                n += 1
+        return n
+
+    def offer_table(self, tbl: pa.Table) -> int:
+        """offer_buffer from an Arrow candidate table (zero-copy from the
+        object store; the driver routes one table per shard per round)."""
+        self._buffer.extend(
+            zip(
+                tbl.column("url_raw").to_pylist(),
+                tbl.column("url_norm").to_pylist(),
+                tbl.column("host").to_pylist(),
+                tbl.column("depth").to_pylist(),
+            )
+        )
+        return len(self._buffer)
+
+    def mark_done_table(self, tbl: pa.Table) -> None:
+        self._done.update(tbl.column("url_norm").to_pylist())
+
     def commit_round(self) -> int:
         """Round barrier: deterministically dedup buffered candidates, run
         the seen-gate, enqueue the unseen. Returns number enqueued.

@@ -122,6 +122,86 @@ def test_parse_page_hrefs_matches_reference(trim_query, trim_fragment):
     assert ours == theirs
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_href_tokens = list("abcP059._~%-/?#=&:") + [
+    "../", "./", "http://www.example.com/", "//cdn.example.com/", "hello world"
+]
+_href_st = st.lists(st.sampled_from(_href_tokens), max_size=10).map("".join)
+_base_st = st.sampled_from(
+    [
+        "http://www.example.com/",
+        "http://www.example.com/a/b",
+        "http://www.example.com/a/b/",
+        "http://www.example.com/a/../b",
+        "http://www.example.com",
+        "http://www.example.com/x?q=1#f",
+        "http://User@www.Example.com:8080/p",
+    ]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_base_st, st.lists(_href_st, max_size=6))
+def test_parse_page_hrefs_fuzz_matches_reference(base, hrefs):
+    """Fuzz the trim/join fast paths against the reference composition.
+
+    Inputs where two raw hrefs share a normalized trimmed form but join to
+    DIFFERENT urls are skipped: there the reference's own result depends on
+    set-iteration order (hash seed) — SURVEY §4. Our engine picks
+    deterministically (first-wins); the reference picks arbitrarily."""
+    from raycrawl.functions.canonicalize import (
+        join_url,
+        normalise_url,
+        trim_url,
+    )
+
+    groups = {}
+    try:
+        for h in hrefs:
+            t = trim_url(h, query=True, fragment=True)
+            groups.setdefault(normalise_url(t), set()).add(
+                normalise_url(join_url(base, t))
+            )
+    except ValueError:
+        return
+    if any(len(v) > 1 for v in groups.values()):
+        return  # reference-ambiguous input
+
+    try:
+        theirs = _ref_parse_hrefs(hrefs, base)
+    except ValueError:
+        return  # reference itself rejects (multi-@ authority etc.)
+    ours = {norm for _, norm in parse_page_hrefs(hrefs, base)}
+    assert ours == theirs
+
+
+_html_tokens = [
+    "<a ", ">", '"', "href", "=", "x", " ", "<b", "</a>", "<A HREF",
+    'href="/p1"', "&amp;", "<!--", "-->", "<script>", "</script>", "<",
+    "class", "'", "/", "y z", "<a", "=\"q\"", "\n",
+]
+_html_st = st.lists(st.sampled_from(_html_tokens), max_size=14).map("".join)
+
+
+@settings(max_examples=600, deadline=None)
+@given(_html_st)
+def test_fast_href_path_agrees_with_parser(html):
+    """_fast_hrefs (when it accepts a page) must equal HTMLParser raws."""
+    from raycrawl.functions.extract import _AnchorHrefs, _fast_hrefs
+
+    fast = _fast_hrefs(html)
+    if fast is None:
+        return  # gate fell back — parser path is the reference-equal one
+    p = _AnchorHrefs()
+    try:
+        p.feed(html)
+    except ExtractError:
+        raise AssertionError(f"fast path accepted a page the parser rejects: {html!r}")
+    assert fast == p.hrefs, html
+
+
 def test_parse_page_hrefs_deterministic_order():
     base = "http://h.example.com/p"
     hrefs = ["/b", "/a", "/b", "/c?x=1", "/c#f", "/c"]
