@@ -27,6 +27,8 @@ from raycrawl.pipelines.crawlqueries import (
     corpus_for,
     crawl_bfs,
     crawl_edges,
+    crawl_filter_by,
+    crawl_host_stats,
     crawl_text_identity,
 )
 
@@ -52,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": crawl_bfs,
         "crawl_edges": crawl_edges,
         "crawl_text_identity": crawl_text_identity,
+        "crawl_host_stats": crawl_host_stats,
+        "crawl_filter_by": crawl_filter_by,
         # ---- text analysis ----
         "docs_token_stats": textops.token_stats,
         "docs_quality": textops.quality_stats,
@@ -63,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding_cosine": lambda sf: dedup.embedding_near_dup(sf, threshold=0.3),
+        "dedup_clusters": dedup.dedup_clusters,
         # ---- similarity search ----
         "ann_brute_topk": ann.brute_force_topk,
         "ann_lsh_topk": ann.lsh_topk,
@@ -75,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_topk": relops.lineitem_topk,
         "events_window_agg": relops.events_window_agg,
         "events_sessionize": relops.events_sessionize,
+        "events_topk_users": relops.events_topk_users,
         "region_nation_counts": relops.region_nation_counts,
     }
 
@@ -135,6 +141,24 @@ WHERE {_HTML_FILTER} AND text <> ''
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pages, CAST(COUNT(*) AS BIGINT) AS n_match
 FROM read_parquet('{_SF001_CORPUS}')
 WHERE {_HTML_FILTER}
+""",
+        "crawl_host_stats": f"""
+SELECT regexp_extract(url, '^http://([^/]+)', 1) AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_chars
+FROM read_parquet('{_SF001_CORPUS}')
+GROUP BY host
+""",
+        "crawl_filter_by": f"""
+SELECT url FROM read_parquet('{_SF001_CORPUS}')
+WHERE url LIKE 'http://h0.example.com/%'
+""",
+        "events_topk_users": """
+SELECT user_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY user_id
+ORDER BY total_cents DESC, user_id
+LIMIT 10
 """,
         "docs_token_stats": r"""
 SELECT doc_id,

@@ -20,7 +20,7 @@ from raycrawl.pipelines.crawl import crawl
 from raycrawl.sources.synth import generate_corpus
 
 __all__ = ["corpus_for", "crawl_bfs", "crawl_edges", "crawl_text_identity",
-           "CORPUS_ROOT", "SCALES"]
+           "crawl_host_stats", "crawl_filter_by", "CORPUS_ROOT", "SCALES"]
 
 CORPUS_ROOT = "/tmp/raycrawl_corpus"
 
@@ -103,6 +103,62 @@ def crawl_edges(sf_dir: str) -> rd.Dataset:
 
     return rd.read_parquet(info["corpus"], columns=["url", "html"]).map_batches(
         extract, batch_format="pyarrow"
+    )
+
+
+def crawl_host_stats(sf_dir: str) -> rd.Dataset:
+    """Pages + text volume per host over the corpus: the crawl-side grouped
+    aggregate (vectorized host extraction, partial pre-agg, tiny shuffle)."""
+    import pyarrow.compute as pc
+
+    info = corpus_for(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hosts = pc.struct_field(
+            pc.extract_regex(t["url"], r"^http://(?P<host>[^/]+)"), "host"
+        )
+        g = pa.table(
+            {
+                "host": hosts,
+                "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        ).group_by("host").aggregate([("text_len", "count"), ("text_len", "sum")])
+        return g.rename_columns(["host", "n_pages", "total_text_chars"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rd.read_parquet(info["corpus"], columns=["url", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("total_text_chars", alias_name="total_text_chars"),
+        )
+    )
+
+
+def crawl_filter_by(sf_dir: str, authority: str = "h0.example.com") -> rd.Dataset:
+    """filter_by(authority=...) parity (reference HyperlinkSet.filter_by,
+    hyperlink.py:195-209): keep corpus urls whose normalized authority
+    equals the (normalized) requested one. Kwargs normalize through the
+    same component dispatcher as the reference (M3)."""
+    from raycrawl.functions.canonicalize import (
+        authority_of,
+        normalise_component_kwargs,
+    )
+
+    info = corpus_for(sf_dir)
+    want = normalise_component_kwargs(authority=authority)["authority"]
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [authority_of(u) == want for u in t["url"].to_pylist()], pa.bool_()
+        )
+        return t.filter(mask).select(["url"])
+
+    return rd.read_parquet(info["corpus"], columns=["url"]).map_batches(
+        keep, batch_format="pyarrow"
     )
 
 

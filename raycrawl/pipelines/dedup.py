@@ -34,6 +34,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "embedding_near_dup",
+    "dedup_clusters",
     "shingles",
     "jaccard",
     "MinHasher",
@@ -223,6 +224,66 @@ def minhash_lsh_pairs(
         .map_batches(verify, batch_format="pyarrow")
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster labeling (connected components)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(sf_dir: str, pairs_ds=None) -> rd.Dataset:
+    """(doc_id, cluster_id): connected components over near-dup pairs.
+
+    cluster_id = min doc_id of the component; docs in no pair are their own
+    cluster. The pair set is the verified near-dup graph (sparse — orders
+    of magnitude smaller than the corpus), so components resolve with
+    union-find over the STREAMED pairs on the driver (guide: driver
+    union-find only when the candidate set is provably small; the full-scale
+    alternative is iterated min-label propagation with groupbys). The
+    labeling of all docs stays distributed: the component map broadcasts
+    once via ray.put and a map_batches pass assigns cluster ids.
+    """
+    import ray
+
+    if pairs_ds is None:
+        pairs_ds = minhash_lsh_pairs(sf_dir)
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id -> cluster_id is the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+    labels = {x: find(x) for x in list(parent)}
+    labels_ref = ray.put(labels)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lab = ray.get(labels_ref)
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(
+                    [lab.get(i, i) for i in ids], pa.int64()
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------

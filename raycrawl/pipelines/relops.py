@@ -30,6 +30,7 @@ __all__ = [
     "lineitem_topk",
     "events_window_agg",
     "events_sessionize",
+    "events_topk_users",
     "region_nation_counts",
 ]
 
@@ -197,6 +198,26 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         _read(sf_dir, "events", ["user_id", "ts"])
         .groupby("user_id")
         .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def events_topk_users(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Top-k users by total event value: partial per-batch aggregation ->
+    small groupby -> sort+limit. Deterministic tie-break on user_id."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"user_id": t["user_id"], "value_cents": _cents(t["value"])}
+        ).group_by("user_id").aggregate([("value_cents", "sum")])
+        return g.rename_columns(["user_id", "total_cents"])
+
+    return (
+        _read(sf_dir, "events", ["user_id", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("total_cents", alias_name="total_cents"))
+        .sort(["total_cents", "user_id"], descending=[True, False])
+        .limit(k)
     )
 
 

@@ -75,6 +75,15 @@ def test_simhash_planted(ray_session, planted_docs):
     assert (3, 4) not in got
 
 
+def test_dedup_clusters_planted(ray_session, planted_docs):
+    from raycrawl.pipelines.dedup import dedup_clusters
+
+    out = dedup_clusters(planted_docs).to_pandas().set_index("doc_id")["cluster_id"]
+    # docs 0,1,2,5 form one near-dup component labeled by its min id
+    assert out[0] == out[1] == out[2] == out[5] == 0
+    assert out[3] == 3 and out[4] == 4  # singletons label themselves
+
+
 def test_embedding_near_dup_matches_numpy(ray_session):
     from raycrawl.pipelines.dedup import embedding_near_dup
 
