@@ -42,8 +42,18 @@ __all__ = [
 ]
 
 
+# documents tables here are shuffle-bound, not scan-bound: Ray's default
+# block splitting (64+) makes every groupby pay 64-partition fixed costs on
+# a few-MB table. Cap parallelism; at real corpus scale drop the override.
+_DOC_BLOCKS = 8
+
+
 def _read_docs(sf_dir: str, columns):
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=columns,
+        override_num_blocks=_DOC_BLOCKS,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -175,15 +185,28 @@ def minhash_lsh_pairs(
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "band": pa.array(bands, pa.int32()),
                 "band_hash": pa.array(band_hashes, pa.int64()),
+                "part": pa.array([h & 63 for h in band_hashes], pa.int32()),
             }
         )
 
+    # LSH buckets are numerous and tiny (mostly singletons); a per-bucket
+    # UDF would pay python overhead 80k+ times. Instead: coarse-partition
+    # by band_hash (64 groups -> cheap shuffle), then find same-bucket runs
+    # with pandas' C groupby inside each partition and emit pairs only for
+    # the rare multi-doc buckets.
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        out_a, out_b = [], []
+        for pos in g.groupby(["band", "band_hash"], sort=False).indices.values():
+            if len(pos) < 2:
+                continue
+            ids = sorted(set(g["doc_id"].to_numpy()[pos]))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame(
+            {"id_a": pd.array(out_a, "int64"), "id_b": pd.array(out_b, "int64")}
+        )
 
     import pyarrow.parquet as pq
     import ray
@@ -215,12 +238,16 @@ def minhash_lsh_pairs(
             }
         )
 
+    from ray.data.aggregate import Count
+
     pairs = (
         docs.map_batches(signer, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
+        .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
+        # global pair dedup via native hash aggregation (no per-group UDF)
         .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")  # global pair dedup
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["id_a", "id_b"])
         .map_batches(verify, batch_format="pyarrow")
     )
     return pairs
@@ -325,33 +352,52 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
                 "band": pa.array(bands, pa.int32()),
                 "key": pa.array(keys, pa.int32()),
                 "simhash": pa.array(sims, pa.int64()),
+                "part": pa.array([k & 63 for k in keys], pa.int32()),
             }
         )
 
+    # coarse-partitioned like minhash_lsh_pairs: blocks are tiny and
+    # numerous, so pandas' C groupby finds same-(band,key) runs inside 64
+    # partitions and only the rare multi-doc blocks pay python work
     def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].to_numpy()
-        sims = rows["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype("int64")
         out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            x = sims[i] ^ sims[i + 1 :]
-            hams = np.array([bin(int(v)).count("1") for v in x])
-            ok = np.nonzero(hams <= max_hamming)[0]
-            for j in ok:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + j]))
-                out_h.append(int(hams[j]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+        all_ids = g["doc_id"].to_numpy()
+        all_sims = g["simhash"].to_numpy().astype(np.uint64)
+        for pos in g.groupby(["band", "key"], sort=False).indices.values():
+            if len(pos) < 2:
+                continue
+            uniq = {}
+            for p in pos:
+                uniq[int(all_ids[p])] = all_sims[p]
+            ids = sorted(uniq)
+            if len(ids) < 2:
+                continue
+            sims = np.array([uniq[i] for i in ids], dtype=np.uint64)
+            for i in range(len(ids)):
+                x = sims[i] ^ sims[i + 1 :]
+                hams = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.nonzero(hams <= max_hamming)[0]:
+                    out_a.append(ids[i])
+                    out_b.append(int(ids[i + 1 + j]))
+                    out_h.append(int(hams[j]))
+        return pd.DataFrame(
+            {
+                "id_a": pd.array(out_a, "int64"),
+                "id_b": pd.array(out_b, "int64"),
+                "hamming": pd.array(out_h, "int64"),
+            }
+        )
+
+    from ray.data.aggregate import Min
 
     return (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(sign, batch_format="pyarrow")
-        .groupby(["band", "key"])
+        .groupby("part")
         .map_groups(block_pairs, batch_format="pandas")
+        # pair dedup via native hash aggregation (hamming identical per pair)
         .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Min("hamming", alias_name="hamming"))
     )
 
 

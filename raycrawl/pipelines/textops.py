@@ -30,7 +30,13 @@ __all__ = [
 def _read_docs(sf_dir: str, columns):
     import os
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    # cap block count: documents tables are small and the grouped ops are
+    # shuffle-overhead-bound (see dedup._DOC_BLOCKS)
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=columns,
+        override_num_blocks=8,
+    )
 
 
 def token_stats(sf_dir: str) -> rd.Dataset:
