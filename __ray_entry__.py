@@ -19,8 +19,13 @@ can run regardless of execution order.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# robust against drivers importing this module by file path from another cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from raycrawl.pipelines import ann, dedup, multimodal, relops, textops
 from raycrawl.pipelines.crawlqueries import (

@@ -76,12 +76,15 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
     """
 
     def add_hash(t: pa.Table) -> pa.Table:
+        # coarse 64-way partition key derived from the content hash: the
+        # shuffle co-locates equal texts without a per-distinct-text group
+        # (pandas' C groupby resolves exact groups inside each partition)
         hashes = np.fromiter(
-            (_hash64_bytes((x or "").encode()) for x in t["text"].to_pylist()),
+            (_hash64_bytes((x or "").encode()) & 63 for x in t["text"].to_pylist()),
             dtype=np.int64,
             count=t.num_rows,
         )
-        return t.append_column("text_hash", pa.array(hashes))
+        return t.append_column("text_part", pa.array(hashes))
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -93,7 +96,7 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
     return (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash")
+        .groupby("text_part")
         .map_groups(resolve, batch_format="pandas")
     )
 

@@ -1,0 +1,58 @@
+"""Fast oracle smoke: a few driver-gate comparisons at sf0.001 so query
+regressions surface in the normal pytest loop (the full gate is
+tools/check_correctness.py at sf0.01)."""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
+         "q1_returnflag_agg", "events_topk_users", "docs_exact_dedup"]
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for name in ("region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"):
+        c.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF}/{name}.parquet')"
+        )
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SMOKE)
+def test_query_matches_oracle(entrymod, con, name):
+    import pyarrow as pa
+
+    result = entrymod.queries()[name](SF)
+    ours = result.to_pandas() if not isinstance(result, pd.DataFrame) else result
+    sql = entrymod.oracle_sql()[name]
+    # crawl oracles hardcode the sf0.01 corpus path (the driver's scale);
+    # repoint them at the sf0.001 corpus for this smoke
+    sql = sql.replace("/tmp/raycrawl_corpus/sf0.01/", "/tmp/raycrawl_corpus/sf0.001/")
+    if "raycrawl_corpus" in sql:
+        from raycrawl.pipelines.crawlqueries import corpus_for
+
+        corpus_for(SF)
+    theirs = con.execute(sql).fetchdf()
+    pd.testing.assert_frame_equal(_norm(ours), _norm(theirs), check_dtype=False)
