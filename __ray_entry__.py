@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- relational breadth (groupby/join/sort/window/sessionize) ----
         "q1_returnflag_agg": relops.q1_returnflag_agg,
         "mktsegment_revenue": relops.mktsegment_revenue,
+        "orders_lineitem_join": relops.orders_lineitem_join,
         "lineitem_topk": relops.lineitem_topk,
         "events_window_agg": relops.events_window_agg,
         "events_sessionize": relops.events_sessionize,
@@ -226,6 +227,13 @@ SELECT c.c_mktsegment,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
+""",
+        "orders_lineitem_join": """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
 """,
         "lineitem_topk": """
 SELECT l_orderkey, l_linenumber,

@@ -27,6 +27,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 __all__ = [
     "q1_returnflag_agg",
     "mktsegment_revenue",
+    "orders_lineitem_join",
     "lineitem_topk",
     "events_window_agg",
     "events_sessionize",
@@ -122,6 +123,48 @@ def mktsegment_revenue(sf_dir: str) -> rd.Dataset:
         .aggregate(
             Sum("revenue_cents", alias_name="revenue_cents"),
             Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+def orders_lineitem_join(sf_dir: str) -> rd.Dataset:
+    """Large-x-large hash join: orders x lineitem via the NATIVE
+    ``Dataset.join`` (hash-partitioned on the key — both sides shuffle),
+    then revenue per order priority. Complements the broadcast join in
+    mktsegment_revenue: this is the shape for two big fact tables."""
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "price_cents": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+        prep_li, batch_format="pyarrow"
+    )
+    joined = orders.join(
+        lineitem,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate(
+            [("price_cents", "sum"), ("price_cents", "count")]
+        )
+        return g.rename_columns(["o_orderpriority", "revenue_cents", "n_items"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_items", alias_name="n_items"),
         )
     )
 
