@@ -72,6 +72,10 @@ class CrawlResult:
     seen: list | None = None
     done: list | None = None
     output_dir: str | None = None
+    # per-partition (shard) counters at crawl end: seen/done/pending,
+    # released totals, cuckoo load + FP budget in cuckoo mode (north_rule:
+    # per-partition metrics)
+    shard_stats: list = field(default_factory=list)
 
     def done_urls(self) -> set:
         """Reference render-results parity: set of normalized done urls
@@ -118,13 +122,23 @@ def _seed_rows(seeds, num_shards):
     return by_shard
 
 
-def _write_manifest(output_dir, round_no, cfg_hash, shard_infos, counts):
+def _write_manifest(output_dir, round_no, cfg_hash, shard_infos, counts,
+                    shard_stats=None):
     manifest = {
         "round": round_no,
         "config_hash": cfg_hash,
         "shards": shard_infos,
         "counts": counts,
+        # per-partition lineage + throughput (north_rule): shard-level
+        # seen/done/pending/released counters at this round
+        "shard_stats": shard_stats or [],
     }
+    # per-round manifest history: a crash between shard checkpoints and the
+    # latest-manifest rename can be recovered by rolling back to ANY prior
+    # round's manifest (rounds are deterministic given restored state)
+    hist = os.path.join(output_dir, f"manifest_round_{round_no}.json")
+    with open(hist, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
     path = os.path.join(output_dir, "manifest.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -196,8 +210,12 @@ def crawl(
         if manifest is not None:
             if manifest["config_hash"] != cfg_hash:
                 raise ValueError("resume with a different config (hash mismatch)")
-            ckpt_dir = os.path.join(output_dir, "checkpoints")
-            ray.get([s.restore.remote(ckpt_dir) for s in shards])
+            # restore the EXACT per-round files the manifest names — never a
+            # possibly-mixed "latest" set (crash-consistency)
+            paths = {info["shard"]: info["path"] for info in manifest["shards"]}
+            ray.get(
+                [s.restore.remote(paths[i]) for i, s in enumerate(shards)]
+            )
             start_round = manifest["round"] + 1
     if start_round == 0:
         if isinstance(seeds, str):
@@ -355,13 +373,16 @@ def crawl(
             shard_infos = ray.get(
                 [s.checkpoint.remote(ckpt_dir, round_no) for s in shards]
             )
-            _write_manifest(output_dir, round_no, cfg_hash, shard_infos, counts)
+            shard_stats = ray.get([s.counts.remote() for s in shards])
+            _write_manifest(output_dir, round_no, cfg_hash, shard_infos,
+                            counts, shard_stats)
 
         round_no += 1
         pending = sum(ray.get([s.pending_count.remote() for s in shards]))
         if pending == 0:
             break
 
+    shard_stats = ray.get([s.counts.remote() for s in shards])
     seen = done = None
     if config.seen_mode == "exact":
         seen = sorted(
@@ -390,4 +411,5 @@ def crawl(
         seen=seen,
         done=done,
         output_dir=output_dir,
+        shard_stats=shard_stats,
     )

@@ -352,8 +352,18 @@ class FrontierShard:
 
     def counts(self) -> dict:
         seen_n = len(self._seen) if self.seen_mode == "exact" else self._cuckoo.size
-        return {"shard": self.shard_id, "seen": seen_n, "done": len(self._done),
-                "pending": self._pending_n, **self.stats}
+        out = {"shard": self.shard_id, "seen": seen_n, "done": len(self._done),
+               "pending": self._pending_n, "hosts": len(self._pending),
+               **self.stats}
+        if self.seen_mode == "cuckoo":
+            # expected false-positive budget of the 4-slot/16-bit filter at
+            # its CURRENT load (2 buckets x 4 slots x 2^-16 per probe);
+            # a false positive silently drops one genuinely-new URL
+            load = self._cuckoo.size / (self._cuckoo.n_buckets * self._cuckoo.SLOTS)
+            out["cuckoo_load"] = round(load, 4)
+            out["cuckoo_fp_rate"] = round(load * 8 / 65536, 8)
+            out["cuckoo_overflow"] = len(self._cuckoo.overflow)
+        return out
 
     # ---- introspection (tests / conformance) ------------------------------
     def seen_snapshot(self) -> list:
@@ -365,9 +375,17 @@ class FrontierShard:
         return sorted(self._done)
 
     # ---- checkpoint / restore --------------------------------------------
-    def checkpoint(self, ckpt_dir: str, round_no: int) -> dict:
-        """Atomically persist shard state; returns lineage info for the
-        driver manifest."""
+    def checkpoint(self, ckpt_dir: str, round_no: int,
+                   keep_rounds: int = 2) -> dict:
+        """Atomically persist shard state as a PER-ROUND file; returns
+        lineage info (incl. the exact path) for the driver manifest.
+
+        Per-round files are load-bearing for crash consistency: a crash
+        between "some shards checkpointed round r+1" and "manifest updated"
+        must not mix rounds — the manifest names the exact files of ONE
+        consistent round, and restore loads only those. Files older than
+        keep_rounds manifested rounds are pruned.
+        """
         os.makedirs(ckpt_dir, exist_ok=True)
         state = {
             "shard_id": self.shard_id,
@@ -382,17 +400,53 @@ class FrontierShard:
             state["seen"] = sorted(self._seen)
         else:
             state["cuckoo"] = self._cuckoo.to_state()
-        path = os.path.join(ckpt_dir, f"shard_{self.shard_id}.pkl")
+        path = os.path.join(
+            ckpt_dir, f"shard_{self.shard_id}_round_{round_no}.pkl"
+        )
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             pickle.dump(state, f)
         os.replace(tmp, path)
-        return {"shard": self.shard_id, "path": path,
-                "seen": len(state.get("seen", [])) or (self.seen_mode == "cuckoo" and self._cuckoo.size),
-                "done": len(state["done"]), "pending": self._pending_n}
+        # prune old rounds for this shard
+        import re as _re
 
-    def restore(self, ckpt_dir: str) -> int:
-        path = os.path.join(ckpt_dir, f"shard_{self.shard_id}.pkl")
+        pat = _re.compile(rf"^shard_{self.shard_id}_round_(\d+)\.pkl$")
+        rounds = sorted(
+            int(m.group(1))
+            for fn in os.listdir(ckpt_dir)
+            for m in [pat.match(fn)]
+            if m
+        )
+        for r in rounds[:-keep_rounds] if keep_rounds else []:
+            try:
+                os.remove(os.path.join(ckpt_dir, f"shard_{self.shard_id}_round_{r}.pkl"))
+            except OSError:
+                pass
+        seen_n = len(self._seen) if self.seen_mode == "exact" else self._cuckoo.size
+        return {"shard": self.shard_id, "path": path, "round": round_no,
+                "seen": seen_n, "done": len(state["done"]),
+                "pending": self._pending_n}
+
+    def restore(self, path: str) -> int:
+        """Restore from an exact checkpoint file (the manifest names it).
+        A directory is also accepted (newest round for this shard)."""
+        if os.path.isdir(path):
+            import re as _re
+
+            pat = _re.compile(rf"^shard_{self.shard_id}_round_(\d+)\.pkl$")
+            rounds = sorted(
+                int(m.group(1))
+                for fn in os.listdir(path)
+                for m in [pat.match(fn)]
+                if m
+            )
+            if not rounds:
+                raise FileNotFoundError(
+                    f"no checkpoint for shard {self.shard_id} in {path}"
+                )
+            path = os.path.join(
+                path, f"shard_{self.shard_id}_round_{rounds[-1]}.pkl"
+            )
         with open(path, "rb") as f:
             state = pickle.load(f)
         assert state["shard_id"] == self.shard_id

@@ -52,6 +52,52 @@ def test_resume_from_checkpoint(ray_session, corpus, tmp_path):
     assert done == full.done_urls()
 
 
+def test_rollback_resume_from_older_manifest(ray_session, corpus, tmp_path):
+    """Crash consistency: resuming from an OLDER round's manifest (as if
+    the latest checkpoint round had crashed half-written) replays the
+    deterministic rounds and lands on the same final state."""
+    import json
+    import os
+    import shutil
+
+    full = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE))
+
+    out = str(tmp_path / "run")
+    crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE, max_rounds=3),
+          output_dir=out)
+    # roll back: install round-1's manifest as the latest (round-2's shard
+    # files may as well be the half-written casualties of a crash)
+    shutil.copy(os.path.join(out, "manifest_round_1.json"),
+                os.path.join(out, "manifest.json"))
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f)["round"] == 1
+
+    resumed = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE),
+                    output_dir=out, resume=True)
+    assert resumed.rounds > 0
+
+    import pyarrow.dataset as pads
+
+    tall = pads.dataset(f"{out}/rounds", partitioning="hive").to_table()
+    done = {
+        u for u, k in zip(tall["url_norm"].to_pylist(), tall["kind"].to_pylist())
+        if k == "done"
+    }
+    assert done == full.done_urls()
+
+
+def test_shard_stats_reported(ray_session, corpus):
+    res = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE))
+    assert len(res.shard_stats) == BASE["num_shards"]
+    total_seen = sum(s["seen"] for s in res.shard_stats)
+    assert total_seen == len(res.seen_urls())
+    assert all(s["pending"] == 0 for s in res.shard_stats)
+
+    ck = crawl(corpus["corpus"], corpus["seeds"],
+               CrawlConfig(**BASE, seen_mode="cuckoo"))
+    assert all("cuckoo_fp_rate" in s for s in ck.shard_stats)
+
+
 def test_resume_rejects_config_change(ray_session, corpus, tmp_path):
     out = str(tmp_path / "run")
     crawl(corpus["corpus"], corpus["seeds"],

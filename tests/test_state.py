@@ -115,16 +115,31 @@ def test_frontier_checkpoint_restore(shard, tmp_path):
     ray.get(s.offer_buffer.remote([(f"http://h/{i}", f"http://h/{i}", "h", 1) for i in range(5)]))
     ray.get(s.commit_round.remote())
     ray.get(s.mark_done.remote(["http://h/0"]))
-    ray.get(s.checkpoint.remote(str(tmp_path), 3))
+    info = ray.get(s.checkpoint.remote(str(tmp_path), 3))
+    assert info["round"] == 3 and "shard_0_round_3.pkl" in info["path"]
 
     s2 = FrontierShard.remote(0, seen_mode="exact")
-    assert ray.get(s2.restore.remote(str(tmp_path))) == 3
+    # restore by exact path (what the manifest does) and by directory
+    assert ray.get(s2.restore.remote(info["path"])) == 3
     assert ray.get(s2.seen_snapshot.remote()) == ray.get(s.seen_snapshot.remote())
     assert ray.get(s2.done_snapshot.remote()) == ray.get(s.done_snapshot.remote())
     a = ray.get(s.release_table.remote(None, None))
     b = ray.get(s2.release_table.remote(None, None))
     assert a.equals(b)
+    s3 = FrontierShard.remote(0, seen_mode="exact")
+    assert ray.get(s3.restore.remote(str(tmp_path))) == 3
     ray.kill(s2)
+    ray.kill(s3)
+
+
+def test_frontier_checkpoint_retention(shard, tmp_path):
+    s, ray = shard
+    import os
+
+    for r in range(5):
+        ray.get(s.checkpoint.remote(str(tmp_path), r, 2))
+    files = sorted(os.listdir(str(tmp_path)))
+    assert files == ["shard_0_round_3.pkl", "shard_0_round_4.pkl"]
 
 
 def test_robots_rules_parsing(ray_session, tmp_path):
