@@ -27,7 +27,7 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
-from raycrawl.functions.canonicalize import normalise_url, normalise_url_cached
+from raycrawl.functions.canonicalize import normalise_url_cached
 
 __all__ = [
     "ExtractError",

@@ -42,8 +42,6 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", SMOKE)
 def test_query_matches_oracle(entrymod, con, name):
-    import pyarrow as pa
-
     result = entrymod.queries()[name](SF)
     ours = result.to_pandas() if not isinstance(result, pd.DataFrame) else result
     sql = entrymod.oracle_sql()[name]
