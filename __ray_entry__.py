@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- text analysis ----
         "docs_token_stats": textops.token_stats,
         "docs_quality": textops.quality_stats,
+        "docs_quality_label": textops.quality_label,
+        "docs_clean_text": textops.clean_text,
         "docs_lang_counts": textops.lang_counts,
         "docs_langid": textops.langid,
         "docs_fingerprints": textops.fingerprints,
@@ -177,6 +179,17 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
        CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
        CAST(length(regexp_extract_all(text, '\S')) AS BIGINT) AS n_nonspace
+FROM documents
+""",
+        "docs_quality_label": r"""
+SELECT doc_id,
+       CASE WHEN length(regexp_extract_all(text, '\S+')) < 20 THEN 'short'
+            WHEN length(regexp_extract_all(text, '\S+')) > 2000 THEN 'long'
+            ELSE 'keep' END AS label
+FROM documents
+""",
+        "docs_clean_text": r"""
+SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS clean
 FROM documents
 """,
         "docs_lang_counts": """

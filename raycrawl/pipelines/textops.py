@@ -20,6 +20,8 @@ import ray.data as rd
 __all__ = [
     "token_stats",
     "quality_stats",
+    "quality_label",
+    "clean_text",
     "lang_counts",
     "langid",
     "fingerprints",
@@ -83,6 +85,41 @@ def quality_stats(sf_dir: str) -> rd.Dataset:
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow"
+    )
+
+
+def quality_label(sf_dir: str, min_words: int = 20, max_words: int = 2000) -> rd.Dataset:
+    """(doc_id, label): keep/short/long quality gate — the filter stage of a
+    training-data pipeline, expressed so a SQL CASE reproduces it exactly."""
+
+    def lab(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], r"\S+")
+        label = pc.if_else(
+            pc.less(n, min_words),
+            pa.scalar("short"),
+            pc.if_else(pc.greater(n, max_words), pa.scalar("long"),
+                       pa.scalar("keep")),
+        )
+        return pa.table({"doc_id": t["doc_id"], "label": label})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lab, batch_format="pyarrow"
+    )
+
+
+def clean_text(sf_dir: str) -> rd.Dataset:
+    """(doc_id, clean): lowercase + whitespace-collapsed + trimmed text —
+    the normalization map of a text pipeline, fully vectorized (pyarrow
+    utf8 kernels, no python loop)."""
+
+    def clean(t: pa.Table) -> pa.Table:
+        c = pc.utf8_lower(t["text"])
+        c = pc.replace_substring_regex(c, r"\s+", " ")
+        c = pc.utf8_trim_whitespace(c)
+        return pa.table({"doc_id": t["doc_id"], "clean": c})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        clean, batch_format="pyarrow"
     )
 
 
