@@ -57,6 +57,10 @@ class CrawlConfig:
 
     checkpoint_dir: str | None = None       # None = no checkpointing
     checkpoint_every: int = 1               # rounds between checkpoints
+    # rounds of checkpoint+manifest history retained (rollback window =
+    # checkpoint_keep - 1 rounds); shard files and manifest_round_<r>.json
+    # are pruned in lockstep so a manifest never names a deleted file
+    checkpoint_keep: int = 2
 
     # fields that change WHAT the crawl computes (participate in the
     # checkpoint lineage hash). Execution knobs (max_rounds, batch_size,

@@ -123,7 +123,7 @@ def _seed_rows(seeds, num_shards):
 
 
 def _write_manifest(output_dir, round_no, cfg_hash, shard_infos, counts,
-                    shard_stats=None):
+                    shard_stats=None, keep_rounds=2):
     manifest = {
         "round": round_no,
         "config_hash": cfg_hash,
@@ -144,6 +144,21 @@ def _write_manifest(output_dir, round_no, cfg_hash, shard_infos, counts,
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, default=str)
     os.replace(tmp, path)  # manifest-last, atomic: partial rounds never resume
+    # prune manifest history in lockstep with shard checkpoint retention
+    import re as _re
+
+    pat = _re.compile(r"^manifest_round_(\d+)\.json$")
+    rounds = sorted(
+        int(m.group(1))
+        for fn in os.listdir(output_dir)
+        for m in [pat.match(fn)]
+        if m
+    )
+    for r in rounds[:-keep_rounds] if keep_rounds else []:
+        try:
+            os.remove(os.path.join(output_dir, f"manifest_round_{r}.json"))
+        except OSError:
+            pass
 
 
 def _load_manifest(output_dir):
@@ -360,9 +375,19 @@ def crawl(
         metrics.append(counts)
 
         if output_dir:
+            import shutil
+
             rdir = os.path.join(output_dir, "rounds", f"round={round_no}")
-            os.makedirs(rdir, exist_ok=True)
-            pq.write_table(round_tbl, os.path.join(rdir, "part-0.parquet"))
+            # idempotent re-write: a resumed run replaying this round must
+            # not append duplicate part files
+            shutil.rmtree(rdir, ignore_errors=True)
+            if collect:
+                os.makedirs(rdir, exist_ok=True)
+                pq.write_table(round_tbl, os.path.join(rdir, "part-0.parquet"))
+            else:
+                # distributed write: blocks stream from the workers, the
+                # driver never serializes the round (the at-scale path)
+                mat.write_parquet(rdir)
         if collect:
             collected.append(round_tbl)
 
@@ -371,11 +396,15 @@ def crawl(
         ):
             ckpt_dir = os.path.join(output_dir, "checkpoints")
             shard_infos = ray.get(
-                [s.checkpoint.remote(ckpt_dir, round_no) for s in shards]
+                [
+                    s.checkpoint.remote(ckpt_dir, round_no,
+                                        config.checkpoint_keep)
+                    for s in shards
+                ]
             )
             shard_stats = ray.get([s.counts.remote() for s in shards])
             _write_manifest(output_dir, round_no, cfg_hash, shard_infos,
-                            counts, shard_stats)
+                            counts, shard_stats, config.checkpoint_keep)
 
         round_no += 1
         pending = sum(ray.get([s.pending_count.remote() for s in shards]))
