@@ -170,12 +170,12 @@ def normalise_url(url: str, strip_default_ports: bool = False) -> str:
     m = _FAST_URL.match(url)
     if m and not strip_default_ports:
         return url if m.group(1) else url + "/"
-    if _FAST_PATH.match(url) and not url.startswith("//"):
+    if _FAST_PATH.match(url) and "//" not in url:
         # pure-path input: quote() is identity on this charset, no
         # components beyond the path -> leading-slash normalization only.
-        # NB urljoin("/", "") == "/" and urljoin("/", ".") == "/" style
-        # dot-resolution: urljoin DOES resolve leading dot-segments against
-        # "/", so paths containing "." segments take the slow path.
+        # Excluded (slow path): dot segments, which urljoin("/") resolves,
+        # and ANY "//" — a leading one is an authority, and urljoin
+        # collapses some interior/trailing empty segments ("0//" -> "/0/").
         if "." not in url or not re.search(r"(?:^|/)\.{1,2}(?:/|$)", url):
             return url if url.startswith("/") else "/" + url
     # scheme-less inputs become root-relative paths: urljoin("/", ...) quirk
