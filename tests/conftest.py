@@ -3,6 +3,14 @@
 import sys
 
 import pytest
+from hypothesis import settings
+
+# deterministic fuzz in CI: the differential fuzzers have caught real
+# divergences (dot-segment joins, '//' collapse) — counterexamples found in
+# exploratory runs get fixed and pinned, but the gate itself must not flake.
+# For exploratory fuzzing run: pytest -p no:cacheprovider --hypothesis-seed=random
+settings.register_profile("ci", derandomize=True, max_examples=300)
+settings.load_profile("ci")
 
 # Make the reference implementation importable for differential tests
 # (read-only; we run it, never copy it).
