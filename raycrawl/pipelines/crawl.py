@@ -113,8 +113,12 @@ class CrawlResult:
 
 def _seed_rows(seeds, num_shards):
     by_shard = {}
+    seen_norm = set()
     for s in seeds:
         norm = normalise_url(s)
+        if norm in seen_norm:  # equal-normalized seeds fetch once
+            continue
+        seen_norm.add(norm)
         host = url_host(s)
         by_shard.setdefault(shard_of_host(host, num_shards), []).append(
             (s, norm, host, 0)
