@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_counts": textops.lang_counts,
         "docs_langid": textops.langid,
         "docs_fingerprints": textops.fingerprints,
+        "docs_vocab_topk": textops.vocab_topk,
         # ---- dedup ----
         "docs_exact_dedup": dedup.exact_dedup,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- similarity search ----
         "ann_brute_topk": ann.brute_force_topk,
         "ann_lsh_topk": ann.lsh_topk,
+        "ann_ivf_topk": ann.ivf_topk,
         # ---- multimodal plumbing ----
         "multimodal_meta": _multimodal_meta,
         "multimodal_decode": multimodal.decode_features,
@@ -87,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": relops.orders_lineitem_join,
         "lineitem_topk": relops.lineitem_topk,
         "events_window_agg": relops.events_window_agg,
+        "events_sliding_agg": relops.events_sliding_agg,
         "events_sessionize": relops.events_sessionize,
         "events_topk_users": relops.events_topk_users,
         "region_nation_counts": relops.region_nation_counts,
@@ -261,6 +264,25 @@ SELECT event_type,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY event_type, win
+""",
+        "events_sliding_agg": """
+SELECT event_type, win_start,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+  SELECT event_type, value,
+         unnest([epoch_us(ts) // 1000000 // 1800,
+                 epoch_us(ts) // 1000000 // 1800 - 1]) AS win_start
+  FROM events
+)
+GROUP BY event_type, win_start
+""",
+        "docs_vocab_topk": r"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
 """,
         "events_sessionize": """
 WITH d AS (

@@ -18,7 +18,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["brute_force_topk", "lsh_topk"]
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk"]
 
 
 def _load_queries(sf_dir: str, n_queries: int):
@@ -145,6 +145,97 @@ def lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
             out_q += [qid] * len(idx)
             out_v += cids[idx].tolist()
             out_s += row[idx].tolist()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    merged = (
+        partials.sort_values(["query_id", "sim", "vec_id"],
+                             ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+    )
+    merged["rank"] = merged.groupby("query_id").cumcount() + 1
+    out = merged[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema(
+            [("query_id", pa.int64()), ("rank", pa.int64()), ("vec_id", pa.int64())]
+        )
+    )
+
+
+def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+             n_lists: int = 16, n_probe: int = 4, seed: int = 29,
+             kmeans_iters: int = 8, sample: int = 2048) -> pa.Table:
+    """Approximate top-k via an IVF (inverted-file) index — the scale path.
+
+    Train: k-means centroids on a driver-side sample (deterministic seed).
+    Index: each vector belongs to its nearest centroid's list — assignment
+    happens per batch with one matmul (distributed). Search: a query scans
+    only its n_probe nearest lists instead of the full collection; the
+    centroid matrix broadcasts once via ray.put. Recall is measured against
+    brute force in the unit tests.
+    """
+    import pyarrow.parquet as pq
+
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+
+    # --- train centroids on a sample (driver-side; at scale: a sampled
+    # Dataset pass feeding minibatch k-means) ---
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    all_m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(all_m), size=min(sample, len(all_m)), replace=False)
+    train = all_m[idx]
+    cent = train[rng.choice(len(train), size=min(n_lists, len(train)),
+                            replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(train @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cent)):
+            members = train[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    cent_ref = ray.put(cent)
+
+    # queries probe their n_probe nearest lists
+    q_lists = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
+    q_ref = ray.put((q_ids, q_mat, q_lists))
+
+    def score(tbl: pa.Table) -> pa.Table:
+        q_ids, q_mat, q_lists = ray.get(q_ref)
+        centroids = ray.get(cent_ref)
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(np.stack(tbl["embedding"].to_pylist()).astype(np.float64))
+        assign = np.argmax(m @ centroids.T, axis=1)  # IVF assignment
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            cand = np.isin(assign, q_lists[qi]) & (ids != qid)
+            if not cand.any():
+                continue
+            row = q_mat[qi] @ m[cand].T
+            cids = ids[cand]
+            kk = min(k, len(cids))
+            sel = np.argpartition(-row, kk - 1)[:kk]
+            out_q += [qid] * len(sel)
+            out_v += cids[sel].tolist()
+            out_s += row[sel].tolist()
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),

@@ -30,6 +30,7 @@ __all__ = [
     "orders_lineitem_join",
     "lineitem_topk",
     "events_window_agg",
+    "events_sliding_agg",
     "events_sessionize",
     "events_topk_users",
     "region_nation_counts",
@@ -215,6 +216,45 @@ def events_window_agg(sf_dir: str) -> rd.Dataset:
         .map_batches(prep, batch_format="pyarrow")
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "win"])
+        .aggregate(
+            Sum("total_cents", alias_name="total_cents"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+
+def events_sliding_agg(sf_dir: str) -> rd.Dataset:
+    """Sliding windows (1 h size, 30 min hop): each event lands in the two
+    windows covering it — expressed as a per-batch EXPLODE to (event_type,
+    window_start) rows, then the usual partial + grouped aggregation.
+    window_start is in half-hour units since the epoch."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        halfh = pc.cast(
+            pc.divide(pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000), 1800),
+            pa.int64(),
+        )
+        cents = _cents(t["value"])
+        # explode: window starting at this half-hour and the previous one
+        et = pa.concat_arrays([t["event_type"].combine_chunks()] * 2)
+        win = pa.concat_arrays(
+            [halfh.combine_chunks(),
+             pc.subtract(halfh, 1).combine_chunks()]
+        )
+        val = pa.concat_arrays([cents.combine_chunks()] * 2)
+        g = pa.table(
+            {"event_type": et, "win_start": win, "value_cents": val}
+        ).group_by(["event_type", "win_start"]).aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")]
+        )
+        return g.rename_columns(
+            ["event_type", "win_start", "total_cents", "n_events"]
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "win_start"])
         .aggregate(
             Sum("total_cents", alias_name="total_cents"),
             Sum("n_events", alias_name="n_events"),

@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 __all__ = [
+    "vocab_topk",
     "token_stats",
     "quality_stats",
     "quality_label",
@@ -85,6 +86,35 @@ def quality_stats(sf_dir: str) -> rd.Dataset:
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow"
+    )
+
+
+def vocab_topk(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """(token, n): top-k corpus vocabulary — the canonical explode+aggregate
+    (wordcount). Per-batch: vectorized token explode (pyarrow
+    extract_all + flatten, no python loop) and a PARTIAL count, so the
+    shuffle moves one row per distinct (batch, token), not one per token
+    occurrence. Deterministic tie-break (n desc, token asc)."""
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        # split on whitespace + drop empties == \S+ token extraction
+        lists = pc.split_pattern_regex(t["text"], r"\s+")
+        flat = pc.list_flatten(lists)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [("token", "count")]
+        )
+        return g.rename_columns(["token", "n"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(explode_count, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
     )
 
 

@@ -142,6 +142,19 @@ def test_ann_lsh_recall(ray_session):
     assert len(a) <= len(e)  # never more than k per query
 
 
+def test_ann_ivf_recall(ray_session):
+    from raycrawl.pipelines.ann import brute_force_topk, ivf_topk
+
+    exact = brute_force_topk(SF, n_queries=5, k=10).to_pandas()
+    approx = ivf_topk(SF, n_queries=5, k=10).to_pandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    # n_probe=4 of 16 lists on random data: scans ~1/4 of the collection
+    assert recall >= 0.3
+    assert len(a) <= len(e)
+
+
 def test_multimodal_stub_gate(ray_session, monkeypatch):
     from raycrawl.pipelines.multimodal import ImageDecoder
 
