@@ -146,8 +146,14 @@ class FetchSimulator:
 
     # -- per-row classification (string work only) --------------------------
     def _classify(self, url_norm: str, host: str):
-        """-> ("lookup", final_url, bucket) | ("status", code, location)."""
-        url = url_norm
+        """-> ("lookup", final_url, bucket) | ("status", code, location).
+
+        The fragment is stripped before lookup: HTTP clients never send it
+        (requests drops it at transport), so the reference fetches the
+        fragment-less resource and records it under the fragment-carrying
+        url — crawls with trim_fragment=False depend on this.
+        """
+        url = url_norm.split("#", 1)[0]
         for _hop in range(_MAX_HOPS):
             parts = urlsplit(url)
             path = parts.path

@@ -126,8 +126,9 @@ def reference_bfs_depths(corpus: dict, seed_url: str, user_agent="RayCrawl",
     from urllib.parse import urlsplit
 
     def fetch(url_str):
-        """(status, content_type, html_str) with redirect following."""
-        url = url_str
+        """(status, content_type, html_str) with redirect following.
+        Fragment stripped like real HTTP clients do."""
+        url = url_str.split("#", 1)[0]
         for _ in range(8):
             path = urlsplit(url).path or "/"
             if path.startswith("/error/"):

@@ -27,26 +27,34 @@ PORT = 9973
 HOST = f"127.0.0.1:{PORT}"
 
 
-# Two deterministic corpus flavors (redirect pages + relative links together
-# make the REFERENCE's done-set hash-seed-nondeterministic — see
+# Deterministic corpus/config flavors (redirect pages + relative links
+# together make the REFERENCE's done-set hash-seed-nondeterministic — see
 # sources/synth.py _links_for_page): redirects-without-relatives and
-# relatives-without-redirects jointly cover both feature sets e2e.
+# relatives-without-redirects jointly cover both link feature sets e2e;
+# the extra flavors run the reference with check_head=True (HEAD-before-GET
+# over real HTTP) and with trim flags off (query/fragment urls fetched).
 @pytest.fixture(
     scope="module",
     params=[
-        dict(relative_links=False, redirect_links=True),
-        dict(relative_links=True, redirect_links=False),
+        (dict(relative_links=False, redirect_links=True), {}),
+        (dict(relative_links=True, redirect_links=False), {}),
+        (dict(relative_links=False, redirect_links=True),
+         dict(check_head=True)),
+        (dict(relative_links=False, redirect_links=False),
+         dict(trim_query=False, trim_fragment=False)),
     ],
-    ids=["redirects", "relatives"],
+    ids=["redirects", "relatives", "check-head", "with-query"],
 )
 def corpus(tmp_path_factory, request):
+    corpus_kw, config_kw = request.param
     out = tmp_path_factory.mktemp("conformance")
     info = generate_corpus(
         str(out), hosts=[HOST], pages_per_host=14, links_per_page=6, seed=11,
-        **request.param,
+        **corpus_kw,
     )
     info["dict"] = load_corpus_dict(info["corpus"])
     info["seed_url"] = f"http://{HOST}/"
+    info["config_kw"] = config_kw
     return info
 
 
@@ -55,7 +63,8 @@ def ours(ray_session, corpus):
     return crawl(
         corpus["corpus"],
         [corpus["seed_url"]],
-        CrawlConfig(num_shards=2, fetch_concurrency=2, user_agent="RayCrawl"),
+        CrawlConfig(num_shards=2, fetch_concurrency=2, user_agent="RayCrawl",
+                    **corpus["config_kw"]),
         n_buckets=8,
     )
 
@@ -64,7 +73,7 @@ def ours(ray_session, corpus):
 def theirs(corpus):
     with CorpusServer(corpus["dict"], port=PORT):
         return run_reference_crawler(
-            corpus["seed_url"], user_agent="RayCrawl"
+            corpus["seed_url"], user_agent="RayCrawl", **corpus["config_kw"]
         )
 
 
@@ -78,7 +87,12 @@ def test_seen_set_matches_reference(ours, theirs):
 
 
 def test_bfs_depths_match_oracle(ours, corpus):
-    oracle = reference_bfs_depths(corpus["dict"], corpus["seed_url"])
+    kw = corpus["config_kw"]
+    oracle = reference_bfs_depths(
+        corpus["dict"], corpus["seed_url"],
+        trim_query=kw.get("trim_query", True),
+        trim_fragment=kw.get("trim_fragment", True),
+    )
     ours_depths = ours.depths()
     golden = {u: d for u, d in oracle["depths"].items() if u in oracle["done"]}
     assert ours_depths == golden
@@ -104,7 +118,7 @@ def test_extraction_byte_identical(ours, corpus):
         # follow the redirect chain like requests does for the reference
         from urllib.parse import urljoin, urlsplit
 
-        target = url
+        target = url.split("#", 1)[0]  # transport strips fragments
         for _ in range(8):
             p = urlsplit(target).path
             if p.startswith("/redirect/"):
@@ -132,7 +146,11 @@ def test_errors_not_done(ours):
     assert errs.num_rows > 0
     err_urls = set(errs["url_norm"].to_pylist())
     assert err_urls.isdisjoint(ours.done_urls())
-    assert all("/error/" in u for u in err_urls)
+    assert all(400 <= s < 600 for s in errs["status"].to_pylist())
+    # /error/ pages always present; with trim_query=False the ?query
+    # variants additionally 404 (absent from the corpus) — also errors
+    assert any("/error/" in u for u in err_urls)
+    assert all("/error/" in u or "?" in u for u in err_urls)
 
 
 def test_non_html_done_without_links(ours):
