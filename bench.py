@@ -34,7 +34,7 @@ def ensure_bench_corpus() -> dict:
     scales = {"sf0.001": (4, 500), "sf0.01": (6, 5000), "sf0.1": (8, 48000)}
     n_hosts, pages = scales.get(sf, (8, 48000))
     out = os.path.join(BENCH_CORPUS_DIR, sf)
-    marker = os.path.join(out, "COMPLETE.v3")
+    marker = os.path.join(out, "COMPLETE.v4")
     from raycrawl.sources.synth import generate_corpus
 
     if not os.path.exists(marker):

@@ -37,7 +37,7 @@ def corpus_for(sf_dir: str) -> dict:
     name = os.path.basename(os.path.normpath(sf_dir))
     n_hosts, pages = SCALES.get(name, (2, 32))
     out = os.path.join(CORPUS_ROOT, name)
-    marker = os.path.join(out, "COMPLETE.v2")
+    marker = os.path.join(out, "COMPLETE.v3")
     if not os.path.exists(marker):
         # relative_links=False: the SQL BFS oracle models joins from the
         # normalized text lines, which is exact only for base-independent

@@ -137,6 +137,11 @@ def _links_for_page(rng: random.Random, j: int, n_pages: int, links_per_page: in
         # robots-disallowed targets, reachable from the root (discovered ->
         # seen, gated -> never done; crawler.py:223-227)
         links += ["/private/x0", "/private/x1"]
+        # transport-parity traps, linked from the root:
+        # a query-carrying PAGE linked with UNSORTED params (normalization
+        # must sort them before the fetch hits the corpus key) and a
+        # percent-encoding page linked with a raw space
+        links += ["/q0?b=2&a=1", "/a b0"]
     return links
 
 
@@ -288,6 +293,14 @@ def _host_rows(job):
     for k in range(2):
         html = page_html([_page_path(k)])
         emit(f"http://{host}/private/x{k}", html, page_text(html), "en")
+
+    # transport-parity pages (linked from the root, see _links_for_page):
+    # corpus keys are NORMALIZED urls — sorted query params, percent-encoded
+    # path — reachable only if the whole trim/join/normalize/fetch chain
+    # agrees with what an HTTP client actually sends
+    html = page_html([_page_path(0)])
+    emit(f"http://{host}/q0?a=1&b=2", html, page_text(html), "en")
+    emit(f"http://{host}/a%20b0", html, page_text(html), "en")
 
     # non-html mime rows (WrongMIMEType -> done without links)
     for p in ("/doc1.pdf", "/img1.png", "/style.css"):

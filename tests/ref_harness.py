@@ -44,7 +44,11 @@ class CorpusServer:
         @app.route("/", defaults={"path": ""})
         @app.route("/<path:path>")
         def serve(path):
-            p = request.path
+            from urllib.parse import quote
+
+            # werkzeug decodes percent-escapes; corpus keys are NORMALIZED
+            # urls, so re-encode the path the way the normalizer does
+            p = quote(request.path, safe="/")
             if p.startswith("/error/"):
                 try:
                     code = int(p.split("/")[2])

@@ -147,10 +147,12 @@ def test_errors_not_done(ours):
     err_urls = set(errs["url_norm"].to_pylist())
     assert err_urls.isdisjoint(ours.done_urls())
     assert all(400 <= s < 600 for s in errs["status"].to_pylist())
-    # /error/ pages always present; with trim_query=False the ?query
-    # variants additionally 404 (absent from the corpus) — also errors
+    # /error/ pages always present; query-trimmed or query-carrying urls
+    # absent from the corpus additionally 404 — also errors
     assert any("/error/" in u for u in err_urls)
-    assert all("/error/" in u or "?" in u for u in err_urls)
+    assert all(
+        "/error/" in u or "?" in u or u.endswith("/q0") for u in err_urls
+    )
 
 
 def test_non_html_done_without_links(ours):
