@@ -31,6 +31,7 @@ from raycrawl.pipelines import ann, dedup, multimodal, relops, textops
 from raycrawl.pipelines.crawlqueries import (
     corpus_for,
     crawl_bfs,
+    crawl_bfs_with_query,
     crawl_edges,
     crawl_filter_by,
     crawl_host_stats,
@@ -57,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- crawl family (SURVEY §2.1-2.5) ----
         "crawl_bfs": crawl_bfs,
+        "crawl_bfs_with_query": crawl_bfs_with_query,
         "crawl_edges": crawl_edges,
         "crawl_text_identity": crawl_text_identity,
         "crawl_host_stats": crawl_host_stats,
@@ -141,6 +143,46 @@ WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.url = b.url)
          SELECT 1 FROM pages p
          WHERE p.url = 'http://' || b.host || '/' ||
                split_part(b.url, '/redirect/', 2)))
+GROUP BY b.url
+""",
+        "crawl_bfs_with_query": f"""
+WITH RECURSIVE corpus AS (
+  SELECT url, text, regexp_extract(url, '^http://([^/]+)', 1) AS host
+  FROM read_parquet('{_SF001_CORPUS}')
+),
+pages AS (
+  SELECT * FROM corpus WHERE {_HTML_FILTER}
+),
+bfs(url, host, depth) AS (
+  SELECT url, host, 0 FROM corpus WHERE url = 'http://' || host || '/'
+  UNION
+  -- trim_query=False/trim_fragment=False: the candidate keeps query AND
+  -- fragment; only the FETCH key strips the fragment (HTTP transport)
+  SELECT cand.cand, b.host, b.depth + 1
+  FROM bfs b
+  JOIN pages p ON p.url = CASE
+      WHEN split_part(b.url, '#', 1) LIKE '%/redirect/%'
+      THEN 'http://' || b.host || '/' ||
+           split_part(split_part(b.url, '#', 1), '/redirect/', 2)
+      ELSE split_part(b.url, '#', 1) END,
+  LATERAL (
+    SELECT CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+                ELSE 'http://' || b.host || href END AS cand
+    FROM unnest(string_split(p.text, chr(10))) AS t(href)
+  ) AS cand
+  WHERE b.depth < 64
+    AND p.text <> ''
+    AND cand.cand LIKE 'http://' || b.host || '/%'
+    AND cand.cand NOT LIKE '%/private/%'
+)
+SELECT b.url AS url_norm, CAST(MIN(b.depth) AS BIGINT) AS depth
+FROM bfs b
+WHERE EXISTS (SELECT 1 FROM corpus c
+              WHERE c.url = split_part(b.url, '#', 1))
+   OR (split_part(b.url, '#', 1) LIKE '%/redirect/%' AND EXISTS (
+         SELECT 1 FROM pages p
+         WHERE p.url = 'http://' || b.host || '/' ||
+               split_part(split_part(b.url, '#', 1), '/redirect/', 2)))
 GROUP BY b.url
 """,
         "crawl_edges": f"""

@@ -59,7 +59,7 @@ def _is_html_url(url: str) -> bool:
     return not any(url.endswith(s) for s in _NON_HTML_SUFFIXES)
 
 
-def crawl_bfs(sf_dir: str) -> pa.Table:
+def crawl_bfs(sf_dir: str, **config_kw) -> pa.Table:
     """Full BFS crawl of the sf corpus from its seeds: (url_norm, depth).
 
     The flagship pipeline (frontier shards + robots gate + fetch-sim +
@@ -67,7 +67,7 @@ def crawl_bfs(sf_dir: str) -> pa.Table:
     (__ray_entry__.oracle_sql)."""
     info = corpus_for(sf_dir)
     res = crawl(info["corpus"], info["seeds"],
-                CrawlConfig(num_shards=4, fetch_concurrency=4))
+                CrawlConfig(num_shards=4, fetch_concurrency=4, **config_kw))
     done = res.done_table()
     return pa.table(
         {
@@ -77,6 +77,13 @@ def crawl_bfs(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def crawl_bfs_with_query(sf_dir: str) -> pa.Table:
+    """crawl_bfs with trim_query=False/trim_fragment=False: query strings
+    survive to the fetch (the sorted-query corpus page becomes reachable),
+    fragments are stripped at the transport boundary. Own CTE oracle."""
+    return crawl_bfs(sf_dir, trim_query=False, trim_fragment=False)
 
 
 def crawl_edges(sf_dir: str) -> rd.Dataset:
