@@ -137,7 +137,7 @@ def main():
     second = run_headline()
     if second["sec"] < headline["sec"]:
         headline = second
-    queries = run_queries()
+    queries = {} if os.environ.get("RAYCRAWL_HEADLINE_ONLY") == "1" else run_queries()
 
     out = {
         "metric": "crawl_fetch_extract",
@@ -167,17 +167,15 @@ def scaling():
     """
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        best = None
-        for _ in range(2):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, check=True,
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        return best
+        # one fresh process per level; the in-process headline is already
+        # best-of-2, and RAYCRAWL_HEADLINE_ONLY skips the query suite
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAYCRAWL_HEADLINE_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
 
     lo = int(os.environ.get("RAYCRAWL_SCALE_LO", "4"))
     hi = int(os.environ.get("RAYCRAWL_SCALE_HI", str(lo * 4)))
