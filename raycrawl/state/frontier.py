@@ -1,26 +1,31 @@
-"""FrontierShard — the sharded URL-seen + politeness-queue actor.
+"""FrontierShard — the DUAL-KEYED frontier service actor.
 
 Replaces the reference's driver-local crawl state (queue.Queue frontier,
 ``_seen_urls``/``_done_urls`` sets — /root/reference/simple_crawler/
-crawler.py:81-83,159-163) with a pool of Ray actors sharded by
-``hash(host) % num_shards``: every URL of a host lives on exactly one shard,
-which is what lets politeness stay per-host-serial while fetches run in
-parallel across hosts (north_rule).
+crawler.py:81-83,159-163) with a pool of Ray actors where each actor plays
+two roles under one shard id:
 
-Each shard holds:
-* the seen-set for its hosts — exact (python set, conformance mode) or a
-  cuckoo filter (~2 B/url, bench/scale mode; see state/cuckoo.py)
-* the done-set (status-200 pages; the reference's dequeue-time done check,
-  crawler.py:219-221, only ever fires for re-discovered seeds)
-* per-host pending priority queues ordered by (depth, url_norm) — the
-  deterministic total order this engine defines in place of the reference's
-  hash-seed-dependent set-iteration order (SURVEY §4)
-* per-host politeness budgets (crawl_delay-derived or fixed per round)
+* role A — seen/done owner for the urls with ``hash(url_norm) % num_shards
+  == id`` (``gate_round``). The url-hash key BALANCES under any host skew,
+  which is what keeps a hot-host crawl's seen-gate parallel. Exact python
+  set (conformance mode) or cuckoo filter (~2 B/url at scale,
+  state/cuckoo.py).
+* role B — politeness-queue owner for the hosts with ``shard_of_host(host)
+  == id`` (``enqueue_round``/``release``): per-host heaps ordered by
+  (depth, url_norm) — the deterministic total order this engine defines in
+  place of the reference's hash-seed-dependent set-iteration order (SURVEY
+  §4) — released under per-host budgets, per-host-serial but parallel
+  across hosts (north_rule).
 
-Checkpointing (north_rule: per-partition lineage): ``checkpoint(dir, round)``
-writes seen + pending + counters for this shard atomically (tmp + rename);
-``restore`` reloads them. The driver's manifest (pipelines/crawl.py) is
-written last, so a partially-checkpointed round is never resumed from.
+The done-set mirrors the reference's dequeue-time done check
+(crawler.py:219-221), which only ever fires for re-discovered seeds; it is
+applied in gate_round, where a url's done mark and seen entry live on the
+same (url-hash) shard.
+
+Checkpointing (north_rule: per-partition lineage): per-ROUND files named by
+the driver manifest, both roles' state together; see ``checkpoint`` for the
+crash-consistency contract. ``offer_buffer``/``commit_round`` are the
+single-call legacy protocol kept for unit tests.
 """
 
 from __future__ import annotations
