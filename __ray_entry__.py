@@ -33,6 +33,7 @@ from raycrawl.pipelines.crawlqueries import (
     crawl_bfs,
     crawl_bfs_with_query,
     crawl_edges,
+    crawl_edges_joined,
     crawl_filter_by,
     crawl_host_stats,
     crawl_text_identity,
@@ -60,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": crawl_bfs,
         "crawl_bfs_with_query": crawl_bfs_with_query,
         "crawl_edges": crawl_edges,
+        "crawl_edges_joined": crawl_edges_joined,
         "crawl_text_identity": crawl_text_identity,
         "crawl_host_stats": crawl_host_stats,
         "crawl_filter_by": crawl_filter_by,
@@ -189,6 +191,21 @@ GROUP BY b.url
 SELECT url AS src_url, unnest(string_split(text, chr(10))) AS href_norm
 FROM read_parquet('{_SF001_CORPUS}')
 WHERE {_HTML_FILTER} AND text <> ''
+""",
+        "crawl_edges_joined": f"""
+SELECT DISTINCT url AS src_url,
+       CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+            ELSE 'http://' || host || h1 END AS cand_norm
+FROM (
+  SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+         split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                    '?', 1) AS h1
+  FROM read_parquet('{_SF001_CORPUS}')
+  WHERE {_HTML_FILTER} AND text <> ''
+)
+WHERE (CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+            ELSE 'http://' || host || h1 END)
+      LIKE 'http://' || host || '/%'
 """,
         "crawl_text_identity": f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pages, CAST(COUNT(*) AS BIGINT) AS n_match

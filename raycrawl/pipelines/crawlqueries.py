@@ -15,7 +15,12 @@ import pyarrow as pa
 import ray.data as rd
 
 from raycrawl.config import CrawlConfig
-from raycrawl.functions.extract import extract_edges_rows, page_text
+from raycrawl.functions.extract import (
+    extract_edges_rows,
+    hrefs_with_norm,
+    page_text,
+)
+from raycrawl.functions.linkflow import parse_page_hrefs
 from raycrawl.pipelines.crawl import crawl
 from raycrawl.sources.synth import generate_corpus
 
@@ -110,6 +115,37 @@ def crawl_edges(sf_dir: str) -> rd.Dataset:
 
     return rd.read_parquet(info["corpus"], columns=["url", "html"]).map_batches(
         extract, batch_format="pyarrow"
+    )
+
+
+def crawl_edges_joined(sf_dir: str) -> rd.Dataset:
+    """(src_url, cand_norm): the full per-page linkflow composition —
+    extract -> trim(query,fragment) -> join(base) -> same-authority filter
+    (crawler.py:132-143) — over every html corpus page, as a stateless
+    streaming map. Oracle: the same transform over the golden text lines."""
+    info = corpus_for(sf_dir)
+
+    def flow(t: pa.Table) -> pa.Table:
+        src_out, cand_out = [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if not _is_html_url(url):
+                continue
+            try:
+                pairs = hrefs_with_norm(bytes(html).decode("utf-8"))
+            except Exception:
+                continue
+            for _, norm in parse_page_hrefs([r for r, _ in pairs], url):
+                src_out.append(url)
+                cand_out.append(norm)
+        return pa.table(
+            {
+                "src_url": pa.array(src_out, pa.string()),
+                "cand_norm": pa.array(cand_out, pa.string()),
+            }
+        )
+
+    return rd.read_parquet(info["corpus"], columns=["url", "html"]).map_batches(
+        flow, batch_format="pyarrow"
     )
 
 
