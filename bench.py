@@ -70,10 +70,12 @@ def run_headline() -> dict:
         stage_mode="tasks",
     )
     t0 = time.perf_counter()
-    res = crawl(info["corpus"], info["seeds"], cfg, collect=True)
+    # collect=False = the at-scale path: edge rows and the done set never
+    # land on the driver; counts come from shard stats / per-round metrics
+    res = crawl(info["corpus"], info["seeds"], cfg, collect=False)
     sec = time.perf_counter() - t0
-    n_done = len(res.done_urls())
-    n_edges = res.edges().num_rows
+    n_done = sum(s["done"] for s in res.shard_stats)
+    n_edges = sum(m["edges"] for m in res.metrics)
     return {
         "sec": sec,
         "urls_done": n_done,

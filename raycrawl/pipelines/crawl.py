@@ -111,6 +111,30 @@ class CrawlResult:
         return dict(zip(t["url_norm"].to_pylist(), t["depth"].to_pylist()))
 
 
+@ray.remote(num_cpus=0.5, num_returns=3)
+def _split_round_block(tbl: pa.Table):
+    """Worker-side kind-split of one round block: (cand, done, kind_counts).
+
+    The cand/done projections are the ONLY rows the frontier commit needs;
+    edge/error/blocked rows never leave the object store (at billions of
+    edges per round the driver would otherwise be the scale ceiling). The
+    kind_counts dict is a few ints — the driver's metrics come from summing
+    these instead of concatenating the round."""
+    kinds = tbl["kind"]
+    cand = (
+        tbl.filter(pc.equal(kinds, "cand"))
+        .select(["url_raw", "url_norm", "host", "depth", "gshard"])
+        .combine_chunks()
+    )
+    done = (
+        tbl.filter(pc.equal(kinds, "done"))
+        .select(["url_norm", "gshard"])
+        .combine_chunks()
+    )
+    vc = {r["values"]: r["counts"] for r in pc.value_counts(kinds).to_pylist()}
+    return cand, done, vc
+
+
 def _seed_rows(seeds, num_shards):
     by_shard = {}
     seen_norm = set()
@@ -319,36 +343,29 @@ def crawl(
         if debug_timing and phase["exec"] > 5:
             print(f"--- round {round_no} stats ---\n{mat.stats()}", flush=True)
 
+        # route, WORKER-side: one small split task per block projects the
+        # cand/done rows and counts kinds. Edge/error rows stay in the
+        # object store — the driver never holds an edge row (they dominate:
+        # billions per round at scale) and only ever sees the tiny counts.
         t1 = time.perf_counter()
-        tbls = ray.get(mat.to_arrow_refs())
-        round_tbl = (
-            pa.concat_tables(tbls, promote_options="default")
-            if tbls
-            else empty_tall()
-        )
-        phase["collect0"] = round(time.perf_counter() - t1, 3)
-
-        # route + commit, shard-side and parallel: the cand/done tables go
-        # into the object store ONCE; every shard pulls its own rows
-        # (zero-copy) and commits. The driver only filters kind twice.
-        t1 = time.perf_counter()
-        kinds_col = round_tbl["kind"]
-        cand_tbl = round_tbl.filter(pc.equal(kinds_col, "cand")).select(
-            ["url_raw", "url_norm", "host", "depth", "gshard"]
-        ).combine_chunks()
-        done_tbl = round_tbl.filter(pc.equal(kinds_col, "done")).select(
-            ["url_norm", "gshard"]
-        ).combine_chunks()
-        cand_ref = ray.put(cand_tbl)
-        done_ref = ray.put(done_tbl)
+        block_refs = mat.to_arrow_refs()
+        splits = [_split_round_block.remote(r) for r in block_refs]
+        cand_refs = [s[0] for s in splits]
+        done_refs = [s[1] for s in splits]
+        vc: dict = {}
+        for d in ray.get([s[2] for s in splits]):
+            for k, n in d.items():
+                vc[k] = vc.get(k, 0) + n
         phase["route"] = round(time.perf_counter() - t1, 3)
 
         # phase A — seen-gate, BALANCED by hash(url_norm) across shards
-        # (host skew cannot serialize it); phase B — enqueue into the
-        # host-owning politeness queues (cheap). Both shard-parallel.
+        # (host skew cannot serialize it); each shard pulls the cand/done
+        # block refs zero-copy and keeps only its own gshard rows. phase B
+        # — enqueue into the host-owning politeness queues (cheap). Both
+        # shard-parallel.
         t1 = time.perf_counter()
         gated_refs = [
-            s.gate_round.remote(cand_ref, done_ref, num_shards)
+            s.gate_round_refs.remote(cand_refs, done_refs, num_shards)
             for s in shards
         ]
         enq = ray.get(
@@ -359,10 +376,6 @@ def crawl(
         phase["commit"] = round(time.perf_counter() - t1, 3)
 
         t1 = time.perf_counter()
-        vc = {
-            r["values"]: r["counts"]
-            for r in pc.value_counts(round_tbl["kind"]).to_pylist()
-        }
         counts = {
             "round": round_no,
             "released": n_released,
@@ -385,15 +398,17 @@ def crawl(
             # idempotent re-write: a resumed run replaying this round must
             # not append duplicate part files
             shutil.rmtree(rdir, ignore_errors=True)
-            if collect:
-                os.makedirs(rdir, exist_ok=True)
-                pq.write_table(round_tbl, os.path.join(rdir, "part-0.parquet"))
-            else:
-                # distributed write: blocks stream from the workers, the
-                # driver never serializes the round (the at-scale path)
-                mat.write_parquet(rdir)
+            # distributed write: blocks stream from the workers, the
+            # driver never serializes the round (the at-scale path)
+            mat.write_parquet(rdir)
         if collect:
-            collected.append(round_tbl)
+            # driver-side round table only on request (tests / small crawls)
+            tbls = ray.get(block_refs)
+            collected.append(
+                pa.concat_tables(tbls, promote_options="default")
+                if tbls
+                else empty_tall()
+            )
 
         if output_dir and config.checkpoint_every and (
             round_no % config.checkpoint_every == 0
@@ -417,13 +432,17 @@ def crawl(
 
     shard_stats = ray.get([s.counts.remote() for s in shards])
     seen = done = None
-    if config.seen_mode == "exact":
-        seen = sorted(
-            set().union(*ray.get([s.seen_snapshot.remote() for s in shards]))
+    if collect:
+        # driver-side seen/done snapshots are test/conformance conveniences;
+        # at 1e10 urls they are a driver OOM — gated behind collect, like
+        # the per-round tables (counts live in shard_stats either way)
+        if config.seen_mode == "exact":
+            seen = sorted(
+                set().union(*ray.get([s.seen_snapshot.remote() for s in shards]))
+            )
+        done = sorted(
+            set().union(*ray.get([s.done_snapshot.remote() for s in shards]))
         )
-    done = sorted(
-        set().union(*ray.get([s.done_snapshot.remote() for s in shards]))
-    )
 
     for s in shards:
         ray.kill(s)

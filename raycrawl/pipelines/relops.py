@@ -94,18 +94,20 @@ def mktsegment_revenue(sf_dir: str) -> rd.Dataset:
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
     lookup_ref = ray.put(
-        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+        (cust["c_custkey"].combine_chunks(), cust["c_mktsegment"].combine_chunks())
     )
 
     class Join:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            # one zero-copy object-store read per actor; the dim table stays
+            # a pair of Arrow arrays so the probe is vectorized index_in+take
+            self.keys, self.vals = ray.get(lookup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            segs = [self.lookup.get(k) for k in t["o_custkey"].to_pylist()]
+            idx = pc.index_in(t["o_custkey"], value_set=self.keys)
             return pa.table(
                 {
-                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "c_mktsegment": self.vals.take(idx),
                     "price_cents": _cents(t["o_totalprice"]),
                 }
             )
@@ -315,17 +317,21 @@ def region_nation_counts(sf_dir: str) -> rd.Dataset:
     region = pq.read_table(
         os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
     )
-    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
-    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+    # compose nation->region->name ONCE (vectorized index_in+take), then
+    # broadcast the (nationkey, region_name) Arrow array pair
+    ridx = pc.index_in(nation["n_regionkey"], value_set=region["r_regionkey"].combine_chunks())
+    lookup_ref = ray.put(
+        (nation["n_nationkey"].combine_chunks(),
+         region["r_name"].combine_chunks().take(ridx.combine_chunks()))
+    )
 
     class Join:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            self.keys, self.vals = ray.get(lookup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.lookup.get(k) for k in t["c_nationkey"].to_pylist()]
-            return pa.table({"r_name": pa.array(names, pa.string())})
+            idx = pc.index_in(t["c_nationkey"], value_set=self.keys)
+            return pa.table({"r_name": self.vals.take(idx)})
 
     return (
         _read(sf_dir, "customer", ["c_nationkey"])

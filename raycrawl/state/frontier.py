@@ -185,6 +185,29 @@ class FrontierShard:
             )
         ).cast(FRONTIER_SCHEMA)
 
+    def gate_round_refs(self, cand_refs, done_refs, num_shards: int) -> pa.Table:
+        """gate_round over per-block ObjectRefs: the at-scale protocol.
+
+        The round's cand/done rows arrive as one small projected table per
+        round block (split worker-side — the driver never concatenates the
+        round). Each shard maps the blocks zero-copy from the object store
+        and keeps ONLY its gshard rows before concatenating, so per-shard
+        heap is ~1/num_shards of the round's candidate volume."""
+        import pyarrow.compute as pc
+
+        def mine_parts(refs):
+            subs = []
+            for t in ray.get(list(refs)):
+                if t is None or t.num_rows == 0:
+                    continue
+                sub = t.filter(pc.equal(t["gshard"], self.shard_id))
+                if sub.num_rows:
+                    subs.append(sub)
+            return pa.concat_tables(subs) if subs else None
+
+        return self.gate_round(mine_parts(cand_refs), mine_parts(done_refs),
+                               num_shards)
+
     def enqueue_round(self, num_shards: int, *tbls) -> int:
         """Round barrier phase B (host-affine): from the gated tables of
         ALL gate shards, enqueue the rows whose hosts I own into my

@@ -159,10 +159,16 @@ def test_max_depth(ray_session, corpus):
     assert res.depths() and max(res.depths().values()) <= 1
 
 
-def test_output_dir_rounds_parquet(ray_session, corpus, tmp_path):
+def test_output_dir_rounds_parquet_driver_clean(ray_session, corpus, tmp_path):
+    """collect=False is the at-scale path: the driver holds NO round rows
+    (no tall table, no done/seen snapshots) — the rounds Parquet is the
+    complete, authoritative record and shard_stats carry the counts."""
     out = str(tmp_path / "o")
     res = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE),
                 output_dir=out, collect=False)
+    assert res.tall is None          # no edge row ever landed on the driver
+    assert res.done is None and res.seen is None  # snapshots gated too
+
     import pyarrow.dataset as pads
 
     tall = pads.dataset(f"{out}/rounds", partitioning="hive").to_table()
@@ -170,5 +176,9 @@ def test_output_dir_rounds_parquet(ray_session, corpus, tmp_path):
         u for u, k in zip(tall["url_norm"].to_pylist(), tall["kind"].to_pylist())
         if k == "done"
     }
-    assert done == res.done_urls()
-    assert res.tall is None  # collect=False keeps the driver clean
+    ref = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE))
+    # rounds-Parquet completeness vs a collected run
+    assert done == ref.done_urls()
+    assert tall.num_rows == ref.tall.num_rows
+    # shard_stats counters are the scale-mode observability surface
+    assert sum(s["done"] for s in res.shard_stats) == len(done)
