@@ -82,11 +82,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         # ---- similarity search ----
         "ann_brute_topk": ann.brute_force_topk,
-        "ann_lsh_topk": ann.lsh_topk,
-        "ann_ivf_topk": ann.ivf_topk,
+        "ann_lsh_topk": _ann_lsh_checked,
+        "ann_ivf_topk": _ann_ivf_checked,
         # ---- multimodal plumbing ----
         "multimodal_meta": _multimodal_meta,
-        "multimodal_decode": multimodal.decode_features,
+        "multimodal_decode": multimodal.decode_features_flat,
         # ---- relational breadth (groupby/join/sort/window/sessionize) ----
         "q1_returnflag_agg": relops.q1_returnflag_agg,
         "mktsegment_revenue": relops.mktsegment_revenue,
@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_agg": relops.events_sliding_agg,
         "events_sessionize": relops.events_sessionize,
         "events_topk_users": relops.events_topk_users,
+        "events_asof_join": relops.events_asof_join,
         "region_nation_counts": relops.region_nation_counts,
     }
 
@@ -104,6 +105,35 @@ def _multimodal_meta(sf_dir: str):
     """SQL-comparable projection of the multimodal decode stage."""
     ds = multimodal.decode_features(sf_dir)
     return ds.select_columns(["doc_id", "n_bytes", "first_byte"])
+
+
+def _ann_recall(approx, exact) -> float:
+    e = {(q, v) for q, v in zip(exact["query_id"].to_pylist(),
+                                exact["vec_id"].to_pylist())}
+    a = {(q, v) for q, v in zip(approx["query_id"].to_pylist(),
+                                approx["vec_id"].to_pylist())}
+    return len(e & a) / max(len(e), 1)
+
+
+def _ann_lsh_checked(sf_dir: str):
+    """LSH top-k with a CHECKED recall bound vs exact brute force — the
+    approximate result has no SQL oracle, so the correctness signal is this
+    assertion failing loudly inside the driver's rows-only check."""
+    approx = ann.lsh_topk(sf_dir)
+    exact = ann.brute_force_topk(sf_dir)
+    r = _ann_recall(approx, exact)
+    assert r >= 0.25, f"LSH recall {r:.3f} below bound 0.25 vs brute force"
+    return approx
+
+
+def _ann_ivf_checked(sf_dir: str):
+    """IVF top-k with a CHECKED recall bound vs exact brute force (see
+    _ann_lsh_checked)."""
+    approx = ann.ivf_topk(sf_dir)
+    exact = ann.brute_force_topk(sf_dir)
+    r = _ann_recall(approx, exact)
+    assert r >= 0.3, f"IVF recall {r:.3f} below bound 0.3 vs brute force"
+    return approx
 
 
 def oracle_sql() -> dict[str, str]:
@@ -264,6 +294,159 @@ SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
        CAST(COUNT(*) AS BIGINT) AS n_dups
 FROM documents GROUP BY text
 """,
+        # exact re-derivation of the LSH+verify output: every emitted pair
+        # has true 3-shingle Jaccard >= 0.5, and on this corpus the banding
+        # has perfect recall (verified empirically at sf0.01 AND sf0.1), so
+        # brute-force Jaccard in SQL reproduces the EXACT pair set
+        "dedup_minhash_lsh": r"""
+WITH words AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE
+      WHEN len(w) = 0 THEN []
+      WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      ELSE list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    END) AS sset
+  FROM words),
+e AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+counts AS (SELECT doc_id, len(sset) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+""",
+        # exact re-derivation of the simhash kernel: word hash = first 8
+        # bytes of md5 (the kernel uses md5 precisely so SQL can recompute
+        # it), per-bit +/-1 majority, 4x16-bit band blocking (pigeonhole-
+        # complete for Hamming<=3), exact banded-Hamming verification
+        "dedup_simhash": r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word FROM documents
+),
+h AS (SELECT doc_id, md5(word) AS hx FROM w),
+bitsum AS (
+  SELECT doc_id, i,
+    SUM(CASE WHEN ((strpos('0123456789abcdef',
+                           substring(hx, 16 - CAST(i // 4 AS INT), 1)) - 1)
+              >> (i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM h, range(0, 64) t(i)
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id,
+    SUM(CASE WHEN acc > 0 AND i // 16 = 0 THEN (CAST(1 AS BIGINT) << CAST(i % 16 AS INT)) ELSE 0 END) AS b0,
+    SUM(CASE WHEN acc > 0 AND i // 16 = 1 THEN (CAST(1 AS BIGINT) << CAST(i % 16 AS INT)) ELSE 0 END) AS b1,
+    SUM(CASE WHEN acc > 0 AND i // 16 = 2 THEN (CAST(1 AS BIGINT) << CAST(i % 16 AS INT)) ELSE 0 END) AS b2,
+    SUM(CASE WHEN acc > 0 AND i // 16 = 3 THEN (CAST(1 AS BIGINT) << CAST(i % 16 AS INT)) ELSE 0 END) AS b3
+  FROM bitsum GROUP BY doc_id
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+""",
+        # connected components (transitive closure + min) over the SAME
+        # brute-force-verified Jaccard pair set the minhash oracle derives
+        "dedup_clusters": r"""
+WITH RECURSIVE
+words AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE
+      WHEN len(w) = 0 THEN []
+      WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      ELSE list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    END) AS sset
+  FROM words),
+e AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+counts AS (SELECT doc_id, len(sset) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN counts ca ON ca.doc_id = id_a
+  JOIN counts cb ON cb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+)
+SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
+""",
+        # the fingerprint kernel is a code-point polynomial hash mod the
+        # Mersenne prime 2^61-1 (documents are ASCII, so code points ==
+        # utf-8 bytes); HUGEINT keeps the fold exact
+        "docs_fingerprints": r"""
+SELECT doc_id,
+  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+    list_reduce(
+      list_prepend(CAST(0 AS HUGEINT),
+        list_transform(range(1, length(text) + 1),
+                       i -> CAST(unicode(text[i]) AS HUGEINT))),
+      (a, b) -> (a * 257 + b + 1) % 2305843009213693951)
+  END AS BIGINT) AS fp
+FROM documents
+""",
+        # the language-ID heuristic re-derived: distinct lowercase words,
+        # per-language stopword hits, first-strictly-greater scan over
+        # languages in sorted order (de,en,es,fr), default 'en'
+        "docs_langid": r"""
+WITH ws AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+    len(list_intersect(w, ['der','die','das','und','ist','nicht','ein'])) AS n_de,
+    len(list_intersect(w, ['the','a','of','and','to','in','is','it'])) AS n_en,
+    len(list_intersect(w, ['el','la','los','y','es','un','una'])) AS n_es,
+    len(list_intersect(w, ['le','la','les','et','est','un','une'])) AS n_fr
+  FROM ws
+)
+SELECT doc_id,
+  CASE WHEN n_fr > GREATEST(0, n_de, n_en, n_es) THEN 'fr'
+       WHEN n_es > GREATEST(0, n_de, n_en) THEN 'es'
+       WHEN n_en > GREATEST(0, n_de) THEN 'en'
+       WHEN n_de > 0 THEN 'de'
+       ELSE 'en' END AS lang_pred
+FROM n
+""",
+        # full decode-stage oracle: md5 digest (the decoder uses md5 so SQL
+        # can recompute it) + byte-range histogram features; documents are
+        # ASCII so char classes count bytes exactly
+        "multimodal_decode": r"""
+SELECT doc_id,
+  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN length(text) = 0 THEN 0
+            ELSE ascii(substring(text, 1, 1)) END AS BIGINT) AS first_byte,
+  md5(text) AS digest,
+  CAST(length(regexp_extract_all(text, '[\x00-\x1f]')) AS BIGINT) AS f0,
+  CAST(length(regexp_extract_all(text, '[\x20-\x3f]')) AS BIGINT) AS f1,
+  CAST(length(regexp_extract_all(text, '[\x40-\x5f]')) AS BIGINT) AS f2,
+  CAST(length(regexp_extract_all(text, '[\x60-\x7f]')) AS BIGINT) AS f3,
+  CAST(0 AS BIGINT) AS f4, CAST(0 AS BIGINT) AS f5,
+  CAST(0 AS BIGINT) AS f6, CAST(0 AS BIGINT) AS f7
+FROM documents
+""",
         "dedup_embedding_cosine": """
 SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
 FROM embeddings a
@@ -355,6 +538,22 @@ SELECT user_id,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM d GROUP BY user_id
+""",
+        # DuckDB's native ASOF JOIN is the oracle for the composed
+        # partition-by-user + sorted-merge as-of join
+        "events_asof_join": """
+WITH purchases AS (
+  SELECT user_id, ts,
+         MAX(CAST(ROUND(value * 100) AS BIGINT)) AS purchase_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.user_id,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) AS purchase_ts_us,
+       p.purchase_cents
+FROM clicks c ASOF JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
 """,
         "region_nation_counts": """
 SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_customers

@@ -11,12 +11,26 @@ Public surface (parity with the reference's de-facto API,
 ``/root/reference/simple_crawler/__init__.py:1-3``):
 
     from raycrawl import crawl, CrawlConfig
+    from raycrawl import Hyperlink, make_hyperlink, make_hyperlink_set
     from raycrawl.functions.canonicalize import normalise_url
     from raycrawl.functions.extract import hrefs_from_html
 """
 
 from raycrawl.config import CrawlConfig
+from raycrawl.functions.hyperlink import (
+    Hyperlink,
+    HyperlinkSet,
+    make_hyperlink,
+    make_hyperlink_set,
+)
 from raycrawl.pipelines.crawl import crawl
 
-__all__ = ["CrawlConfig", "crawl"]
+__all__ = [
+    "CrawlConfig",
+    "crawl",
+    "Hyperlink",
+    "HyperlinkSet",
+    "make_hyperlink",
+    "make_hyperlink_set",
+]
 __version__ = "0.1.0"

@@ -181,26 +181,40 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
              kmeans_iters: int = 8, sample: int = 2048) -> pa.Table:
     """Approximate top-k via an IVF (inverted-file) index — the scale path.
 
-    Train: k-means centroids on a driver-side sample (deterministic seed).
-    Index: each vector belongs to its nearest centroid's list — assignment
-    happens per batch with one matmul (distributed). Search: a query scans
-    only its n_probe nearest lists instead of the full collection; the
-    centroid matrix broadcasts once via ray.put. Recall is measured against
-    brute force in the unit tests.
+    Train: k-means centroids on a DISTRIBUTED deterministic sample — a
+    multiplicative hash of vec_id picks ~2x``sample`` rows inside
+    map_batches, so only the bounded sample ever reaches the driver (the
+    full embedding table never does). Index: each vector belongs to its
+    nearest centroid's list — assignment happens per batch with one matmul
+    (distributed). Search: a query scans only its n_probe nearest lists
+    instead of the full collection; the centroid matrix broadcasts once via
+    ray.put. Recall is measured against brute force in the unit tests and
+    asserted at query time by the driver-facing wrapper.
     """
-    import pyarrow.parquet as pq
-
     q_ids, q_mat = _load_queries(sf_dir, n_queries)
 
-    # --- train centroids on a sample (driver-side; at scale: a sampled
-    # Dataset pass feeding minibatch k-means) ---
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    # --- train centroids on a distributed sample (deterministic:
+    # vec_id-hash pick, vec_id-sorted, truncated to `sample`) ---
+    emb_ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
     )
-    all_m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+    n_total = max(emb_ds.count(), 1)
+    cutoff = np.uint64(min(1.0, (2.0 * sample) / n_total) * (1 << 32))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = ((ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) < cutoff
+        return t.filter(pa.array(keep))
+
+    sample_df = (
+        emb_ds.map_batches(pick, batch_format="pyarrow")
+        .to_pandas()  # bounded: ~2*sample rows by construction
+        .sort_values("vec_id")
+        .head(sample)
+    )
+    train = _normalize(np.stack(sample_df["embedding"].to_numpy()).astype(np.float64))
     rng = np.random.RandomState(seed)
-    idx = rng.choice(len(all_m), size=min(sample, len(all_m)), replace=False)
-    train = all_m[idx]
     cent = train[rng.choice(len(train), size=min(n_lists, len(train)),
                             replace=False)]
     for _ in range(kmeans_iters):

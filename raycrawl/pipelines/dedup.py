@@ -44,21 +44,65 @@ __all__ = [
 
 # documents tables here are shuffle-bound, not scan-bound: Ray's default
 # block splitting (64+) makes every groupby pay 64-partition fixed costs on
-# a few-MB table. Cap parallelism; at real corpus scale drop the override.
-_DOC_BLOCKS = 8
+# a few-MB table. Derive the block count from the input size (±32 MB per
+# block, floor 8) so small tables stay cheap and large corpora still spread.
+_DOC_BLOCK_BYTES = 32 << 20
+
+
+def doc_blocks(sf_dir: str, floor: int = 8) -> int:
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        return floor
+    return max(floor, -(-size // _DOC_BLOCK_BYTES))
 
 
 def _read_docs(sf_dir: str, columns):
     return rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=columns,
-        override_num_blocks=_DOC_BLOCKS,
+        override_num_blocks=doc_blocks(sf_dir),
     )
 
 
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
+
+
+def _arrow_block_task(blk, names):
+    """Normalize one block to an Arrow table with the given columns;
+    returns (table, num_rows). Runs as a Ray task (see clean_blocks)."""
+    if isinstance(blk, pd.DataFrame):
+        t = pa.Table.from_pandas(blk, preserve_index=False)
+    else:
+        t = blk
+    if t.num_rows == 0:
+        return t, 0
+    return t.select(list(names)), t.num_rows
+
+
+def clean_blocks(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+    """Rebuild ``ds`` from only its NON-EMPTY blocks, as Arrow tables with
+    ``schema``'s columns.
+
+    Workaround for a Ray Data sharp edge: groupby/map_groups stages emit
+    SCHEMA-LESS empty blocks for empty partitions, empty blocks bypass
+    map_batches UDFs (so they cannot be normalized in-stream), and
+    ``Dataset.join`` fails on them ("No match ... for key field reference
+    ... on left side"). Blocks stay in the object store — one tiny task per
+    block converts/filters; the driver only sees per-block row counts.
+    """
+    import ray
+
+    fn = ray.remote(num_cpus=0.25, num_returns=2)(_arrow_block_task)
+    refs = ds.materialize().to_arrow_refs()
+    outs = [fn.remote(r, schema.names) for r in refs]
+    counts = ray.get([o[1] for o in outs])
+    good = [o[0] for o, n in zip(outs, counts) if n]
+    if not good:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(good)
 
 
 def _hash64_bytes(data: bytes) -> int:
@@ -211,49 +255,50 @@ def minhash_lsh_pairs(
             {"id_a": pd.array(out_a, "int64"), "id_b": pd.array(out_b, "int64")}
         )
 
-    import pyarrow.parquet as pq
-    import ray
-
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    # broadcast the id->text store ONCE via ray.put — every verify worker
-    # reads the same object-store copy (no per-task reshipping). At 100TB
-    # this becomes a doc_id join back against the docs table instead.
-    tt = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    texts_ref = ray.put(dict(zip(tt["doc_id"].to_pylist(), tt["text"].to_pylist())))
 
+    # exact-Jaccard verification fetches the two texts of each candidate
+    # pair with hash joins back against the docs table on doc_id — the pair
+    # set is sparse, the docs side streams hash-partitioned; nothing is
+    # materialized driver-side (at 100 TB a broadcast id->text map cannot
+    # exist). Two joins: id_a -> text_a, then id_b -> text_b.
     def verify(t: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)  # worker-local object-store read, cached
-        keep_a, keep_b = [], []
-        seen = set()
-        for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
-            if (a, b) in seen:
-                continue
-            seen.add((a, b))
-            if jaccard(shingles(texts[a], k), shingles(texts[b], k)) >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-        return pa.table(
-            {
-                "id_a": pa.array(keep_a, pa.int64()),
-                "id_b": pa.array(keep_b, pa.int64()),
-            }
-        )
+        keep = [
+            jaccard(shingles(ta, k), shingles(tb, k)) >= threshold
+            for ta, tb in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())
+        ]
+        return t.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])
 
     from ray.data.aggregate import Count
 
-    pairs = (
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    n_parts = doc_blocks(sf_dir)
+    cands = clean_blocks(
         docs.map_batches(signer, batch_format="pyarrow")
         .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
         # global pair dedup via native hash aggregation (no per-group UDF)
         .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n"))
-        .select_columns(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n")),
+        pair_schema,
+    )
+    texts_a = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.rename_columns(["doc_id", "text_a"]), batch_format="pyarrow"
+    )
+    texts_b = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.rename_columns(["doc_id", "text_b"]), batch_format="pyarrow"
+    )
+    pairs = (
+        cands.join(texts_a, join_type="inner", num_partitions=n_parts,
+                   on=("id_a",), right_on=("doc_id",))
+        .join(texts_b, join_type="inner", num_partitions=n_parts,
+              on=("id_b",), right_on=("doc_id",))
         .map_batches(verify, batch_format="pyarrow")
     )
-    return pairs
+    # empty join partitions bypass verify and keep the 4-column schema;
+    # normalize so consumers see a uniform (id_a, id_b) dataset
+    return clean_blocks(pairs, pair_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -261,58 +306,151 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def dedup_clusters(sf_dir: str, pairs_ds=None) -> rd.Dataset:
+def dedup_clusters(sf_dir: str, pairs_ds=None, mode: str = "auto",
+                   small_pairs_limit: int = 200_000,
+                   max_iters: int = 64) -> rd.Dataset:
     """(doc_id, cluster_id): connected components over near-dup pairs.
 
     cluster_id = min doc_id of the component; docs in no pair are their own
-    cluster. The pair set is the verified near-dup graph (sparse — orders
-    of magnitude smaller than the corpus), so components resolve with
-    union-find over the STREAMED pairs on the driver (guide: driver
-    union-find only when the candidate set is provably small; the full-scale
-    alternative is iterated min-label propagation with groupbys). The
-    labeling of all docs stays distributed: the component map broadcasts
-    once via ray.put and a map_batches pass assigns cluster ids.
+    cluster. Two resolution paths with identical output (tested equal):
+
+    * ``driver`` — union-find over the streamed pair set. Chosen by
+      ``auto`` only when the pair count is provably small; boilerplate-
+      heavy corpora make near-dup graphs huge, so this is a fast path,
+      not the design.
+    * ``distributed`` — iterated min-label propagation: L(x) <-
+      min(L(x), min over neighbors L(n)) via join + groupby-min per
+      round until the label sum stops changing (it is monotone
+      non-increasing, so equal sums == fixpoint). Rounds are bounded by
+      the component diameter; near-dup components are clique-ish, so
+      this converges in a few rounds at scale.
+
+    The final labeling of ALL docs is a union + groupby-min (no driver
+    map): docs start as their own label and the propagated labels win.
     """
     import ray
+    from ray.data.aggregate import Min
 
     if pairs_ds is None:
         pairs_ds = minhash_lsh_pairs(sf_dir)
+    pairs = pairs_ds.materialize()  # the sparse verified near-dup graph
+    n_pairs = pairs.count()
 
-    parent: dict = {}
+    if mode == "driver" or (mode == "auto" and n_pairs <= small_pairs_limit):
+        parent: dict = {}
 
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
 
-    for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by min id -> cluster_id is the component minimum
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
+        for batch in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min id -> cluster_id is the component minimum
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
 
-    labels = {x: find(x) for x in list(parent)}
-    labels_ref = ray.put(labels)
+        labels = {x: find(x) for x in list(parent)}
+        labels_ref = ray.put(labels)
 
-    def assign(t: pa.Table) -> pa.Table:
-        lab = ray.get(labels_ref)
-        ids = t["doc_id"].to_pylist()
+        def assign(t: pa.Table) -> pa.Table:
+            lab = ray.get(labels_ref)
+            ids = t["doc_id"].to_pylist()
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "cluster_id": pa.array(
+                        [lab.get(i, i) for i in ids], pa.int64()
+                    ),
+                }
+            )
+
+        return _read_docs(sf_dir, ["doc_id"]).map_batches(
+            assign, batch_format="pyarrow"
+        )
+
+    # ---- distributed min-label propagation ----
+    n_parts = max(8, doc_blocks(sf_dir))
+
+    def docs_own_labels():
+        return _read_docs(sf_dir, ["doc_id"]).map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "cluster_id": t["doc_id"]}),
+            batch_format="pyarrow",
+        )
+
+    if n_pairs == 0:
+        return docs_own_labels()
+
+    def sym_edges(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks()
+        b = t["id_b"].combine_chunks()
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "cluster_id": pa.array(
-                    [lab.get(i, i) for i in ids], pa.int64()
-                ),
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
             }
         )
 
-    return _read_docs(sf_dir, ["doc_id"]).map_batches(
-        assign, batch_format="pyarrow"
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    edges = clean_blocks(
+        pairs.map_batches(sym_edges, batch_format="pyarrow"), edge_schema
+    )
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        nodes = t["src"]
+        return pa.table({"node": nodes, "label": nodes})
+
+    labels = clean_blocks(
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label")),
+        label_schema,
+    )
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        # neighbor labels: edges ⋈ labels on dst, then take the min over
+        # {self} ∪ neighbors per node
+        neigh = (
+            edges.join(labels, join_type="inner", num_partitions=n_parts,
+                       on=("dst",), right_on=("node",))
+            .select_columns(["src", "label"])
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]),
+                batch_format="pyarrow",
+            )
+        )
+        labels = clean_blocks(
+            labels.union(neigh)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label")),
+            label_schema,
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # monotone non-increasing -> fixpoint
+            break
+        prev_sum = cur_sum
+
+    def own_label(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["doc_id"], "label": t["doc_id"]})
+
+    # every doc starts as its own cluster; propagated (smaller) labels win
+    all_labels = (
+        _read_docs(sf_dir, ["doc_id"])
+        .map_batches(own_label, batch_format="pyarrow")
+        .union(labels)
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .select_columns(["node", "label"])
+    )
+    return all_labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
     )
 
 
@@ -321,17 +459,48 @@ def dedup_clusters(sf_dir: str, pairs_ds=None) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
+_BIT_POS = np.arange(64, dtype=np.uint64)
+_BIT_VAL = (np.uint64(1) << _BIT_POS)
+
+
+def _md5_word_hash(word: str) -> int:
+    """64-bit word feature hash: first 8 bytes of md5, big-endian — chosen
+    because DuckDB's md5() reproduces it exactly, which is what lets the
+    dedup_simhash oracle recompute every simhash in SQL."""
+    return int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "big")
+
+
+def simhash64_batch(texts, _cache_size: int = 1 << 16) -> np.ndarray:
+    """Vectorized simhash per doc (int64 carrier array).
+
+    Per doc: one gather of cached word hashes, ONE (n_words, 64) bit
+    unpack + column sum — no per-word numpy ops (the per-word path was
+    measured orders of magnitude slower). The word->hash cache persists
+    for the batch; vocabulary repeats across docs make it ~free.
+    """
+    cache: dict = {}
+    out = np.zeros(len(texts), dtype=np.int64)
+    for di, text in enumerate(texts):
+        words = _WORD.findall(text or "")
+        if not words:
+            continue
+        hs = np.empty(len(words), dtype=np.uint64)
+        for wi, w in enumerate(words):
+            h = cache.get(w)
+            if h is None:
+                h = _md5_word_hash(w)
+                if len(cache) < _cache_size:
+                    cache[w] = h
+            hs[wi] = h
+        bits = ((hs[:, None] >> _BIT_POS[None, :]) & np.uint64(1)).astype(np.int32)
+        acc = bits.sum(axis=0) * 2 - len(words)  # sum of (+1/-1) per bit
+        out[di] = _BIT_VAL[acc > 0].sum().astype(np.uint64).astype(np.int64)
+    return out
+
+
 def simhash64(text: str) -> int:
     """64-bit simhash over word features (unsigned value in int64 carrier)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in _WORD.findall(text or ""):
-        h = _hash64_bytes(w.encode())
-        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = np.uint64(0)
-    for i in np.nonzero(acc > 0)[0]:
-        out |= np.uint64(1) << np.uint64(i)
-    return int(out.astype(np.int64))
+    return int(simhash64_batch([text])[0])
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
@@ -340,22 +509,22 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     exact Hamming verification inside each block."""
 
     def sign(t: pa.Table) -> pa.Table:
-        ids, bands, keys, sims = [], [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            s = simhash64(text)
-            u = np.uint64(s)
-            for b in range(4):
-                ids.append(doc_id)
-                bands.append(b)
-                keys.append(int((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
-                sims.append(s)
+        sims = simhash64_batch(t["text"].to_pylist())
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = sims.view(np.uint64)
+        # explode to 4 banded rows per doc, all vectorized
+        n = len(ids)
+        out_ids = np.repeat(ids, 4)
+        out_band = np.tile(np.arange(4, dtype=np.int32), n)
+        shifts = np.tile(np.arange(4, dtype=np.uint64) * np.uint64(16), n)
+        out_key = ((np.repeat(u, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "key": pa.array(keys, pa.int32()),
-                "simhash": pa.array(sims, pa.int64()),
-                "part": pa.array([k & 63 for k in keys], pa.int32()),
+                "doc_id": pa.array(out_ids),
+                "band": pa.array(out_band),
+                "key": pa.array(out_key),
+                "simhash": pa.array(np.repeat(sims, 4)),
+                "part": pa.array(out_key & np.int32(63)),
             }
         )
 
@@ -378,7 +547,10 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
             sims = np.array([uniq[i] for i in ids], dtype=np.uint64)
             for i in range(len(ids)):
                 x = sims[i] ^ sims[i + 1 :]
-                hams = np.array([bin(int(v)).count("1") for v in x])
+                # vectorized popcount: bytes view + unpackbits
+                hams = np.unpackbits(
+                    x.view(np.uint8).reshape(len(x), 8), axis=1
+                ).sum(axis=1)
                 for j in np.nonzero(hams <= max_hamming)[0]:
                     out_a.append(ids[i])
                     out_b.append(int(ids[i + 1 + j]))

@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["payloads", "decode_features", "ImageDecoder"]
+__all__ = ["payloads", "decode_features", "decode_features_flat", "ImageDecoder"]
 
 
 def payloads(sf_dir: str) -> rd.Dataset:
@@ -75,7 +75,9 @@ class ImageDecoder:
         for payload in t["payload"].to_pylist():
             b = bytes(payload or b"")
             feats.append(self._decode(b).tolist())
-            digests.append(hashlib.blake2b(b, digest_size=8).hexdigest())
+            # md5: DuckDB computes the identical digest, which is what lets
+            # the multimodal_decode oracle reproduce this column in SQL
+            digests.append(hashlib.md5(b).hexdigest())
             first.append(b[0] if b else 0)
         return pa.table(
             {
@@ -99,3 +101,27 @@ def decode_features(sf_dir: str, batch_size: int = 256) -> rd.Dataset:
         concurrency=2,
         num_cpus=1,
     )
+
+
+def decode_features_flat(sf_dir: str, feature_dim: int = 8) -> rd.Dataset:
+    """decode_features with the feature vector flattened to f0..f{d-1}
+    int columns — the SQL-comparable projection the correctness oracle
+    consumes (list columns don't hash stably through the compare)."""
+
+    def flat(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        feats = np.array(t["feature"].to_pylist(), dtype=np.int64).reshape(
+            t.num_rows, feature_dim
+        )
+        cols = {
+            "doc_id": t["doc_id"],
+            "n_bytes": t["n_bytes"],
+            "first_byte": t["first_byte"],
+            "digest": t["digest"],
+        }
+        for i in range(feature_dim):
+            cols[f"f{i}"] = pa.array(feats[:, i])
+        return pa.table(cols)
+
+    return decode_features(sf_dir).map_batches(flat, batch_format="pyarrow")

@@ -33,6 +33,7 @@ __all__ = [
     "events_sliding_agg",
     "events_sessionize",
     "events_topk_users",
+    "events_asof_join",
     "region_nation_counts",
 ]
 
@@ -303,6 +304,72 @@ def events_topk_users(sf_dir: str, k: int = 10) -> rd.Dataset:
         .aggregate(Sum("total_cents", alias_name="total_cents"))
         .sort(["total_cents", "user_id"], descending=[True, False])
         .limit(k)
+    )
+
+
+def events_asof_join(sf_dir: str) -> rd.Dataset:
+    """AS-OF join (backward): each click event matched to the same user's
+    most recent purchase at-or-before it.
+
+    Ray Data has no native as-of join; the composition is the documented
+    pattern for order-dependent joins: partition by the equality key
+    (user_id — ONE shuffle moves only the two event slices), then a sorted
+    merge inside each group (numpy searchsorted — vectorized, O(n log n)
+    per group). Purchases are pre-deduped per (user, ts) with MAX(cents) so
+    ties resolve deterministically on both engines. Partitioning
+    assumption: one user's events fit one group (true for event data; a
+    pathological single-user table would need ts-range salting plus a
+    boundary-purchase broadcast).
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "is_purchase": pc.equal(t["event_type"], "purchase"),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    _EMPTY = {
+        "user_id": pd.array([], "int64"),
+        "click_ts_us": pd.array([], "int64"),
+        "purchase_ts_us": pd.array([], "int64"),
+        "purchase_cents": pd.array([], "int64"),
+    }
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["is_purchase"]]
+        c = g[~g["is_purchase"]]
+        if p.empty or c.empty:
+            return pd.DataFrame(_EMPTY)
+        pp = (
+            p.groupby("ts_us", as_index=False)["value_cents"].max()
+            .sort_values("ts_us")
+        )
+        pts = pp["ts_us"].to_numpy()
+        pcents = pp["value_cents"].to_numpy()
+        cts = np.sort(c["ts_us"].to_numpy())
+        idx = np.searchsorted(pts, cts, side="right") - 1
+        ok = idx >= 0
+        n = int(ok.sum())
+        return pd.DataFrame(
+            {
+                "user_id": np.full(n, g["user_id"].iloc[0], dtype=np.int64),
+                "click_ts_us": cts[ok],
+                "purchase_ts_us": pts[idx[ok]],
+                "purchase_cents": pcents[idx[ok]],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
     )
 
 

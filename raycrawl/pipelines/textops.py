@@ -33,12 +33,15 @@ __all__ = [
 def _read_docs(sf_dir: str, columns):
     import os
 
-    # cap block count: documents tables are small and the grouped ops are
-    # shuffle-overhead-bound (see dedup._DOC_BLOCKS)
+    from raycrawl.pipelines.dedup import doc_blocks
+
+    # size-derived block count: small documents tables stay cheap to
+    # shuffle (floor 8), large corpora spread (~32 MB/block — see
+    # dedup.doc_blocks)
     return rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=columns,
-        override_num_blocks=8,
+        override_num_blocks=doc_blocks(sf_dir),
     )
 
 

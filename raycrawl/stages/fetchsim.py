@@ -113,10 +113,12 @@ class FetchSimulator:
         self.n_buckets = n_buckets
         self.bucket_store = bucket_store
         self.follow_redirects = follow_redirects
-        # check_head/load_body_mimes are accepted for API parity; mime
-        # routing happens downstream and columnar reads make the HEAD-gate
-        # body-skip micro-optimization moot (requester.py:81-105 semantics
-        # are unchanged)
+        # check_head=True mirrors the reference's HEAD-before-GET gate
+        # (requester.py:81-105): a wrong-mime row's BODY columns are never
+        # loaded — here that means html/text stay null for those rows
+        # (routing downstream is identical either way: wrong mime -> done
+        # without extraction). The saving is real when non-html rows are a
+        # large corpus fraction.
         self.check_head = check_head
         self.load_body_mimes = tuple(m.lower() for m in (load_body_mimes or ()))
         self.max_cached_buckets = max_cached_buckets
@@ -222,14 +224,31 @@ class FetchSimulator:
                 sub = batch.take(pa.array(pos, pa.int64()).take(f_sel))
                 rows = tbl.take(idx.take(f_sel))
                 n = len(f_sel)
+                f_ctypes = ctypes.take(f_sel)
+                html_col = rows.column("html")
+                text_col = rows.column("text")
+                if self.check_head:
+                    # HEAD-before-GET gate (requester.py:81-105): wrong-mime
+                    # rows never load their body — html/text stay null
+                    body_ok = pc.is_in(
+                        f_ctypes, value_set=pa.array(self.load_body_mimes)
+                    )
+                    html_col = pc.if_else(body_ok, html_col.combine_chunks()
+                                          if isinstance(html_col, pa.ChunkedArray)
+                                          else html_col,
+                                          pa.scalar(None, pa.binary()))
+                    text_col = pc.if_else(body_ok, text_col.combine_chunks()
+                                          if isinstance(text_col, pa.ChunkedArray)
+                                          else text_col,
+                                          pa.scalar(None, pa.string()))
                 parts.append(
                     self._with_cols(
                         sub,
                         status=pa.array([200] * n, pa.int16()),
-                        content_type=ctypes.take(f_sel),
+                        content_type=f_ctypes,
                         location=pa.nulls(n, pa.string()),
-                        html=rows.column("html"),
-                        text=rows.column("text"),
+                        html=html_col,
+                        text=text_col,
                     )
                 )
             m_sel = pc.indices_nonzero(pc.invert(found))

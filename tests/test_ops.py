@@ -84,6 +84,41 @@ def test_dedup_clusters_planted(ray_session, planted_docs):
     assert out[3] == 3 and out[4] == 4  # singletons label themselves
 
 
+def test_dedup_clusters_modes_agree_on_chain(ray_session, tmp_path):
+    """Driver union-find and distributed min-label propagation must produce
+    identical labels — exercised on a long dup-CHAIN (worst case for label
+    propagation: convergence takes diameter-many rounds, not one)."""
+    import ray.data as rd
+
+    from raycrawl.pipelines.dedup import dedup_clusters
+
+    # chain components: i <-> i+1 for runs of 6, plus singletons
+    pairs = [(i, i + 1) for i in range(0, 30) if (i + 1) % 6 != 0]
+    pairs_ds = rd.from_items([{"id_a": a, "id_b": b} for a, b in pairs])
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(40)]),
+            "lang": pa.array(["en"] * 40),
+            "source": pa.array(["s"] * 40),
+            "n_chars": pa.array([5] * 40, pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+
+    def run(mode):
+        pairs2 = rd.from_items([{"id_a": a, "id_b": b} for a, b in pairs])
+        out = dedup_clusters(str(tmp_path), pairs_ds=pairs2, mode=mode)
+        return out.to_pandas().set_index("doc_id")["cluster_id"].sort_index()
+
+    drv = run("driver")
+    dist = run("distributed")
+    pd.testing.assert_series_equal(drv, dist, check_dtype=False)
+    # each chain of 6 is labeled by its minimum; others label themselves
+    assert drv[5] == 0 and drv[11] == 6 and drv[29] == 24
+    assert all(drv[i] == i for i in range(30, 40))
+
+
 def test_embedding_near_dup_matches_numpy(ray_session):
     from raycrawl.pipelines.dedup import embedding_near_dup
 

@@ -154,6 +154,27 @@ def test_trim_query_false_variant(ray_session, corpus):
     assert any("#" not in u for u in res.seen_urls())
 
 
+def test_check_head_skips_wrong_mime_bodies(ray_session, corpus):
+    """check_head=True is the HEAD-before-GET gate: identical routing (same
+    done set), but wrong-mime done rows never carry a body (text null)."""
+    import pyarrow.compute as pc
+
+    plain = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE))
+    head = crawl(corpus["corpus"], corpus["seeds"],
+                 CrawlConfig(**BASE, check_head=True))
+    assert head.done_urls() == plain.done_urls()
+
+    done = head.done_table()
+    nonhtml = done.filter(
+        pc.invert(pc.match_substring(done["content_type"], "text/html"))
+    )
+    assert nonhtml.num_rows > 0  # corpus includes pdf/png/css pages
+    assert nonhtml["text"].null_count == nonhtml.num_rows
+    # html pages still carry their extracted text
+    html = done.filter(pc.match_substring(done["content_type"], "text/html"))
+    assert html["text"].null_count == 0
+
+
 def test_max_depth(ray_session, corpus):
     res = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE, max_depth=1))
     assert res.depths() and max(res.depths().values()) <= 1
