@@ -111,30 +111,6 @@ class CrawlResult:
         return dict(zip(t["url_norm"].to_pylist(), t["depth"].to_pylist()))
 
 
-@ray.remote(num_cpus=0.5, num_returns=3)
-def _split_round_block(tbl: pa.Table):
-    """Worker-side kind-split of one round block: (cand, done, kind_counts).
-
-    The cand/done projections are the ONLY rows the frontier commit needs;
-    edge/error/blocked rows never leave the object store (at billions of
-    edges per round the driver would otherwise be the scale ceiling). The
-    kind_counts dict is a few ints — the driver's metrics come from summing
-    these instead of concatenating the round."""
-    kinds = tbl["kind"]
-    cand = (
-        tbl.filter(pc.equal(kinds, "cand"))
-        .select(["url_raw", "url_norm", "host", "depth", "gshard"])
-        .combine_chunks()
-    )
-    done = (
-        tbl.filter(pc.equal(kinds, "done"))
-        .select(["url_norm", "gshard"])
-        .combine_chunks()
-    )
-    vc = {r["values"]: r["counts"] for r in pc.value_counts(kinds).to_pylist()}
-    return cand, done, vc
-
-
 def _seed_rows(seeds, num_shards):
     by_shard = {}
     seen_norm = set()
@@ -343,29 +319,16 @@ def crawl(
         if debug_timing and phase["exec"] > 5:
             print(f"--- round {round_no} stats ---\n{mat.stats()}", flush=True)
 
-        # route, WORKER-side: one small split task per block projects the
-        # cand/done rows and counts kinds. Edge/error rows stay in the
-        # object store — the driver never holds an edge row (they dominate:
-        # billions per round at scale) and only ever sees the tiny counts.
+        # route + commit, SHARD-side: every shard pulls the round's raw
+        # block refs zero-copy and keeps only its rows (kind+gshard mask) —
+        # edge rows never leave the object store and the driver never holds
+        # a round row. phase A — seen-gate, BALANCED by hash(url_norm)
+        # across shards (host skew cannot serialize it); phase B — enqueue
+        # into the host-owning politeness queues. Both shard-parallel.
         t1 = time.perf_counter()
         block_refs = mat.to_arrow_refs()
-        splits = [_split_round_block.remote(r) for r in block_refs]
-        cand_refs = [s[0] for s in splits]
-        done_refs = [s[1] for s in splits]
-        vc: dict = {}
-        for d in ray.get([s[2] for s in splits]):
-            for k, n in d.items():
-                vc[k] = vc.get(k, 0) + n
-        phase["route"] = round(time.perf_counter() - t1, 3)
-
-        # phase A — seen-gate, BALANCED by hash(url_norm) across shards
-        # (host skew cannot serialize it); each shard pulls the cand/done
-        # block refs zero-copy and keeps only its own gshard rows. phase B
-        # — enqueue into the host-owning politeness queues (cheap). Both
-        # shard-parallel.
-        t1 = time.perf_counter()
         gated_refs = [
-            s.gate_round_refs.remote(cand_refs, done_refs, num_shards)
+            s.gate_tall_blocks.remote(block_refs, num_shards)
             for s in shards
         ]
         enq = ray.get(
@@ -375,7 +338,13 @@ def crawl(
         prev_enqueued = enqueued
         phase["commit"] = round(time.perf_counter() - t1, 3)
 
+        # per-kind metrics: each shard counted a disjoint stripe of blocks
         t1 = time.perf_counter()
+        vc: dict = {}
+        for d in ray.get([s.last_kind_counts.remote() for s in shards]):
+            for k, n in d.items():
+                vc[k] = vc.get(k, 0) + n
+        phase["route"] = round(time.perf_counter() - t1, 3)
         counts = {
             "round": round_no,
             "released": n_released,

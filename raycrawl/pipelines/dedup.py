@@ -27,6 +27,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 __all__ = [
@@ -258,16 +259,38 @@ def minhash_lsh_pairs(
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     # exact-Jaccard verification fetches the two texts of each candidate
-    # pair with hash joins back against the docs table on doc_id — the pair
-    # set is sparse, the docs side streams hash-partitioned; nothing is
-    # materialized driver-side (at 100 TB a broadcast id->text map cannot
-    # exist). Two joins: id_a -> text_a, then id_b -> text_b.
-    def verify(t: pa.Table) -> pa.Table:
-        keep = [
-            jaccard(shingles(ta, k), shingles(tb, k)) >= threshold
-            for ta, tb in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())
-        ]
-        return t.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])
+    # pair with ONE hash join back against the docs table on doc_id — the
+    # pair set is sparse, the docs side streams hash-partitioned; nothing
+    # is materialized driver-side (at 100 TB a broadcast id->text map
+    # cannot exist). Pairs MELT to two (doc_id, id_a, id_b) rows so a
+    # single docs shuffle serves both sides; the joined rows reassemble
+    # per pair inside 64 coarse partitions (pandas C groupby — no
+    # per-pair UDF dispatch).
+    def melt(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks()
+        b = t["id_b"].combine_chunks()
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays([a, b]),
+                "id_a": pa.concat_arrays([a, a]),
+                "id_b": pa.concat_arrays([b, b]),
+            }
+        )
+
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        texts = dict(zip(g["doc_id"], g["text"]))  # group-local only
+        seen = set()
+        for a, b in zip(g["id_a"], g["id_b"]):
+            if (a, b) in seen or a not in texts or b not in texts:
+                continue
+            seen.add((a, b))
+            if jaccard(shingles(texts[a], k), shingles(texts[b], k)) >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+        return pd.DataFrame(
+            {"id_a": pd.array(out_a, "int64"), "id_b": pd.array(out_b, "int64")}
+        )
 
     from ray.data.aggregate import Count
 
@@ -283,21 +306,22 @@ def minhash_lsh_pairs(
         .aggregate(Count(alias_name="n")),
         pair_schema,
     )
-    texts_a = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        lambda t: t.rename_columns(["doc_id", "text_a"]), batch_format="pyarrow"
-    )
-    texts_b = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        lambda t: t.rename_columns(["doc_id", "text_b"]), batch_format="pyarrow"
+    texts = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def add_ppart(t: pa.Table) -> pa.Table:
+        part = pc.bit_wise_and(t["id_a"], 63)
+        return t.append_column("ppart", pc.cast(part, pa.int32()))
+
+    joined = (
+        cands.map_batches(melt, batch_format="pyarrow")
+        .join(texts, join_type="inner", num_partitions=n_parts,
+              on=("doc_id",), right_on=("doc_id",))
+        .map_batches(add_ppart, batch_format="pyarrow")
     )
     pairs = (
-        cands.join(texts_a, join_type="inner", num_partitions=n_parts,
-                   on=("id_a",), right_on=("doc_id",))
-        .join(texts_b, join_type="inner", num_partitions=n_parts,
-              on=("id_b",), right_on=("doc_id",))
-        .map_batches(verify, batch_format="pyarrow")
+        joined.groupby("ppart")
+        .map_groups(verify_part, batch_format="pandas")
     )
-    # empty join partitions bypass verify and keep the 4-column schema;
-    # normalize so consumers see a uniform (id_a, id_b) dataset
     return clean_blocks(pairs, pair_schema)
 
 
