@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": relops.events_sessionize,
         "events_topk_users": relops.events_topk_users,
         "events_asof_join": relops.events_asof_join,
+        "events_range_join": relops.events_range_join,
         "region_nation_counts": relops.region_nation_counts,
     }
 
@@ -554,6 +555,23 @@ SELECT c.user_id,
        p.purchase_cents
 FROM clicks c ASOF JOIN purchases p
   ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+        # interval-predicate self-join; distinct clicks so duplicate
+        # (user, ts) click rows don't double the grouped counts
+        "events_range_join": """
+WITH clicks AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id,
+       epoch_us(c.ts) AS click_ts_us,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(ROUND(p.value * 100) AS BIGINT)) AS BIGINT)
+         AS purchase_cents_sum
+FROM clicks c
+JOIN events p
+  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+ AND p.ts > c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+GROUP BY c.user_id, c.ts
 """,
         "region_nation_counts": """
 SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_customers

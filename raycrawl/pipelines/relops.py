@@ -34,6 +34,7 @@ __all__ = [
     "events_sessionize",
     "events_topk_users",
     "events_asof_join",
+    "events_range_join",
     "region_nation_counts",
 ]
 
@@ -370,6 +371,65 @@ def events_asof_join(sf_dir: str) -> rd.Dataset:
         .map_batches(prep, batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(asof, batch_format="pandas")
+    )
+
+
+def events_range_join(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
+    """RANGE join: each distinct click matched to the same user's purchases
+    inside the preceding hour (ts in (click-1h, click]); emits count + sum.
+
+    Same composition as events_asof_join (Ray Data has no native interval
+    join): ONE shuffle partitions the two event slices by the equality key
+    (user_id), then a sorted interval sweep per group — numpy searchsorted
+    for both window edges + a prefix-sum for the windowed aggregate, so the
+    per-group cost is O(n log n) regardless of window width (never the
+    O(n*w) nested loop a naive range join degrades to)."""
+    win_us = window_s * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "is_purchase": pc.equal(t["event_type"], "purchase"),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    _EMPTY = {
+        "user_id": pd.array([], "int64"),
+        "click_ts_us": pd.array([], "int64"),
+        "n_purchases": pd.array([], "int64"),
+        "purchase_cents_sum": pd.array([], "int64"),
+    }
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["is_purchase"]].sort_values("ts_us")
+        cts = np.unique(g.loc[~g["is_purchase"], "ts_us"].to_numpy())
+        if p.empty or len(cts) == 0:
+            return pd.DataFrame(_EMPTY)
+        pts = p["ts_us"].to_numpy()
+        cum = np.concatenate([[0], np.cumsum(p["value_cents"].to_numpy())])
+        lo = np.searchsorted(pts, cts - win_us, side="right")
+        hi = np.searchsorted(pts, cts, side="right")
+        ok = hi > lo
+        return pd.DataFrame(
+            {
+                "user_id": np.full(int(ok.sum()), g["user_id"].iloc[0],
+                                   dtype=np.int64),
+                "click_ts_us": cts[ok],
+                "n_purchases": (hi - lo)[ok],
+                "purchase_cents_sum": cum[hi[ok]] - cum[lo[ok]],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(sweep, batch_format="pandas")
     )
 
 
