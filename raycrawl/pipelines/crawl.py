@@ -319,17 +319,24 @@ def crawl(
         if debug_timing and phase["exec"] > 5:
             print(f"--- round {round_no} stats ---\n{mat.stats()}", flush=True)
 
-        # route + commit, SHARD-side: every shard pulls the round's raw
-        # block refs zero-copy and keeps only its rows (kind+gshard mask) —
-        # edge rows never leave the object store and the driver never holds
-        # a round row. phase A — seen-gate, BALANCED by hash(url_norm)
-        # across shards (host skew cannot serialize it); phase B — enqueue
-        # into the host-owning politeness queues. Both shard-parallel.
+        # route + commit, SHARD-side in two waves; the driver never holds a
+        # round row. Wave 1: each shard kind-splits a DISJOINT stripe of
+        # the raw block refs (every block scanned once cluster-wide) and
+        # buckets cand/done rows by gshard into plasma. Wave 2, phase A:
+        # each shard gates its own gshard pieces — the seen-gate key is
+        # hash(url_norm), BALANCED under any host skew. Phase B: enqueue
+        # into the host-owning politeness queues. All shard-parallel.
         t1 = time.perf_counter()
         block_refs = mat.to_arrow_refs()
+        piece_maps = ray.get(
+            [
+                s.split_stripe.remote(block_refs[i::num_shards], num_shards)
+                for i, s in enumerate(shards)
+            ]
+        )
         gated_refs = [
-            s.gate_tall_blocks.remote(block_refs, num_shards)
-            for s in shards
+            s.gate_pieces.remote([pm[j] for pm in piece_maps], num_shards)
+            for j, s in enumerate(shards)
         ]
         enq = ray.get(
             [s.enqueue_round.remote(num_shards, *gated_refs) for s in shards]

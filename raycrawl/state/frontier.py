@@ -185,47 +185,73 @@ class FrontierShard:
             )
         ).cast(FRONTIER_SCHEMA)
 
-    def gate_tall_blocks(self, block_refs, num_shards: int) -> pa.Table:
-        """gate_round straight over the round's RAW tall block refs: the
-        at-scale protocol.
+    def split_stripe(self, block_refs, num_shards: int) -> dict:
+        """Round-commit wave 1: kind-split MY STRIPE of the round's raw
+        tall blocks and bucket the cand/done rows by gshard.
 
-        Each shard maps every block zero-copy from the object store and
-        keeps only its rows (kind in {cand,done} AND gshard == me) — one
-        vectorized mask per block, so per-shard heap is ~1/num_shards of
-        the candidate volume and edge rows never go anywhere. A dedicated
-        task wave for the kind-split measured 1.6-4 s/round in pure
-        dispatch overhead for ~0.3 s of CPU; doing it here rides the
-        already-running shard actors instead. Kind counts for the driver's
-        metrics are computed over a DISJOINT stripe of blocks
-        (i % num_shards == shard_id), fetched via last_kind_counts()."""
+        The driver hands each shard a disjoint slice of block refs, so
+        every block is scanned exactly ONCE cluster-wide (a dedicated task
+        wave for this measured 1.6-4 s/round in pure Ray dispatch overhead
+        for ~0.3 s of CPU; an every-shard-scans-everything design costs
+        num_shards x the scan and starves small machines). Per-gshard
+        pieces go back via the object store — the return value is a dict
+        of small refs; edge rows never leave plasma and the driver never
+        holds a round row. Kind counts for the driver's metrics accumulate
+        here (last_kind_counts)."""
         import pyarrow.compute as pc
 
         counts: dict = {}
-        cand_parts, done_parts = [], []
-        for i, t in enumerate(ray.get(list(block_refs))):
+        cand_parts: dict = {g: [] for g in range(num_shards)}
+        done_parts: dict = {g: [] for g in range(num_shards)}
+        for t in ray.get(list(block_refs)):
             if t is None or t.num_rows == 0:
                 continue
             kind = t["kind"]
-            if i % num_shards == self.shard_id:
-                for r in pc.value_counts(kind).to_pylist():
-                    counts[r["values"]] = counts.get(r["values"], 0) + r["counts"]
-            gmask = pc.equal(t["gshard"], self.shard_id)  # null for edge rows
-            c = t.filter(pc.and_(pc.equal(kind, "cand"), gmask))
-            if c.num_rows:
-                cand_parts.append(
-                    c.select(["url_raw", "url_norm", "host", "depth", "gshard"])
+            for r in pc.value_counts(kind).to_pylist():
+                counts[r["values"]] = counts.get(r["values"], 0) + r["counts"]
+            cd = t.filter(
+                pc.is_in(kind, value_set=pa.array(["cand", "done"]))
+            )
+            if cd.num_rows == 0:
+                continue
+            is_cand = pc.equal(cd["kind"], "cand")
+            for g in range(num_shards):
+                sub = cd.filter(pc.and_(pc.equal(cd["gshard"], g), is_cand))
+                if sub.num_rows:
+                    cand_parts[g].append(
+                        sub.select(
+                            ["url_raw", "url_norm", "host", "depth", "gshard"]
+                        )
+                    )
+                subd = cd.filter(
+                    pc.and_(pc.equal(cd["gshard"], g), pc.invert(is_cand))
                 )
-            d = t.filter(pc.and_(pc.equal(kind, "done"), gmask))
-            if d.num_rows:
-                done_parts.append(d.select(["url_norm", "gshard"]))
+                if subd.num_rows:
+                    done_parts[g].append(subd.select(["url_norm", "gshard"]))
         self._kind_counts = counts
-        cand = pa.concat_tables(cand_parts) if cand_parts else None
-        done = pa.concat_tables(done_parts) if done_parts else None
+        out = {}
+        for g in range(num_shards):
+            cand = pa.concat_tables(cand_parts[g]) if cand_parts[g] else None
+            done = pa.concat_tables(done_parts[g]) if done_parts[g] else None
+            out[g] = (
+                ray.put(cand) if cand is not None else None,
+                ray.put(done) if done is not None else None,
+            )
+        return out
+
+    def gate_pieces(self, piece_refs, num_shards: int) -> pa.Table:
+        """Round-commit wave 2 (phase A): gate MY gshard's pieces gathered
+        from every stripe-splitter's output (zero-copy plasma reads of
+        only my rows)."""
+        cands = [ray.get(c) for c, _ in piece_refs if c is not None]
+        dones = [ray.get(d) for _, d in piece_refs if d is not None]
+        cand = pa.concat_tables(cands) if cands else None
+        done = pa.concat_tables(dones) if dones else None
         return self.gate_round(cand, done, num_shards)
 
     def last_kind_counts(self) -> dict:
         """Kind counts of this shard's block stripe from the preceding
-        gate_tall_blocks call (sum across shards = the round's counts)."""
+        split_stripe call (sum across shards = the round's counts)."""
         return getattr(self, "_kind_counts", {})
 
     def enqueue_round(self, num_shards: int, *tbls) -> int:
