@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_users": relops.events_topk_users,
         "events_asof_join": relops.events_asof_join,
         "events_range_join": relops.events_range_join,
+        "events_distinct_users": relops.events_distinct_users,
+        "docs_bpe_token_counts": textops.bpe_token_counts,
         "region_nation_counts": relops.region_nation_counts,
     }
 
@@ -261,6 +263,18 @@ FROM events GROUP BY user_id
 ORDER BY total_cents DESC, user_id
 LIMIT 10
 """,
+        "events_distinct_users": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+        # same RE2 pattern evaluated by pyarrow and DuckDB — exact parity
+        "docs_bpe_token_counts": r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text,
+         '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'))
+         AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
         "docs_token_stats": r"""
 SELECT doc_id,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
@@ -403,7 +417,7 @@ SELECT doc_id,
       list_prepend(CAST(0 AS HUGEINT),
         list_transform(range(1, length(text) + 1),
                        i -> CAST(unicode(text[i]) AS HUGEINT))),
-      (a, b) -> (a * 257 + b + 1) % 2305843009213693951)
+      (a, b) -> (a * 256 + b + 1) % 2305843009213693951)
   END AS BIGINT) AS fp
 FROM documents
 """,

@@ -35,6 +35,7 @@ __all__ = [
     "events_topk_users",
     "events_asof_join",
     "events_range_join",
+    "events_distinct_users",
     "region_nation_counts",
 ]
 
@@ -371,6 +372,28 @@ def events_asof_join(sf_dir: str) -> rd.Dataset:
         .map_batches(prep, batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(asof, batch_format="pandas")
+    )
+
+
+def events_distinct_users(sf_dir: str) -> rd.Dataset:
+    """(event_type, n_users): COUNT-DISTINCT via two-level aggregation —
+    the distributed distinct pattern (Ray Data has no distinct aggregate):
+    per-batch local dedup shrinks the shuffle, groupby over the composite
+    key finishes the dedup, then a count per event_type."""
+    from ray.data.aggregate import Count, Sum
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    return (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(local_dedup, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
     )
 
 

@@ -20,6 +20,7 @@ import ray.data as rd
 __all__ = [
     "vocab_topk",
     "token_stats",
+    "bpe_token_counts",
     "quality_stats",
     "quality_label",
     "clean_text",
@@ -63,6 +64,32 @@ def token_stats(sf_dir: str) -> rd.Dataset:
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow"
+    )
+
+
+# GPT-2-style pre-tokenizer, RE2-compatible (no lookahead — pyarrow and
+# DuckDB both run RE2, so the oracle reproduces counts exactly):
+# contractions | space-prefixed letter runs | digit runs | punct runs | ws
+BPE_SPLIT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_bpe_tokens): BPE-ish pre-tokenizer match count — the
+    token-budget estimator of a training-data pipeline, fully vectorized
+    (one pyarrow RE2 kernel per batch, no Python loop)."""
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(t["text"], BPE_SPLIT), pa.int64()
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow"
     )
 
 
@@ -236,16 +263,24 @@ def langid(sf_dir: str) -> rd.Dataset:
 
 
 _FP_MOD = (1 << 61) - 1  # Mersenne prime: keeps values in int64 range
-_FP_BASE = 257
+_FP_BASE = 256
 
 
 def fingerprint64(text: str) -> int:
     """Deterministic polynomial rolling hash of the whole document
-    (content fingerprint for shard-stable identity; PYTHONHASHSEED-proof)."""
-    h = 0
-    for b in text.encode("utf-8"):
-        h = (h * _FP_BASE + b + 1) % _FP_MOD
-    return h
+    (content fingerprint for shard-stable identity; PYTHONHASHSEED-proof).
+
+    Equals the byte fold ``h = (h*256 + b + 1) % (2^61-1)`` but computed
+    with three C-speed big-int ops instead of a per-byte Python loop:
+    the fold's closed form is ``int.from_bytes(data) + (256^n - 1)/255``
+    (the +1 offsets sum to a base-256 repunit), reduced once.
+    """
+    data = text.encode("utf-8")
+    n = len(data)
+    if n == 0:
+        return 0
+    v = int.from_bytes(data, "big") + ((1 << (8 * n)) - 1) // 255
+    return v % _FP_MOD
 
 
 def fingerprints(sf_dir: str) -> rd.Dataset:
