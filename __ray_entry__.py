@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": relops.events_range_join,
         "events_distinct_users": relops.events_distinct_users,
         "docs_bpe_token_counts": textops.bpe_token_counts,
+        "brand_revenue": relops.brand_revenue,
+        "supplier_nation_balance": relops.supplier_nation_balance,
         "region_nation_counts": relops.region_nation_counts,
     }
 
@@ -262,6 +264,20 @@ SELECT user_id,
 FROM events GROUP BY user_id
 ORDER BY total_cents DESC, user_id
 LIMIT 10
+""",
+        "brand_revenue": """
+SELECT p.p_brand,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+        "supplier_nation_balance": """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
 """,
         "events_distinct_users": """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

@@ -43,6 +43,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--pages", type=int, default=64)
     s.add_argument("--seed", type=int, default=42)
     s.add_argument("--skew", type=float, default=0.0)
+
+    q = sub.add_parser(
+        "query",
+        help="run a named operator pipeline over a table dir; write Parquet",
+    )
+    q.add_argument("name", help="queries() entry name, or 'list'")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="directory holding the parquet tables")
+    q.add_argument("--out", default=None,
+                   help="output directory (partitioned Parquet; omitted = "
+                        "print row count + head)")
     return p
 
 
@@ -58,6 +69,9 @@ def main(argv=None):
         print(f"corpus: {info['corpus']} ({info['n_rows']} rows)")
         print(f"seeds:  {info['seeds']}")
         return 0
+
+    if args.cmd == "query":
+        return _run_query(args)
 
     politeness = args.politeness
     if politeness is not None and politeness != "robots":
@@ -106,6 +120,57 @@ def main(argv=None):
         print(f"FOUND: {url}")
     print(f"rounds={res.rounds} done={len(res.done_urls())} "
           f"seen={len(res.seen_urls() or [])}")
+    ray.shutdown()
+    return 0
+
+
+def _run_query(args) -> int:
+    """Run one queries() pipeline; sink = partitioned Parquet (the
+    resumable at-scale output shape: workers write their own part files,
+    nothing funnels through the driver)."""
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if args.name == "list":
+        for name in qs:
+            print(name)
+        return 0
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; see 'query list'", file=sys.stderr)
+        return 2
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    res = qs[args.name](args.sf_dir)
+    if args.out:
+        if isinstance(res, pd.DataFrame):
+            res = rd.from_pandas(res)
+        elif isinstance(res, pa.Table):
+            res = rd.from_arrow(res)
+        res.write_parquet(args.out)
+        print(f"wrote {args.name} to {args.out}")
+    else:
+        if isinstance(res, rd.Dataset):
+            n = res.count()
+            head = res.limit(5).to_pandas()
+        else:
+            df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            n, head = len(df), df.head(5)
+        print(f"{args.name}: {n} rows")
+        print(head.to_string(index=False))
     ray.shutdown()
     return 0
 

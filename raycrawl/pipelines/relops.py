@@ -36,6 +36,8 @@ __all__ = [
     "events_asof_join",
     "events_range_join",
     "events_distinct_users",
+    "brand_revenue",
+    "supplier_nation_balance",
     "region_nation_counts",
 ]
 
@@ -267,24 +269,40 @@ def events_sliding_agg(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _add_upart(t: pa.Table) -> pa.Table:
+    """Coarse user partition key: a per-DISTINCT-user map_groups UDF costs
+    ~0.15 ms of dispatch per group — ruinous at real user counts. 64
+    partitions keep the shuffle user-colocated while pandas' C groupby
+    resolves users inside each partition."""
+    part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+    return t.append_column("upart", part)
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
-    """Per-user sessionization (gap > 30min splits a session): partition by
-    user, sort by ts inside the group, count gap breaks. The ordering
-    assumption (ts sorted within each user group) is established inside
-    map_groups — Ray Data groupby guarantees key-colocation, not order."""
+    """Per-user sessionization (gap > 30min splits a session): coarse
+    64-way user partition, then ONE vectorized pass per partition — sort
+    by (user, ts), per-user diff > gap counts session breaks. Ray Data
+    groupby guarantees key-colocation, not order; ordering is established
+    inside the partition."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].astype("int64").to_numpy())
-        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions],
-             "n_events": [len(ts)]}
+        g = g[["user_id", "ts"]].copy()
+        g["ts"] = g["ts"].astype("int64")
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        brk = g.groupby("user_id")["ts"].diff().gt(gap_us)
+        out = (
+            g.assign(brk=brk)
+            .groupby("user_id", as_index=False)
+            .agg(n_breaks=("brk", "sum"), n_events=("ts", "count"))
         )
+        out["n_sessions"] = out.pop("n_breaks").astype("int64") + 1
+        return out[["user_id", "n_sessions", "n_events"]]
 
     return (
         _read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
+        .map_batches(_add_upart, batch_format="pyarrow")
+        .groupby("upart")
         .map_groups(sessions, batch_format="pandas")
     )
 
@@ -344,34 +362,123 @@ def events_asof_join(sf_dir: str) -> rd.Dataset:
     }
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["is_purchase"]]
-        c = g[~g["is_purchase"]]
-        if p.empty or c.empty:
-            return pd.DataFrame(_EMPTY)
-        pp = (
-            p.groupby("ts_us", as_index=False)["value_cents"].max()
-            .sort_values("ts_us")
-        )
-        pts = pp["ts_us"].to_numpy()
-        pcents = pp["value_cents"].to_numpy()
-        cts = np.sort(c["ts_us"].to_numpy())
-        idx = np.searchsorted(pts, cts, side="right") - 1
-        ok = idx >= 0
-        n = int(ok.sum())
-        return pd.DataFrame(
-            {
-                "user_id": np.full(n, g["user_id"].iloc[0], dtype=np.int64),
-                "click_ts_us": cts[ok],
-                "purchase_ts_us": pts[idx[ok]],
-                "purchase_cents": pcents[idx[ok]],
-            }
-        )
+        # one coarse partition holds many users: pandas C groupby finds the
+        # per-user runs, numpy searchsorted merges each (the inner loop is
+        # per USER, never per row or per Ray task)
+        outs = [pd.DataFrame(_EMPTY)]
+        for _, u in g.groupby("user_id", sort=False):
+            p = u[u["is_purchase"]]
+            c = u[~u["is_purchase"]]
+            if p.empty or c.empty:
+                continue
+            pp = (
+                p.groupby("ts_us", as_index=False)["value_cents"].max()
+                .sort_values("ts_us")
+            )
+            pts = pp["ts_us"].to_numpy()
+            pcents = pp["value_cents"].to_numpy()
+            cts = np.sort(c["ts_us"].to_numpy())
+            idx = np.searchsorted(pts, cts, side="right") - 1
+            ok = idx >= 0
+            n = int(ok.sum())
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(n, u["user_id"].iloc[0],
+                                           dtype=np.int64),
+                        "click_ts_us": cts[ok],
+                        "purchase_ts_us": pts[idx[ok]],
+                        "purchase_cents": pcents[idx[ok]],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return (
         _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
         .map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
+        .map_batches(_add_upart, batch_format="pyarrow")
+        .groupby("upart")
         .map_groups(asof, batch_format="pandas")
+    )
+
+
+def brand_revenue(sf_dir: str) -> rd.Dataset:
+    """Revenue by part brand: lineitem x part broadcast join (the dim
+    table rides the object store once as an Arrow array pair; vectorized
+    index_in+take probe), partial pre-agg before the final groupby."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    lookup_ref = ray.put(
+        (part["p_partkey"].combine_chunks(), part["p_brand"].combine_chunks())
+    )
+
+    class Join:
+        def __init__(self):
+            self.keys, self.vals = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t["l_partkey"], value_set=self.keys)
+            g = pa.table(
+                {
+                    "p_brand": self.vals.take(idx),
+                    "price_cents": _cents(t["l_extendedprice"]),
+                }
+            ).group_by("p_brand").aggregate(
+                [("price_cents", "sum"), ("price_cents", "count")]
+            )
+            return g.rename_columns(["p_brand", "revenue_cents", "n_items"])
+
+    return (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+        .map_batches(Join, batch_format="pyarrow", concurrency=2, num_cpus=1)
+        .groupby("p_brand")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+
+def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
+    """Account-balance totals per supplier nation: supplier x nation
+    broadcast join + grouped integer aggregate."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    lookup_ref = ray.put(
+        (nation["n_nationkey"].combine_chunks(), nation["n_name"].combine_chunks())
+    )
+
+    class Join:
+        def __init__(self):
+            self.keys, self.vals = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t["s_nationkey"], value_set=self.keys)
+            g = pa.table(
+                {
+                    "n_name": self.vals.take(idx),
+                    "bal_cents": _cents(t["s_acctbal"]),
+                }
+            ).group_by("n_name").aggregate(
+                [("bal_cents", "sum"), ("bal_cents", "count")]
+            )
+            return g.rename_columns(["n_name", "total_bal_cents", "n_suppliers"])
+
+    return (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(Join, batch_format="pyarrow", concurrency=2, num_cpus=1)
+        .groupby("n_name")
+        .aggregate(
+            Sum("total_bal_cents", alias_name="total_bal_cents"),
+            Sum("n_suppliers", alias_name="n_suppliers"),
+        )
     )
 
 
@@ -429,29 +536,36 @@ def events_range_join(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
     }
 
     def sweep(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["is_purchase"]].sort_values("ts_us")
-        cts = np.unique(g.loc[~g["is_purchase"], "ts_us"].to_numpy())
-        if p.empty or len(cts) == 0:
-            return pd.DataFrame(_EMPTY)
-        pts = p["ts_us"].to_numpy()
-        cum = np.concatenate([[0], np.cumsum(p["value_cents"].to_numpy())])
-        lo = np.searchsorted(pts, cts - win_us, side="right")
-        hi = np.searchsorted(pts, cts, side="right")
-        ok = hi > lo
-        return pd.DataFrame(
-            {
-                "user_id": np.full(int(ok.sum()), g["user_id"].iloc[0],
-                                   dtype=np.int64),
-                "click_ts_us": cts[ok],
-                "n_purchases": (hi - lo)[ok],
-                "purchase_cents_sum": cum[hi[ok]] - cum[lo[ok]],
-            }
-        )
+        # coarse partition of many users; per-USER interval sweeps inside
+        outs = [pd.DataFrame(_EMPTY)]
+        for _, u in g.groupby("user_id", sort=False):
+            p = u[u["is_purchase"]].sort_values("ts_us")
+            cts = np.unique(u.loc[~u["is_purchase"], "ts_us"].to_numpy())
+            if p.empty or len(cts) == 0:
+                continue
+            pts = p["ts_us"].to_numpy()
+            cum = np.concatenate([[0], np.cumsum(p["value_cents"].to_numpy())])
+            lo = np.searchsorted(pts, cts - win_us, side="right")
+            hi = np.searchsorted(pts, cts, side="right")
+            ok = hi > lo
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(int(ok.sum()), u["user_id"].iloc[0],
+                                           dtype=np.int64),
+                        "click_ts_us": cts[ok],
+                        "n_purchases": (hi - lo)[ok],
+                        "purchase_cents_sum": cum[hi[ok]] - cum[lo[ok]],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return (
         _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
         .map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
+        .map_batches(_add_upart, batch_format="pyarrow")
+        .groupby("upart")
         .map_groups(sweep, batch_format="pandas")
     )
 
