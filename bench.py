@@ -132,13 +132,14 @@ def main():
     # warm the page cache + Ray Data executor so we measure compute
     ensure_bench_corpus()
 
-    # best of 2: the machine hosts a noisy neighbor (BASELINE.md); the
-    # second in-session run also benefits from warm worker caches, which is
+    # best of 2 (3 when the first two disagree >25%): the machine hosts a
+    # noisy neighbor (BASELINE.md) that can double a run's wall time; the
+    # later in-session runs also benefit from warm worker caches, which is
     # the steady-state a long-running crawl service actually operates in
-    headline = run_headline()
-    second = run_headline()
-    if second["sec"] < headline["sec"]:
-        headline = second
+    runs = [run_headline(), run_headline()]
+    if max(r["sec"] for r in runs) > 1.25 * min(r["sec"] for r in runs):
+        runs.append(run_headline())
+    headline = min(runs, key=lambda r: r["sec"])
     queries = {} if os.environ.get("RAYCRAWL_HEADLINE_ONLY") == "1" else run_queries()
 
     out = {
@@ -152,6 +153,10 @@ def main():
         "urls_done": headline["urls_done"],
         "edges": headline["edges"],
         "rounds": headline["rounds"],
+        # measurement conditions: this box shares cores with a neighbor
+        # tenant (see BASELINE.md) — compare timings only at similar load
+        "loadavg": round(os.getloadavg()[0], 1),
+        "headline_runs_sec": [round(r["sec"], 2) for r in runs],
     }
     ray.shutdown()
     print(json.dumps(out))

@@ -102,7 +102,8 @@ def main(argv=None):
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
@@ -120,7 +121,8 @@ def main(argv=None):
         print(f"FOUND: {url}")
     print(f"rounds={res.rounds} done={len(res.done_urls())} "
           f"seen={len(res.seen_urls() or [])}")
-    ray.shutdown()
+    if owns_session:  # never tear down a caller's Ray session
+        ray.shutdown()
     return 0
 
 
@@ -144,7 +146,8 @@ def _run_query(args) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
@@ -171,7 +174,8 @@ def _run_query(args) -> int:
             n, head = len(df), df.head(5)
         print(f"{args.name}: {n} rows")
         print(head.to_string(index=False))
-    ray.shutdown()
+    if owns_session:  # never tear down a caller's Ray session
+        ray.shutdown()
     return 0
 
 
