@@ -279,8 +279,22 @@ def authority_of(raw_url: str) -> str:
     return normalise_authority(urlsplit(raw_url).netloc)
 
 
+# fast host extraction for the overwhelmingly-common canonical shape:
+# scheme://host[:port] with an already-lowercase, no-edge-dot, no-userinfo
+# host. Group 1 is exactly what the slow path returns (fuzz-proven
+# equivalent in tests/test_canonicalize.py::test_url_host_fast_path).
+_FAST_HOST = re.compile(
+    r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+    r"(?![.])([a-z0-9\-]|[a-z0-9\-][a-z0-9.\-]*[a-z0-9\-])"
+    r"(?::[0-9]*)?(?=[/?#]|$)"
+)
+
+
 def url_host(raw_url: str) -> str:
     """Normalized hostname (no userinfo, no port) — the frontier shard key."""
+    m = _FAST_HOST.match(raw_url)
+    if m:
+        return m.group(1)
     auth = authority_of(raw_url)
     if "@" in auth:
         auth = auth.rsplit("@", 1)[1]

@@ -39,6 +39,18 @@ _DOT_SEGMENT = re.compile(r"(?:^|/)\.{1,2}(?:/|$)")
 # a bare filename segment: no scheme colon, no slash, no query/fragment,
 # not a dot segment ("." / ".." excluded by requiring a non-dot char)
 _PLAIN_SEGMENT = re.compile(r"^(?!\.{1,2}$)[A-Za-z0-9._~%\-]+$")
+# absolute http(s) href with a canonical netloc and NO query/fragment:
+# urljoin(base, t) == t (cross-scheme returns the href verbatim; same-
+# scheme-with-netloc round-trips through urlparse/urlunparse, which is the
+# identity on this shape — the round trip only rewrites degenerate forms
+# like a trailing lone "?", excluded here), and group 1 is the normalized
+# authority without re-parsing (lowercase, no edge dots, no userinfo).
+# Fuzz-proven vs the slow path.
+_ABS_HREF = re.compile(
+    r"^https?://"
+    r"((?![.])[a-z0-9.\-]*[a-z0-9\-](?::[0-9]*)?)"
+    r"(?=/|$)[^?#]*$"
+)
 
 # per-process memo of the pure trim transform (hrefs repeat across pages)
 _TRIM_CACHE: dict = {}
@@ -117,8 +129,15 @@ def parse_page_hrefs(
             j = seg_prefix + t
             auth = page_authority
         else:
-            j = join_url(base_raw, t)
-            auth = authority_of(j)
+            m = _ABS_HREF.match(t)
+            if m:
+                # absolute reference: the base never matters, and the
+                # canonical netloc IS its normalized authority
+                j = t
+                auth = m.group(1)
+            else:
+                j = join_url(base_raw, t)
+                auth = authority_of(j)
         key = normalise_url_cached(j)
         if key in seen:
             continue

@@ -212,6 +212,36 @@ def test_authority_and_host():
     assert c.authority_of("/relative/only") == ""
 
 
+def _url_host_slow(raw_url: str) -> str:
+    """The pre-fast-path url_host definition (the oracle for the regex)."""
+    import re as _re
+
+    auth = c.authority_of(raw_url)
+    if "@" in auth:
+        auth = auth.rsplit("@", 1)[1]
+    return auth.rsplit(":", 1)[0] if _re.search(r":[0-9]*$", auth) else auth
+
+
+@pytest.mark.parametrize("url", TRICKY + [
+    "http://h0.example.com/p/1", "https://a-b.c:8080/x", "http://h:",
+    "http://h./x", "http://.h/x", "HTTP://UPPER.com/", "http://u@h/x",
+    "http://h?q", "http://h#f", "http://h", "ftp://h/x",
+])
+def test_url_host_fast_path(url):
+    assert c.url_host(url) == _url_host_slow(url), url
+
+
+@given(st.text(alphabet="abZ09.-:@/?#%", min_size=0, max_size=30))
+def test_url_host_fast_path_fuzz(tail):
+    for prefix in ("http://", "https://", ""):
+        url = prefix + tail
+        try:
+            slow = _url_host_slow(url)
+        except ValueError:
+            continue
+        assert c.url_host(url) == slow, url
+
+
 def test_normalise_component_kwargs_parity():
     ours = c.normalise_component_kwargs(
         scheme="HTTPS", authority="@example.com", fragment="hi"

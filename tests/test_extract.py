@@ -126,7 +126,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 _href_tokens = list("abcP059._~%-/?#=&:") + [
-    "../", "./", "http://www.example.com/", "//cdn.example.com/", "hello world"
+    "../", "./", "http://www.example.com/", "//cdn.example.com/", "hello world",
+    # exercise the absolute-href fast join (same/cross scheme, ports,
+    # degenerate trailing ?/# forms that must fall back to urljoin)
+    "https://www.example.com/", "http://www.example.com:8080/",
+    "http://www.example.com", "http://www.EXAMPLE.com/",
 ]
 _href_st = st.lists(st.sampled_from(_href_tokens), max_size=10).map("".join)
 _base_st = st.sampled_from(
