@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- multimodal plumbing ----
         "multimodal_meta": _multimodal_meta,
         "multimodal_decode": multimodal.decode_features_flat,
+        "multimodal_frame_sample": multimodal.frame_sample,
         # ---- relational breadth (groupby/join/sort/window/sessionize) ----
         "q1_returnflag_agg": relops.q1_returnflag_agg,
         "mktsegment_revenue": relops.mktsegment_revenue,
@@ -501,6 +502,18 @@ FROM (
         "multimodal_meta": """
 SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
        CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
+FROM documents
+""",
+        # frame arithmetic + md5 over the kept 64-byte frames (stride 4);
+        # documents are ASCII so substr-on-text == byte slicing
+        "multimodal_frame_sample": """
+SELECT doc_id,
+  CAST(octet_length(CAST(text AS BLOB)) // 64 AS BIGINT) AS n_frames,
+  CAST((octet_length(CAST(text AS BLOB)) // 64 + 3) // 4 AS BIGINT) AS n_sampled,
+  md5(COALESCE(array_to_string(
+    list_transform(range(0, CAST(octet_length(CAST(text AS BLOB)) // 64 AS BIGINT), 4),
+                   i -> substr(text, CAST(i * 64 + 1 AS BIGINT), 64)),
+    ''), '')) AS sample_digest
 FROM documents
 """,
         "q1_returnflag_agg": """

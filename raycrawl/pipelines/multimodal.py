@@ -22,7 +22,14 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["payloads", "decode_features", "decode_features_flat", "ImageDecoder"]
+__all__ = [
+    "payloads",
+    "decode_features",
+    "decode_features_flat",
+    "frame_sample",
+    "ImageDecoder",
+    "FrameSampler",
+]
 
 
 def payloads(sf_dir: str) -> rd.Dataset:
@@ -96,6 +103,52 @@ def decode_features(sf_dir: str, batch_size: int = 256) -> rd.Dataset:
     fit the worker heap)."""
     return payloads(sf_dir).map_batches(
         ImageDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage over binary payloads (the video
+    analog of ImageDecoder): treat the payload as fixed-size frames and
+    keep every ``stride``-th one. A real deployment decodes containers
+    here (ffmpeg per actor in __init__); the frame arithmetic, batch
+    sizing and output layout are the real, tested plumbing."""
+
+    def __init__(self, frame_bytes: int = 64, stride: int = 4):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_frames, n_sampled, digests = [], [], []
+        fb, st = self.frame_bytes, self.stride
+        for payload in t["payload"].to_pylist():
+            b = bytes(payload or b"")
+            total = len(b) // fb  # only complete frames
+            picks = range(0, total, st)
+            sampled = b"".join(b[i * fb : (i + 1) * fb] for i in picks)
+            n_frames.append(total)
+            n_sampled.append(len(picks))
+            digests.append(hashlib.md5(sampled).hexdigest())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_frames": pa.array(n_frames, pa.int64()),
+                "n_sampled": pa.array(n_sampled, pa.int64()),
+                "sample_digest": pa.array(digests, pa.string()),
+            }
+        )
+
+
+def frame_sample(sf_dir: str, frame_bytes: int = 64, stride: int = 4,
+                 batch_size: int = 256) -> rd.Dataset:
+    """payloads -> sampled-frame summary (count + md5 over the kept
+    frames). Small batches: binary rows are the memory unit."""
+    return payloads(sf_dir).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs=dict(frame_bytes=frame_bytes, stride=stride),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=2,
