@@ -60,7 +60,13 @@ def shard_of_host(host: str, num_shards: int) -> int:
     return url_hash64("host:" + host) % num_shards
 
 
-@ray.remote(num_cpus=0.25)
+# num_cpus=0.1: a reservation, not a limit — shard work runs at the round
+# BARRIER while the fetch pool is idle, but Ray Data subtracts reserved
+# actor CPUs from the map stage's slots. At 0.25 x 4 shards a 4-CPU run
+# lost a third of its fetch workers to idle reservations (measured: 2.2
+# effective workers of 4); 0.1 keeps the scheduler honest without
+# throttling barrier-time work.
+@ray.remote(num_cpus=0.1)
 class FrontierShard:
     """One shard of the frontier service. All methods take/return plain
     python lists/dicts (cheap to serialize; row dicts stay columnar until
