@@ -341,15 +341,17 @@ def crawl(
         enq = ray.get(
             [s.enqueue_round.remote(num_shards, *gated_refs) for s in shards]
         )
-        enqueued = sum(enq)
+        enqueued = sum(o["enqueued"] for o in enq)
+        pending = sum(o["pending"] for o in enq)
         prev_enqueued = enqueued
         phase["commit"] = round(time.perf_counter() - t1, 3)
 
-        # per-kind metrics: each shard counted a disjoint stripe of blocks
+        # per-kind metrics rode back on the enqueue wave (each shard
+        # counted a disjoint stripe of blocks) — no extra wave per round
         t1 = time.perf_counter()
         vc: dict = {}
-        for d in ray.get([s.last_kind_counts.remote() for s in shards]):
-            for k, n in d.items():
+        for o in enq:
+            for k, n in o["kind_counts"].items():
                 vc[k] = vc.get(k, 0) + n
         phase["route"] = round(time.perf_counter() - t1, 3)
         counts = {
@@ -402,7 +404,8 @@ def crawl(
                             counts, shard_stats, config.checkpoint_keep)
 
         round_no += 1
-        pending = sum(ray.get([s.pending_count.remote() for s in shards]))
+        # termination: pending came back with the enqueue wave (nothing
+        # touches the queues between enqueue and here)
         if pending == 0:
             break
 

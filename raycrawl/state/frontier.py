@@ -260,11 +260,15 @@ class FrontierShard:
         split_stripe call (sum across shards = the round's counts)."""
         return getattr(self, "_kind_counts", {})
 
-    def enqueue_round(self, num_shards: int, *tbls) -> int:
+    def enqueue_round(self, num_shards: int, *tbls) -> dict:
         """Round barrier phase B (host-affine): from the gated tables of
         ALL gate shards, enqueue the rows whose hosts I own into my
         per-host politeness heaps. Cheap (vectorized host filter +
-        heappush) — fine even for a hot host."""
+        heappush) — fine even for a hot host.
+
+        Returns {enqueued, pending, kind_counts}: pending and the stripe's
+        kind counts ride back on this call so the driver needs no extra
+        actor waves per round (each wave is serial round-barrier time)."""
         import pyarrow.compute as pc
 
         n = 0
@@ -290,7 +294,11 @@ class FrontierShard:
                                (depth, url_norm, url_raw))
                 self._pending_n += 1
                 n += 1
-        return n
+        return {
+            "enqueued": n,
+            "pending": self._pending_n,
+            "kind_counts": getattr(self, "_kind_counts", {}),
+        }
 
     def offer_table(self, tbl: pa.Table) -> int:
         """offer_buffer from an Arrow candidate table (zero-copy from the
