@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": relops.events_range_join,
         "events_distinct_users": relops.events_distinct_users,
         "docs_bpe_token_counts": textops.bpe_token_counts,
+        "docs_stopword_stats": textops.stopword_stats,
         "brand_revenue": relops.brand_revenue,
         "supplier_nation_balance": relops.supplier_nation_balance,
         "region_nation_counts": relops.region_nation_counts,
@@ -290,6 +291,15 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text,
          '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'))
          AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+        # same whitespace tokenization + stopword membership on both sides
+        "docs_stopword_stats": r"""
+SELECT doc_id,
+  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+           w -> w IN ('the','a','of','and','to','in','is','it')))
+       AS BIGINT) AS n_stopwords
 FROM documents
 """,
         "docs_token_stats": r"""

@@ -21,6 +21,7 @@ __all__ = [
     "vocab_topk",
     "token_stats",
     "bpe_token_counts",
+    "stopword_stats",
     "quality_stats",
     "quality_label",
     "clean_text",
@@ -111,6 +112,46 @@ def quality_stats(sf_dir: str) -> rd.Dataset:
                 "n_nonspace": pc.cast(
                     pc.count_substring_regex(t["text"], r"\S"), pa.int64()
                 ),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+# the quality-scoring stopword list (reused by the langid 'en' table)
+_EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def stopword_stats(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, n_stopwords): stopword-hit counts (with
+    multiplicity) — the numerator/denominator of the stopword-ratio
+    quality signal (a near-zero ratio flags non-prose/gibberish docs).
+
+    Fully vectorized: one RE2 split + one is_in over the flattened token
+    array + a prefix-sum segmented count per row (no Python loop; RE2 has
+    no lookahead, so word-boundary regex counting is not an option)."""
+    import numpy as np
+
+    def stats(t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(t["text"])
+        lists = pc.split_pattern_regex(lower, r"\s+").combine_chunks()
+        hits = (
+            pc.is_in(lists.flatten(), value_set=pa.array(list(_EN_STOPWORDS)))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        offs = lists.offsets.to_numpy()
+        cs = np.concatenate([[0], np.cumsum(hits)])
+        per_row = cs[offs[1:]] - cs[offs[:-1]]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pc.cast(
+                    pc.count_substring_regex(t["text"], r"\S+"), pa.int64()
+                ),
+                "n_stopwords": pa.array(per_row, pa.int64()),
             }
         )
 
