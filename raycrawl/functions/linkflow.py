@@ -49,8 +49,15 @@ _PLAIN_SEGMENT = re.compile(r"^(?!\.{1,2}$)[A-Za-z0-9._~%\-]+$")
 _ABS_HREF = re.compile(
     r"^https?://"
     r"((?![.])[a-z0-9.\-]*[a-z0-9\-](?::[0-9]*)?)"
-    r"(?=/|$)[^?#]*$"
+    r"(?=/|$)[^?#]*(?<!;)$"
 )
+# urljoin goes through urlparse, which splits ``;params`` off the LAST path
+# segment; empty params (a lone trailing ";") are silently dropped on
+# re-assembly ("/x;" -> "/x"). Any ";" sitting immediately before "?", "#",
+# or end-of-string can hit that edge, so such hrefs take the slow urljoin
+# path (conservative superset of the lossy cases: "/x;;" round-trips fine
+# but is excluded too).
+_SEMI_PARAMS_RISK = re.compile(r";(?=[?#]|$)")
 
 # per-process memo of the pure trim transform (hrefs repeat across pages)
 _TRIM_CACHE: dict = {}
@@ -122,6 +129,7 @@ def parse_page_hrefs(
             and t.startswith("/")
             and not t.startswith("//")
             and not _DOT_SEGMENT.search(t)  # urljoin resolves "/a/../b"
+            and not _SEMI_PARAMS_RISK.search(t)  # urljoin drops lone ";params"
         ):
             j = origin + t
             auth = page_authority

@@ -437,6 +437,7 @@ def dedup_clusters(sf_dir: str, pairs_ds=None, mode: str = "auto",
         label_schema,
     )
     prev_sum = labels.sum("label")
+    converged = False
     for _ in range(max_iters):
         # neighbor labels: edges ⋈ labels on dst, then take the min over
         # {self} ∪ neighbors per node
@@ -457,8 +458,19 @@ def dedup_clusters(sf_dir: str, pairs_ds=None, mode: str = "auto",
         )
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:  # monotone non-increasing -> fixpoint
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a component whose diameter exceeds max_iters would silently get
+        # WRONG (split) cluster ids — refuse rather than mislabel; callers
+        # can raise max_iters (or switch to pointer-doubling) for graphs
+        # this deep
+        raise RuntimeError(
+            f"cluster label propagation did not reach a fixpoint in "
+            f"{max_iters} iterations (a component's diameter exceeds it); "
+            f"rerun with a larger max_iters"
+        )
 
     def own_label(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["doc_id"], "label": t["doc_id"]})

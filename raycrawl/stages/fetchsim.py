@@ -68,6 +68,7 @@ class BucketStore:
     def __init__(self, corpus_path: str):
         self._ds = pads.dataset(corpus_path, partitioning="hive")
         self._refs: dict = {}
+        self._url_refs: dict = {}
 
     def get_ref(self, b: int):
         ref = self._refs.get(b)
@@ -78,6 +79,26 @@ class BucketStore:
             )
             ref = ray.put(tbl)
             self._refs[b] = ref
+        return ref
+
+    def get_url_ref(self, b: int):
+        """url-only bucket view — the check_head body-IO-pruned read.
+
+        A bucket touched only by wrong-mime lookups never loads its
+        html/text columns from Parquet (the reference's HEAD gate exists
+        to avoid exactly this body transfer, requester.py:81-105).
+        """
+        ref = self._url_refs.get(b)
+        if ref is None:
+            full = self._refs.get(b)
+            if full is not None:
+                tbl = ray.get(full).select(["url"])  # already resident
+            else:
+                tbl = self._ds.to_table(
+                    columns=["url"], filter=pc.field("bucket") == b
+                )
+            ref = ray.put(tbl)
+            self._url_refs[b] = ref
         return ref
 
 _OUT_FIELDS = [
@@ -131,21 +152,30 @@ class FetchSimulator:
         self._ds = pads.dataset(corpus_path, partitioning="hive")
 
     # -- corpus access ------------------------------------------------------
-    def _bucket_table(self, b: int):
+    def _bucket_table(self, b: int, with_body: bool = True):
         # per-worker cache of zero-copy plasma views + a url->row index
         # built ONCE per worker: the parquet read happens once per crawl in
         # the BucketStore actor; without a store (standalone use) fall back
         # to a direct read. Store identity in the key = cache buster across
         # crawls (a corpus regenerated at the same path gets a fresh store,
-        # hence fresh views).
-        key = (self.corpus_path, b, str(self.bucket_store))
+        # hence fresh views). with_body=False is the check_head pruned
+        # read: url column only, no html/text IO for the bucket.
+        full_key = (self.corpus_path, b, str(self.bucket_store), True)
+        if not with_body:
+            ent = _BUCKET_CACHE.get(full_key)
+            if ent is not None:
+                return ent  # full table already resident — reuse its index
+        key = full_key if with_body else (self.corpus_path, b,
+                                          str(self.bucket_store), False)
         ent = _BUCKET_CACHE.get(key)
         if ent is None:
             if self.bucket_store is not None:
-                tbl = ray.get(ray.get(self.bucket_store.get_ref.remote(b)))
+                meth = (self.bucket_store.get_ref if with_body
+                        else self.bucket_store.get_url_ref)
+                tbl = ray.get(ray.get(meth.remote(b)))
             else:
                 tbl = self._ds.to_table(
-                    columns=["url", "html", "text"],
+                    columns=["url", "html", "text"] if with_body else ["url"],
                     filter=pc.field("bucket") == b,
                 )
             index = {u: i for i, u in enumerate(tbl.column("url").to_pylist())}
@@ -189,9 +219,13 @@ class FetchSimulator:
         norms = batch.column("url_norm").to_pylist()
         hosts = batch.column("host").to_pylist()
 
-        # positions by outcome
+        # positions by outcome; under check_head the mime is derivable from
+        # the final url's path BEFORE any corpus IO, so wrong-mime rows
+        # group separately and probe a url-only bucket table (the
+        # reference's HEAD gate avoids the body transfer; substring
+        # containment mirrors requester.py:75-79 / the downstream router)
         stub_pos, stub_status, stub_loc = [], [], []
-        by_bucket: dict = {}  # bucket -> ([positions], [final_urls])
+        by_group: dict = {}  # (bucket, need_body) -> (positions, finals, ctypes)
         for i, (u, h) in enumerate(zip(norms, hosts)):
             kind, a, b = self._classify(u, h)
             if kind == "status":
@@ -199,9 +233,16 @@ class FetchSimulator:
                 stub_status.append(a)
                 stub_loc.append(b)
             else:
-                pos, finals = by_bucket.setdefault(b, ([], []))
+                ctype = content_type_for_path(urlsplit(a).path)
+                need_body = (not self.check_head) or any(
+                    m in ctype for m in self.load_body_mimes
+                )
+                pos, finals, ctl = by_group.setdefault(
+                    (b, need_body), ([], [], [])
+                )
                 pos.append(i)
                 finals.append(a)
+                ctl.append(ctype)
 
         parts = []
         if stub_pos:
@@ -218,41 +259,30 @@ class FetchSimulator:
                 )
             )
 
-        for b, (pos, finals) in by_bucket.items():
-            tbl, url_index = self._bucket_table(b)
+        for (b, need_body), (pos, finals, ctl) in by_group.items():
+            tbl, url_index = self._bucket_table(b, with_body=need_body)
             # worker-cached dict probe: O(batch) regardless of bucket size
             # (pc.index_in would re-hash the whole bucket per batch)
             get = url_index.get
             raw_idx = [get(f, -1) for f in finals]
             idx_arr = pa.array(raw_idx, pa.int64())
             found = pc.not_equal(idx_arr, -1)
-            ctypes = pa.array(
-                [content_type_for_path(urlsplit(f).path) for f in finals],
-                pa.string(),
-            )
+            ctypes = pa.array(ctl, pa.string())
 
             f_sel = pc.indices_nonzero(found)
             if len(f_sel):
                 sub = batch.take(pa.array(pos, pa.int64()).take(f_sel))
-                rows = tbl.take(idx_arr.take(f_sel))
                 n = len(f_sel)
                 f_ctypes = ctypes.take(f_sel)
-                html_col = rows.column("html")
-                text_col = rows.column("text")
-                if self.check_head:
-                    # HEAD-before-GET gate (requester.py:81-105): wrong-mime
-                    # rows never load their body — html/text stay null
-                    body_ok = pc.is_in(
-                        f_ctypes, value_set=pa.array(self.load_body_mimes)
-                    )
-                    html_col = pc.if_else(body_ok, html_col.combine_chunks()
-                                          if isinstance(html_col, pa.ChunkedArray)
-                                          else html_col,
-                                          pa.scalar(None, pa.binary()))
-                    text_col = pc.if_else(body_ok, text_col.combine_chunks()
-                                          if isinstance(text_col, pa.ChunkedArray)
-                                          else text_col,
-                                          pa.scalar(None, pa.string()))
+                if need_body and "html" in tbl.column_names:
+                    rows = tbl.take(idx_arr.take(f_sel))
+                    html_col = rows.column("html")
+                    text_col = rows.column("text")
+                else:
+                    # HEAD gate: wrong-mime rows exist in the corpus but
+                    # their body is never read — html/text stay null
+                    html_col = pa.nulls(n, pa.binary())
+                    text_col = pa.nulls(n, pa.string())
                 parts.append(
                     self._with_cols(
                         sub,

@@ -116,6 +116,9 @@ def test_parse_page_hrefs_matches_reference(trim_query, trim_fragment):
         "//www.example.com/protocol-relative",
         "//cdn.example.com/offsite-pr",
         "mailto:x@example.com",
+        "http://www.example.com/x;",  # lone trailing ";": urljoin drops it
+        "/y;",
+        "/ok;params",
     ]
     ours = {norm for _, norm in parse_page_hrefs(hrefs, base, trim_query, trim_fragment)}
     theirs = _ref_parse_hrefs(hrefs, base, trim_query, trim_fragment)
@@ -125,12 +128,15 @@ def test_parse_page_hrefs_matches_reference(trim_query, trim_fragment):
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-_href_tokens = list("abcP059._~%-/?#=&:") + [
+_href_tokens = list("abcP059._~%-/?#=&:;") + [
     "../", "./", "http://www.example.com/", "//cdn.example.com/", "hello world",
     # exercise the absolute-href fast join (same/cross scheme, ports,
     # degenerate trailing ?/# forms that must fall back to urljoin)
     "https://www.example.com/", "http://www.example.com:8080/",
     "http://www.example.com", "http://www.EXAMPLE.com/",
+    # ";params" edge: urljoin drops a lone trailing ";" from the last path
+    # segment (empty params) — the fast paths must defer to urljoin here
+    "http://www.example.com/x;", "/x;", "x;",
 ]
 _href_st = st.lists(st.sampled_from(_href_tokens), max_size=10).map("".join)
 _base_st = st.sampled_from(

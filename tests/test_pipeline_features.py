@@ -175,6 +175,37 @@ def test_check_head_skips_wrong_mime_bodies(ray_session, corpus):
     assert html["text"].null_count == 0
 
 
+def test_check_head_prunes_body_io(ray_session, corpus):
+    """Under check_head a batch of only wrong-mime urls must never read
+    the html/text columns from the corpus — the bucket table loaded for
+    those lookups is url-only (the HEAD gate's whole point is avoiding
+    the body transfer, reference requester.py:81-105)."""
+    import pyarrow as pa
+
+    from raycrawl.sources.synth import N_BUCKETS_DEFAULT
+    from raycrawl.stages import fetchsim
+    from raycrawl.stages.fetchsim import FetchSimulator
+
+    fetchsim._BUCKET_CACHE.clear()
+    sim = FetchSimulator(corpus["corpus"], N_BUCKETS_DEFAULT, check_head=True)
+    urls = [f"http://h{i}.example.com/{p}" for i in range(3)
+            for p in ("doc1.pdf", "img1.png", "style.css")]
+    batch = pa.table({
+        "url_norm": pa.array(urls),
+        "host": pa.array([u.split("//")[1].split("/")[0] for u in urls]),
+    })
+    out = sim(batch)
+    assert out.num_rows == len(urls)
+    assert set(out["status"].to_pylist()) == {200}
+    assert out["text"].null_count == out.num_rows
+    # every bucket table the batch touched was the url-only pruned read
+    assert fetchsim._BUCKET_CACHE, "lookup must have populated the cache"
+    for (_, _, _, with_body), (tbl, _idx) in fetchsim._BUCKET_CACHE.items():
+        assert with_body is False
+        assert tbl.column_names == ["url"]
+    fetchsim._BUCKET_CACHE.clear()
+
+
 def test_max_depth(ray_session, corpus):
     res = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE, max_depth=1))
     assert res.depths() and max(res.depths().values()) <= 1
