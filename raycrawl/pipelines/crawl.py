@@ -3,9 +3,6 @@
 Dataflow per round (SURVEY §3.4; replaces the reference's dispatch loop,
 /root/reference/simple_crawler/crawler.py:196-242):
 
-    release_chunks() per shard           per-host politeness order; a hot
-                                         host's rows split into many blocks
-                                         (salted fetch repartition)
     map_batches(CrawlRoundStage)         ONE fused, PURE stage: robots gate
                                          + corpus fetch-sim + extract +
                                          canonicalize + row routing; emits a
@@ -13,12 +10,17 @@ Dataflow per round (SURVEY §3.4; replaces the reference's dispatch loop,
                                          blocked/cand rows, no html bodies)
     [barrier] = materialize()            pure stage -> materialization IS
                                          the round barrier
-    gate_round() per shard               phase A, BALANCED by hash(url_norm):
-                                         deterministic dedup + seen-gate +
-                                         done bookkeeping (vectorized)
-    enqueue_round() per shard            phase B, host-affine: gated rows
-                                         enter the owning politeness queues
-    checkpoint + manifest                resumable per-shard lineage
+    split -> gate -> enqueue ->          ONE submission-ordered actor chain,
+      [checkpoint] -> release            no driver round trip in the middle
+                                         (split: stripe kind-split; gate:
+                                         BALANCED by hash(url_norm); enqueue:
+                                         host-affine columnar append;
+                                         release: NEXT round's chunks staged
+                                         per-host politeness order, a hot
+                                         host split into many blocks). The
+                                         driver overlaps the round's Parquet
+                                         write with this chain and blocks
+                                         once, on the release wave.
 
 Termination: every shard's pending queue is empty (the deterministic
 dataflow translation of the reference's queue-timeout / seen==done exits,
@@ -251,36 +253,31 @@ def crawl(
     collected = []
     metrics = []
     round_no = start_round
-    prev_enqueued = sum(ray.get([s.pending_count.remote() for s in shards]))
-    while round_no < config.max_rounds:
+
+    # chunked release: a hot host's rows split into many Dataset blocks so
+    # the fused round stage parallelizes across all cores/nodes even under
+    # heavy host skew (politeness stays per-host-serial inside the shard);
+    # the frontier never lands on the driver (from_arrow_refs). Chunks are
+    # sized SHARD-LOCALLY (~3 per fetch worker cluster-wide, capped at
+    # batch_size) so release can run chained after enqueue without the
+    # driver knowing the round's width.
+    target_chunks = max(1, -(-3 * config.fetch_concurrency // num_shards))
+
+    def submit_release():
+        return [
+            s.release_chunks.remote(budgets, default_budget,
+                                    config.batch_size, target_chunks)
+            for s in shards
+        ]
+
+    # prime the first round's release (seeds / restored pending)
+    rel = ray.get(submit_release())
+    n_released = sum(r["released"] for r in rel)
+    n_chunks = [r["chunks"] for r in rel]
+
+    while round_no < config.max_rounds and n_released > 0:
         t0 = time.perf_counter()
         phase = {}
-        # chunked release: a hot host's rows split into many Dataset blocks
-        # so the fused round stage parallelizes across all cores/nodes even
-        # under heavy host skew (politeness stays per-host-serial inside the
-        # shard); the frontier never lands on the driver (from_arrow_refs).
-        # Chunk size adapts to the expected round width (last round's
-        # enqueue volume) so narrow rounds still spread across the pool —
-        # target ~3 chunks per fetch worker, capped at batch_size.
-        expected = max(prev_enqueued, 1)
-        chunk_rows = max(
-            64,
-            min(config.batch_size,
-                -(-expected // (3 * config.fetch_concurrency))),
-        )
-        n_chunks = ray.get(
-            [
-                s.release_chunks.remote(budgets, default_budget, chunk_rows)
-                for s in shards
-            ]
-        )
-        n_released = sum(
-            ray.get([s.last_release_count.remote() for s in shards])
-        )
-        phase["release"] = round(time.perf_counter() - t0, 3)
-        if n_released == 0:
-            break
-
         ref_tables = [
             shards[si].fetch_chunk.remote(i)
             for si, n in enumerate(n_chunks)
@@ -319,56 +316,50 @@ def crawl(
         if debug_timing and phase["exec"] > 5:
             print(f"--- round {round_no} stats ---\n{mat.stats()}", flush=True)
 
-        # route + commit, SHARD-side in two waves; the driver never holds a
-        # round row. Wave 1: each shard kind-splits a DISJOINT stripe of
-        # the raw block refs (every block scanned once cluster-wide) and
-        # buckets cand/done rows by gshard into plasma. Wave 2, phase A:
-        # each shard gates its own gshard pieces — the seen-gate key is
-        # hash(url_norm), BALANCED under any host skew. Phase B: enqueue
-        # into the host-owning politeness queues. All shard-parallel.
+        # route + commit, SHARD-side, as ONE submission-ordered actor
+        # chain with no driver round trip in the middle: split -> gate ->
+        # enqueue -> [checkpoint] -> release. The driver never holds a
+        # round row and blocks exactly once, on the final release wave.
+        #   split:   each shard kind-splits a DISJOINT stripe of the raw
+        #            block refs (every block scanned once cluster-wide)
+        #            and buckets cand/done rows by gshard into plasma
+        #   gate:    phase A, BALANCED by hash(url_norm) — each shard
+        #            gates its own gshard pieces (piece maps travel
+        #            ref-to-ref, resolved by Ray, never by the driver)
+        #   enqueue: phase B, host-affine politeness append
+        #   release: NEXT round's chunks staged while the driver is still
+        #            writing THIS round's output (overlap)
         t1 = time.perf_counter()
         block_refs = mat.to_arrow_refs()
-        piece_maps = ray.get(
-            [
-                s.split_stripe.remote(block_refs[i::num_shards], num_shards)
-                for i, s in enumerate(shards)
-            ]
-        )
-        gated_refs = [
-            s.gate_pieces.remote([pm[j] for pm in piece_maps], num_shards)
-            for j, s in enumerate(shards)
+        split_refs = [
+            s.split_stripe.remote(block_refs[i::num_shards], num_shards)
+            for i, s in enumerate(shards)
         ]
-        enq = ray.get(
-            [s.enqueue_round.remote(num_shards, *gated_refs) for s in shards]
+        gated_refs = [
+            s.gate_pieces_at.remote(num_shards, *split_refs) for s in shards
+        ]
+        enq_refs = [
+            s.enqueue_round.remote(num_shards, *gated_refs) for s in shards
+        ]
+        do_ckpt = bool(
+            output_dir and config.checkpoint_every
+            and round_no % config.checkpoint_every == 0
         )
-        enqueued = sum(o["enqueued"] for o in enq)
-        pending = sum(o["pending"] for o in enq)
-        prev_enqueued = enqueued
-        phase["commit"] = round(time.perf_counter() - t1, 3)
+        if do_ckpt:
+            # chained BETWEEN enqueue and release: the persisted pending
+            # state must still contain the rows the next release will
+            # stage, or a resume from this manifest would lose them
+            ckpt_dir = os.path.join(output_dir, "checkpoints")
+            ckpt_refs = [
+                s.checkpoint.remote(ckpt_dir, round_no, config.checkpoint_keep)
+                for s in shards
+            ]
+            stat_refs = [s.counts.remote() for s in shards]
+        rel_refs = submit_release()
+        phase["submit"] = round(time.perf_counter() - t1, 3)
 
-        # per-kind metrics rode back on the enqueue wave (each shard
-        # counted a disjoint stripe of blocks) — no extra wave per round
+        # round output IO overlaps the commit chain running on the shards
         t1 = time.perf_counter()
-        vc: dict = {}
-        for o in enq:
-            for k, n in o["kind_counts"].items():
-                vc[k] = vc.get(k, 0) + n
-        phase["route"] = round(time.perf_counter() - t1, 3)
-        counts = {
-            "round": round_no,
-            "released": n_released,
-            "done": vc.get("done", 0),
-            "error": vc.get("error", 0),
-            "edges": vc.get("edge", 0),
-            "blocked": vc.get("blocked", 0),
-            "enqueued": enqueued,
-            "sec": round(time.perf_counter() - t0, 4),
-        }
-        phase["collect"] = round(time.perf_counter() - t1, 3)
-        if debug_timing:
-            counts["phases"] = phase
-        metrics.append(counts)
-
         if output_dir:
             import shutil
 
@@ -387,27 +378,43 @@ def crawl(
                 if tbls
                 else empty_tall()
             )
+        phase["io"] = round(time.perf_counter() - t1, 3)
 
-        if output_dir and config.checkpoint_every and (
-            round_no % config.checkpoint_every == 0
-        ):
-            ckpt_dir = os.path.join(output_dir, "checkpoints")
-            shard_infos = ray.get(
-                [
-                    s.checkpoint.remote(ckpt_dir, round_no,
-                                        config.checkpoint_keep)
-                    for s in shards
-                ]
-            )
-            shard_stats = ray.get([s.counts.remote() for s in shards])
+        t1 = time.perf_counter()
+        rel = ray.get(rel_refs)   # closes the whole chain
+        enq = ray.get(enq_refs)   # already resolved
+        phase["commit"] = round(time.perf_counter() - t1, 3)
+        enqueued = sum(o["enqueued"] for o in enq)
+        vc: dict = {}
+        for o in enq:
+            for k, n in o["kind_counts"].items():
+                vc[k] = vc.get(k, 0) + n
+        counts = {
+            "round": round_no,
+            "released": n_released,
+            "done": vc.get("done", 0),
+            "error": vc.get("error", 0),
+            "edges": vc.get("edge", 0),
+            "blocked": vc.get("blocked", 0),
+            "enqueued": enqueued,
+            "sec": round(time.perf_counter() - t0, 4),
+        }
+        if debug_timing:
+            counts["phases"] = phase
+        metrics.append(counts)
+
+        if do_ckpt:
+            shard_infos = ray.get(ckpt_refs)
+            shard_stats = ray.get(stat_refs)
             _write_manifest(output_dir, round_no, cfg_hash, shard_infos,
                             counts, shard_stats, config.checkpoint_keep)
 
         round_no += 1
-        # termination: pending came back with the enqueue wave (nothing
-        # touches the queues between enqueue and here)
-        if pending == 0:
-            break
+        # termination: the chained release came back empty — queues are
+        # exhausted (budgets release >=1 row per nonempty host, so zero
+        # released means zero pending)
+        n_released = sum(r["released"] for r in rel)
+        n_chunks = [r["chunks"] for r in rel]
 
     shard_stats = ray.get([s.counts.remote() for s in shards])
     seen = done = None

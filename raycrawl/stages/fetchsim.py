@@ -55,7 +55,7 @@ _MAX_HOPS = 8
 _BUCKET_CACHE: dict = {}
 
 
-@ray.remote(num_cpus=0.1)
+@ray.remote(num_cpus=0)
 class BucketStore:
     """Owner of the corpus bucket tables in the object store.
 

@@ -30,10 +30,10 @@ single-call legacy protocol kept for unit tests.
 
 from __future__ import annotations
 
-import heapq
 import os
 import pickle
 
+import numpy as np
 import pyarrow as pa
 import ray
 
@@ -60,13 +60,18 @@ def shard_of_host(host: str, num_shards: int) -> int:
     return url_hash64("host:" + host) % num_shards
 
 
-# num_cpus=0.1: a reservation, not a limit — shard work runs at the round
-# BARRIER while the fetch pool is idle, but Ray Data subtracts reserved
-# actor CPUs from the map stage's slots. At 0.25 x 4 shards a 4-CPU run
-# lost a third of its fetch workers to idle reservations (measured: 2.2
-# effective workers of 4); 0.1 keeps the scheduler honest without
-# throttling barrier-time work.
-@ray.remote(num_cpus=0.1)
+# num_cpus=0: a pure-barrier-time actor — shard work runs at the round
+# BARRIER while the fetch pool is idle, but Ray subtracts any reserved
+# actor CPUs from the map stage's task slots. At 0.25 x 4 shards a 4-CPU
+# run lost a third of its fetch workers to idle reservations (measured:
+# 2.2 effective workers of 4); even at 0.1 the combined infra actors
+# (shards + robots + bucket store) still cost the 4-CPU leg one of its
+# four 1-CPU task slots while costing the 16-CPU leg none — a measured
+# asymmetry that distorts scaling readings. Zero reservation matches the
+# truth: these actors burn CPU only while the fetch pool idles at the
+# barrier. On a real multi-node cluster they'd also be a vanishing
+# fraction of the fleet.
+@ray.remote(num_cpus=0)
 class FrontierShard:
     """One shard of the frontier service. All methods take/return plain
     python lists/dicts (cheap to serialize; row dicts stay columnar until
@@ -83,9 +88,24 @@ class FrontierShard:
         else:
             raise ValueError(f"unknown seen_mode {seen_mode!r}")
         self._done: set = set()
-        # host -> heap of (depth, url_norm, url_raw)
-        self._pending: dict = {}
+        # COLUMNAR pending state: a sorted leftover table plus unsorted
+        # incoming appends, merged lazily at release time. Enqueue is an
+        # O(1) table append and release is one vectorized sort + slice —
+        # no per-row python in either direction (the per-row heappush/
+        # heappop of the earlier design was the commit wall at scale).
+        self._pending_tbl: pa.Table = FRONTIER_SCHEMA.empty_table()
+        self._incoming: list = []
         self._pending_n = 0
+        # urls enqueued via seed() — together with _dirty_done, the ONLY
+        # urls that can ever be pending-while-done (everything else enters
+        # pending exactly once, through the seen-gate, and is checked
+        # against done there), so the dequeue-time done check
+        # (crawler.py:219-221) only needs to consult these small sets
+        self._seeded: set = set()
+        # done marks arriving through the direct mark_done APIs (outside
+        # the gate path, whose marks can only concern already-released
+        # urls) — these CAN hit still-pending rows
+        self._dirty_done: set = set()
         # candidates buffered within a round, committed at the round barrier
         self._buffer: list = []
         self.stats = {"seen_added": 0, "gate_dropped": 0, "released": 0,
@@ -220,20 +240,29 @@ class FrontierShard:
             )
             if cd.num_rows == 0:
                 continue
-            is_cand = pc.equal(cd["kind"], "cand")
+            # single pass: one sort by a fused (gshard, is_cand) code, then
+            # zero-copy slices at searchsorted boundaries (the earlier
+            # 2 x num_shards filters re-scanned cd per gshard)
+            code = pc.add(
+                pc.multiply(cd["gshard"], pa.scalar(2, pa.int32())),
+                pc.cast(pc.equal(cd["kind"], "cand"), pa.int32()),
+            ).combine_chunks()
+            order = pc.sort_indices(code)
+            cds = cd.take(order)
+            codes = code.take(order).to_numpy()
+            bounds = np.searchsorted(codes, np.arange(2 * num_shards + 1))
             for g in range(num_shards):
-                sub = cd.filter(pc.and_(pc.equal(cd["gshard"], g), is_cand))
-                if sub.num_rows:
+                d0, d1, c1 = bounds[2 * g], bounds[2 * g + 1], bounds[2 * g + 2]
+                if d1 > d0:
+                    done_parts[g].append(
+                        cds.slice(d0, d1 - d0).select(["url_norm", "gshard"])
+                    )
+                if c1 > d1:
                     cand_parts[g].append(
-                        sub.select(
+                        cds.slice(d1, c1 - d1).select(
                             ["url_raw", "url_norm", "host", "depth", "gshard"]
                         )
                     )
-                subd = cd.filter(
-                    pc.and_(pc.equal(cd["gshard"], g), pc.invert(is_cand))
-                )
-                if subd.num_rows:
-                    done_parts[g].append(subd.select(["url_norm", "gshard"]))
         self._kind_counts = counts
         out = {}
         for g in range(num_shards):
@@ -255,16 +284,55 @@ class FrontierShard:
         done = pa.concat_tables(dones) if dones else None
         return self.gate_round(cand, done, num_shards)
 
+    def gate_pieces_at(self, num_shards: int, *piece_maps) -> pa.Table:
+        """gate_pieces, but taking every splitter's WHOLE piece map (the
+        split_stripe return values, passed ref-to-ref as top-level args so
+        Ray resolves them and the driver never ray.gets between the waves
+        — the commit chain runs entirely actor-side). Picks this shard's
+        gshard entry from each map."""
+        pieces = [pm[self.shard_id] for pm in piece_maps]
+        return self.gate_pieces(pieces, num_shards)
+
     def last_kind_counts(self) -> dict:
         """Kind counts of this shard's block stripe from the preceding
         split_stripe call (sum across shards = the round's counts)."""
         return getattr(self, "_kind_counts", {})
 
+    # ---- columnar pending machinery ---------------------------------------
+    def _append_pending(self, tbl: pa.Table) -> int:
+        if tbl.num_rows == 0:
+            return 0
+        self._incoming.append(tbl)
+        self._pending_n += tbl.num_rows
+        return tbl.num_rows
+
+    def _merged_pending(self) -> pa.Table:
+        """Merge incoming appends into the sorted pending table. Sort key
+        (host, depth, url_norm, url_raw) = the deterministic release order:
+        hosts in sorted order, each host's rows by (depth, url_norm) —
+        byte-identical to the per-host-heap order of the earlier design."""
+        import pyarrow.compute as pc
+
+        if self._incoming:
+            parts = ([self._pending_tbl] if self._pending_tbl.num_rows else [])
+            parts += [t.cast(FRONTIER_SCHEMA) for t in self._incoming]
+            self._incoming = []
+            tbl = pa.concat_tables(parts)
+            self._pending_tbl = tbl.take(
+                pc.sort_indices(
+                    tbl,
+                    sort_keys=[("host", "ascending"), ("depth", "ascending"),
+                               ("url_norm", "ascending"),
+                               ("url_raw", "ascending")],
+                )
+            )
+        return self._pending_tbl
+
     def enqueue_round(self, num_shards: int, *tbls) -> dict:
         """Round barrier phase B (host-affine): from the gated tables of
-        ALL gate shards, enqueue the rows whose hosts I own into my
-        per-host politeness heaps. Cheap (vectorized host filter +
-        heappush) — fine even for a hot host.
+        ALL gate shards, append the rows whose hosts I own to my pending
+        state — one vectorized host filter + table append per gate table,
+        no per-row work even for a hot host.
 
         Returns {enqueued, pending, kind_counts}: pending and the stripe's
         kind counts ride back on this call so the driver needs no extra
@@ -284,16 +352,7 @@ class FrontierShard:
             if not mine:
                 continue
             sub = tbl.filter(pc.is_in(hosts, value_set=pa.array(mine)))
-            for url_raw, url_norm, host, depth in zip(
-                sub["url_raw"].to_pylist(),
-                sub["url_norm"].to_pylist(),
-                sub["host"].to_pylist(),
-                sub["depth"].to_pylist(),
-            ):
-                heapq.heappush(self._pending.setdefault(host, []),
-                               (depth, url_norm, url_raw))
-                self._pending_n += 1
-                n += 1
+            n += self._append_pending(sub.select(FRONTIER_SCHEMA.names))
         return {
             "enqueued": n,
             "pending": self._pending_n,
@@ -314,11 +373,14 @@ class FrontierShard:
         return len(self._buffer)
 
     def mark_done_table(self, tbl: pa.Table) -> None:
-        self._done.update(tbl.column("url_norm").to_pylist())
+        norms = tbl.column("url_norm").to_pylist()
+        self._done.update(norms)
+        self._dirty_done.update(norms)
 
     def commit_round(self) -> int:
-        """Round barrier: deterministically dedup buffered candidates, run
-        the seen-gate, enqueue the unseen. Returns number enqueued.
+        """Round barrier (legacy single-call protocol): deterministically
+        dedup buffered candidates, run the seen-gate, enqueue the unseen.
+        Returns number enqueued.
 
         Dedup keeps the min (depth, url_raw) representative per url_norm —
         a deterministic stand-in for the reference's hash-seed-dependent
@@ -333,7 +395,7 @@ class FrontierShard:
             if cur is None or (depth, url_raw) < (cur[0], cur[1]):
                 best[url_norm] = (depth, url_raw, host)
         self._buffer.clear()
-        n = 0
+        rows = {"url_raw": [], "url_norm": [], "host": [], "depth": []}
         for url_norm in sorted(best, key=lambda u: (best[u][0], u)):
             depth, url_raw, host = best[url_norm]
             if not self._seen_check_add(url_norm):
@@ -342,66 +404,103 @@ class FrontierShard:
             self.stats["seen_added"] += 1
             if url_norm in self._done:
                 continue
-            heapq.heappush(self._pending.setdefault(host, []),
-                           (depth, url_norm, url_raw))
-            self._pending_n += 1
-            n += 1
-        return n
+            rows["url_raw"].append(url_raw)
+            rows["url_norm"].append(url_norm)
+            rows["host"].append(host)
+            rows["depth"].append(depth)
+        return self._append_pending(pa.table(rows, schema=FRONTIER_SCHEMA))
 
     def seed(self, rows: list) -> int:
         """Enqueue seeds WITHOUT touching the seen-set — the reference only
         adds a seed to seen if it is re-discovered (crawler.py:198-199)."""
-        n = 0
+        cols = {"url_raw": [], "url_norm": [], "host": [], "depth": []}
         for url_raw, url_norm, host, depth in rows:
             if url_norm in self._done:
                 continue
-            heapq.heappush(self._pending.setdefault(host, []),
-                           (depth, url_norm, url_raw))
-            self._pending_n += 1
-            n += 1
-        return n
+            cols["url_raw"].append(url_raw)
+            cols["url_norm"].append(url_norm)
+            cols["host"].append(host)
+            cols["depth"].append(depth)
+            self._seeded.add(url_norm)
+        return self._append_pending(pa.table(cols, schema=FRONTIER_SCHEMA))
 
     # ---- politeness release ----------------------------------------------
-    def release(self, budgets: dict | None = None, default_budget: int | None = None) -> dict:
-        """Pop this round's fetchable rows, per-host-serial politeness.
+    def _release_tbl(self, budgets: dict | None = None,
+                     default_budget: int | None = None) -> pa.Table:
+        """This round's fetchable rows as one sorted Arrow table,
+        per-host-serial politeness applied; deferred rows stay pending.
 
         budgets: host -> max rows this round (crawl_delay-derived); hosts
-        absent use default_budget; budget None = unlimited. Rows come out in
-        (depth, url_norm) order per host — deterministic. Returns columnar
-        {url_raw, url_norm, host, depth}; deferred rows stay queued.
-        """
-        out = {"url_raw": [], "url_norm": [], "host": [], "depth": []}
+        absent use default_budget; budget None = unlimited. Rows come out
+        host-sorted, (depth, url_norm)-ordered within a host —
+        deterministic. Everything is vectorized: one lazy merge-sort of
+        pending, run-length host boundaries, numpy slice assembly."""
+        import pyarrow.compute as pc
+
+        tbl = self._merged_pending()
+        if tbl.num_rows == 0:
+            return FRONTIER_SCHEMA.empty_table()
+
+        # done check at dequeue (crawler.py:219-221): only seed urls and
+        # directly-marked done urls can be pending-while-done (any other
+        # url enters pending exactly once via the seen-gate and cannot
+        # complete before its only copy releases)
+        drop = {u for u in self._seeded if u in self._done}
+        drop |= self._dirty_done
+        if drop:
+            mask = pc.is_in(tbl["url_norm"],
+                            value_set=pa.array(sorted(drop), pa.string()))
+            n_drop = pc.sum(mask).as_py() or 0
+            if n_drop:
+                tbl = tbl.filter(pc.invert(mask))
+                self._pending_n -= n_drop
+                self._pending_tbl = tbl
+
+        if not budgets and default_budget is None:
+            # unbudgeted: release everything
+            self._pending_tbl = FRONTIER_SCHEMA.empty_table()
+            self._pending_n = 0
+            self.stats["released"] += tbl.num_rows
+            return tbl
+
         budgets = budgets or {}
-        for host in sorted(self._pending):
-            heap = self._pending[host]
-            budget = budgets.get(host, default_budget)
-            take = len(heap) if budget is None else min(budget, len(heap))
-            if take < len(heap):
+        # per-host runs on the host-sorted table: value_counts preserves
+        # first-appearance order, which IS sorted order here
+        vc = pc.value_counts(tbl["host"].combine_chunks())
+        counts = vc.field("counts").to_numpy()
+        hosts = vc.field("values").to_pylist()
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        takes = np.empty(len(counts), dtype=np.int64)
+        for i, h in enumerate(hosts):
+            b = budgets.get(h, default_budget)
+            takes[i] = counts[i] if b is None else min(b, counts[i])
+            if takes[i] < counts[i]:
                 self.stats["deferred_rounds"] += 1
-            for _ in range(take):
-                depth, url_norm, url_raw = heapq.heappop(heap)
-                # done check at dequeue (crawler.py:219-221): seeds that were
-                # re-discovered after completing land here
-                if url_norm in self._done:
-                    self._pending_n -= 1
-                    continue
-                out["url_raw"].append(url_raw)
-                out["url_norm"].append(url_norm)
-                out["host"].append(host)
-                out["depth"].append(depth)
-                self._pending_n -= 1
-                self.stats["released"] += 1
-            if not heap:
-                del self._pending[host]
+        rel_idx = np.concatenate(
+            [np.arange(s, s + t) for s, t in zip(starts, takes)]
+        ) if len(counts) else np.empty(0, dtype=np.int64)
+        keep_idx = np.concatenate(
+            [np.arange(s + t, s + c)
+             for s, t, c in zip(starts, takes, counts)]
+        ) if len(counts) else np.empty(0, dtype=np.int64)
+        out = tbl.take(pa.array(rel_idx, pa.int64()))
+        self._pending_tbl = tbl.take(pa.array(keep_idx, pa.int64()))
+        self._pending_n = self._pending_tbl.num_rows
+        self.stats["released"] += out.num_rows
         return out
+
+    def release(self, budgets: dict | None = None,
+                default_budget: int | None = None) -> dict:
+        """_release_tbl as columnar python lists (legacy/unit-test API)."""
+        return self._release_tbl(budgets, default_budget).to_pydict()
 
     def release_table(self, budgets: dict | None = None,
                       default_budget: int | None = None) -> pa.Table:
-        """release() as a zero-copy Arrow table — the driver passes the
+        """release as a zero-copy Arrow table — the driver passes the
         ObjectRef straight into ``ray.data.from_arrow_refs`` so the frontier
         never materializes on the driver."""
-        tbl = pa.table(self.release(budgets, default_budget),
-                       schema=FRONTIER_SCHEMA)
+        tbl = self._release_tbl(budgets, default_budget)
         self._last_release_count = tbl.num_rows
         return tbl
 
@@ -413,20 +512,33 @@ class FrontierShard:
 
     def release_chunks(self, budgets: dict | None = None,
                        default_budget: int | None = None,
-                       chunk_rows: int = 2048) -> int:
-        """Stage this round's release as <=chunk_rows Arrow slices; returns
-        the chunk count. The salted-repartition path for skewed hosts
-        (north_rule): a hot host's release splits into many blocks so the
-        fetch stage parallelizes across the cluster, while politeness stays
-        per-host-serial HERE, at release time. Fetch the slices with
-        fetch_chunk(i) — each is its own Dataset block."""
-        tbl = pa.table(self.release(budgets, default_budget),
-                       schema=FRONTIER_SCHEMA)
+                       chunk_rows: int = 2048,
+                       target_chunks: int | None = None) -> dict:
+        """Stage this round's release as <=chunk_rows Arrow slices. The
+        salted-repartition path for skewed hosts (north_rule): a hot host's
+        release splits into many blocks so the fetch stage parallelizes
+        across the cluster, while politeness stays per-host-serial HERE, at
+        release time. Fetch the slices with fetch_chunk(i) — each is its
+        own Dataset block.
+
+        ``target_chunks`` sizes chunks shard-locally (chunk_rows becomes
+        the cap): the driver can submit this call CHAINED after
+        enqueue_round without knowing the round's width. Returns
+        {chunks, released, pending} so one ray.get closes the whole
+        enqueue->release chain."""
+        tbl = self._release_tbl(budgets, default_budget)
         self._last_release_count = tbl.num_rows
+        if target_chunks:
+            chunk_rows = max(64, min(chunk_rows,
+                                     -(-tbl.num_rows // target_chunks)))
         self._staged = [
             tbl.slice(i, chunk_rows) for i in range(0, tbl.num_rows, chunk_rows)
         ]
-        return len(self._staged)
+        return {
+            "chunks": len(self._staged),
+            "released": tbl.num_rows,
+            "pending": self._pending_n,
+        }
 
     def fetch_chunk(self, i: int) -> pa.Table:
         return self._staged[i]
@@ -434,14 +546,21 @@ class FrontierShard:
     # ---- done bookkeeping -------------------------------------------------
     def mark_done(self, url_norms: list) -> None:
         self._done.update(url_norms)
+        self._dirty_done.update(url_norms)
 
     def pending_count(self) -> int:
         return self._pending_n
 
     def counts(self) -> dict:
+        import pyarrow.compute as pc
+
         seen_n = len(self._seen) if self.seen_mode == "exact" else self._cuckoo.size
+        pend = self._merged_pending()
+        n_hosts = (
+            len(pc.unique(pend["host"].combine_chunks())) if pend.num_rows else 0
+        )
         out = {"shard": self.shard_id, "seen": seen_n, "done": len(self._done),
-               "pending": self._pending_n, "hosts": len(self._pending),
+               "pending": self._pending_n, "hosts": n_hosts,
                **self.stats}
         if self.seen_mode == "cuckoo":
             # expected false-positive budget of the 4-slot/16-bit filter at
@@ -475,12 +594,23 @@ class FrontierShard:
         keep_rounds manifested rounds are pruned.
         """
         os.makedirs(ckpt_dir, exist_ok=True)
+        # pending persists in the legacy {host: [(depth, url_norm,
+        # url_raw), ...]} form (rows already host+depth sorted) so old
+        # checkpoints stay restorable
+        pend = self._merged_pending()
+        pending: dict = {}
+        for host, depth, url_norm, url_raw in zip(
+            pend["host"].to_pylist(), pend["depth"].to_pylist(),
+            pend["url_norm"].to_pylist(), pend["url_raw"].to_pylist(),
+        ):
+            pending.setdefault(host, []).append((depth, url_norm, url_raw))
         state = {
             "shard_id": self.shard_id,
             "seen_mode": self.seen_mode,
             "round": round_no,
             "done": sorted(self._done),
-            "pending": {h: sorted(q) for h, q in self._pending.items()},
+            "pending": pending,
+            "seeded": sorted(self._seeded),
             "buffer": list(self._buffer),  # empty at round boundaries
             "stats": self.stats,
         }
@@ -544,13 +674,25 @@ class FrontierShard:
         else:
             self._cuckoo = CuckooFilter.from_state(state["cuckoo"])
         self._done = set(state["done"])
-        self._pending = {}
-        self._pending_n = 0
-        for host, rows in state["pending"].items():
-            heap = [tuple(r) for r in rows]
-            heapq.heapify(heap)
-            self._pending[host] = heap
-            self._pending_n += len(heap)
+        cols = {"url_raw": [], "url_norm": [], "host": [], "depth": []}
+        for host in sorted(state["pending"]):
+            for depth, url_norm, url_raw in sorted(
+                tuple(r) for r in state["pending"][host]
+            ):
+                cols["url_raw"].append(url_raw)
+                cols["url_norm"].append(url_norm)
+                cols["host"].append(host)
+                cols["depth"].append(depth)
+        self._pending_tbl = pa.table(cols, schema=FRONTIER_SCHEMA)
+        self._incoming = []
+        self._pending_n = self._pending_tbl.num_rows
+        # dequeue-time done check coverage after restore: pending∩done is
+        # exactly the set the check can ever fire on, so union it in (this
+        # also restores the effect of pre-checkpoint mark_done calls)
+        self._seeded = set(state.get("seeded", ())) | self._done.intersection(
+            cols["url_norm"]
+        )
+        self._dirty_done = set()
         self._buffer = [tuple(r) for r in state.get("buffer", [])]
         self.stats = state["stats"]
         return state["round"]

@@ -90,7 +90,7 @@ class RulesView:
         return None if d is None else int(d)
 
 
-@ray.remote(num_cpus=0.1)  # reservation only; see FrontierShard note
+@ray.remote(num_cpus=0)  # reservation only; see FrontierShard note
 class RobotsCache:
     """Authority for robots rule text, loaded once from the corpus."""
 
