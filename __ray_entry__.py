@@ -129,7 +129,9 @@ def _ann_lsh_checked(sf_dir: str):
     approx = ann.lsh_topk(sf_dir)
     exact = ann.brute_force_topk(sf_dir)
     r = _ann_recall(approx, exact)
-    assert r >= 0.25, f"LSH recall {r:.3f} below bound 0.25 vs brute force"
+    # tuned defaults (4 planes x 24 tables) measure 0.98/1.00 recall at
+    # sf0.01/sf0.1 — a bound this tight actually catches a broken index
+    assert r >= 0.8, f"LSH recall {r:.3f} below bound 0.8 vs brute force"
     return approx
 
 
@@ -139,7 +141,9 @@ def _ann_ivf_checked(sf_dir: str):
     approx = ann.ivf_topk(sf_dir)
     exact = ann.brute_force_topk(sf_dir)
     r = _ann_recall(approx, exact)
-    assert r >= 0.3, f"IVF recall {r:.3f} below bound 0.3 vs brute force"
+    # tuned defaults (probe 5 of 6 lists) measure 0.94 recall at both
+    # sf0.01 and sf0.1 on the no-cluster-structure synthetic embeddings
+    assert r >= 0.8, f"IVF recall {r:.3f} below bound 0.8 vs brute force"
     return approx
 
 

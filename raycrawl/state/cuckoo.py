@@ -49,6 +49,10 @@ class CuckooFilter:
         self.n_buckets = n_buckets
         self.mask = n_buckets - 1
         self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        # per-bucket occupancy (slots fill left-to-right and are never
+        # freed, so occupied slots form a prefix) — lets the batch insert
+        # compute write positions without scanning rows
+        self.occ = np.zeros(n_buckets, dtype=np.uint8)
         self.size = 0
         self.seed = seed
         self._rng = random.Random(seed)
@@ -89,23 +93,34 @@ class CuckooFilter:
         fp = self._fp(h)
         i1 = self._i1(h)
         i2 = self._alt(i1, fp)
+        self._insert_fp(i1, i2, fp)
+
+    def _insert_fp(self, i1: int, i2: int, fp: int) -> None:
         for i in (i1, i2):
-            row = self.table[i]
-            empt = np.flatnonzero(row == _EMPTY)
-            if empt.size:
-                row[empt[0]] = fp
+            if self.occ[i] < self.SLOTS:
+                self.table[i][self.occ[i]] = fp
+                self.occ[i] += 1
                 self.size += 1
                 return
+        # saturated table: beyond ~95% load the random walk almost never
+        # frees a slot, and a doomed key pays the full kick budget before
+        # stashing anyway (measured: 1M over-capacity inserts took 10 min
+        # of pure kick-walking) — stash directly instead. Membership stays
+        # exact via the overflow set; the fix for sustained operation here
+        # is sizing the filter for the key count.
+        if self.size >= int(0.95 * self.n_buckets * self.SLOTS):
+            self.overflow.add((i1, fp))
+            self.size += 1
+            return
         # evict: bounded random-walk relocation
         i = self._rng.choice((i1, i2))
         for _ in range(_MAX_KICKS):
             slot = self._rng.randrange(self.SLOTS)
             fp, self.table[i][slot] = int(self.table[i][slot]), fp
             i = self._alt(i, fp)
-            row = self.table[i]
-            empt = np.flatnonzero(row == _EMPTY)
-            if empt.size:
-                row[empt[0]] = fp
+            if self.occ[i] < self.SLOTS:
+                self.table[i][self.occ[i]] = fp
+                self.occ[i] += 1
                 self.size += 1
                 return
         # table effectively full — stash the in-hand fingerprint at its
@@ -115,12 +130,72 @@ class CuckooFilter:
 
     def check_and_add_hashes(self, hashes) -> np.ndarray:
         """Batch first-wins membership gate: returns bool mask of NEW keys
-        (True = unseen until this call; the key is added)."""
-        out = np.zeros(len(hashes), dtype=bool)
-        for k, h in enumerate(hashes):
-            if not self.contains_hash(h):
-                self.add_hash(h)
-                out[k] = True
+        (True = unseen until this call; the key is added).
+
+        Fully vectorized probe + common-case insert: one fancy-index
+        gather per candidate bucket for membership, canonical-signature
+        dedup for within-batch first-wins, and ranked bulk placement into
+        free slots; only keys whose BOTH buckets are full fall back to the
+        scalar eviction walk. Semantics match the scalar sequential gate:
+        a key is "seen" iff some earlier key (this batch or before) left
+        the same fingerprint in either of its two buckets — which is
+        exactly signature equality, since the bucket pair is a function of
+        (i1, fp)."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        n = len(h)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.int64)
+        fp[fp == 0] = 1
+        i1 = (h & np.uint64(self.mask)).astype(np.int64)
+        i2 = i1 ^ ((fp * 0x5BD1E995) & self.mask)
+
+        fp16 = fp.astype(np.uint16)
+        present = (self.table[i1] == fp16[:, None]).any(axis=1)
+        present |= (self.table[i2] == fp16[:, None]).any(axis=1)
+        if self.overflow:
+            for k in np.flatnonzero(~present):
+                if (int(i1[k]), int(fp[k])) in self.overflow or (
+                    int(i2[k]), int(fp[k])
+                ) in self.overflow:
+                    present[k] = True
+
+        # within-batch first-wins on the canonical signature
+        # (min(i1,i2), fp): later keys with the same signature would have
+        # seen the earlier key's fingerprint in the sequential gate
+        sig = (np.minimum(i1, i2) << np.int64(17)) | fp
+        cand = np.flatnonzero(~present)
+        if cand.size == 0:
+            return ~present
+        _, first_idx = np.unique(sig[cand], return_index=True)
+        new = cand[np.sort(first_idx)]
+        dup = np.setdiff1d(cand, new, assume_unique=True)
+        out = ~present
+        out[dup] = False
+
+        # bulk placement: try i1 runs, then i2 for the spill, then scalar
+        # eviction for both-buckets-full stragglers
+        rest = new
+        for tgt in (i1, i2):
+            if rest.size == 0:
+                break
+            b = tgt[rest]
+            order = np.argsort(b, kind="stable")
+            bs = b[order]
+            starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+            sizes = np.diff(np.r_[starts, bs.size])
+            ranks = np.arange(bs.size) - np.repeat(starts, sizes)
+            pos = self.occ[bs].astype(np.int64) + ranks
+            fits = pos < self.SLOTS
+            if fits.any():
+                put = order[fits]
+                self.table[bs[fits], pos[fits]] = fp16[rest[put]]
+                ub, cnt = np.unique(bs[fits], return_counts=True)
+                self.occ[ub] += cnt.astype(np.uint8)
+                self.size += int(put.size)
+            rest = rest[order[~fits]]
+        for k in rest:
+            self._insert_fp(int(i1[k]), int(i2[k]), int(fp[k]))
         return out
 
     # -- checkpoint ---------------------------------------------------------
@@ -144,6 +219,7 @@ class CuckooFilter:
         f.table = np.frombuffer(state["table"], dtype=np.uint16).reshape(
             f.n_buckets, cls.SLOTS
         ).copy()
+        f.occ = (f.table != _EMPTY).sum(axis=1).astype(np.uint8)
         f.overflow = {tuple(p) for p in state["overflow"]}
         f._rng = random.Random()
         f._rng.setstate(tuple(state["rng_state"]) if not isinstance(state["rng_state"], tuple) else state["rng_state"])

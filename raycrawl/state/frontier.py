@@ -193,14 +193,20 @@ class FrontierShard:
             self.stats["seen_added"] += len(fresh)
             keep = [u in accepted for u in norm_list]
         else:
-            keep = []
-            for u in norm_list:
-                if self._seen_check_add(u):
-                    self.stats["seen_added"] += 1
-                    keep.append(u not in self._done)
-                else:
-                    self.stats["gate_dropped"] += 1
-                    keep.append(False)
+            # vectorized batch probe+insert (state/cuckoo.py) — the mode
+            # that exists for 1e10-url scale must not pay per-key python
+            hs = np.fromiter(
+                (url_hash64(u) for u in norm_list), dtype=np.uint64,
+                count=len(norm_list),
+            )
+            new_mask = self._cuckoo.check_and_add_hashes(hs)
+            n_new = int(new_mask.sum())
+            self.stats["seen_added"] += n_new
+            self.stats["gate_dropped"] += len(norm_list) - n_new
+            keep = [
+                bool(m) and u not in self._done
+                for u, m in zip(norm_list, new_mask)
+            ]
         out = sub.filter(pa.array(keep, pa.bool_())).select(
             ["url_raw", "url_norm", "host", "depth"]
         )

@@ -171,9 +171,9 @@ def test_ann_lsh_recall(ray_session):
     e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
     a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
-    # random 64-dim data has weak neighbor structure — this bounds the
-    # candidate-pruning plumbing, not ANN quality on clustered data
-    assert recall >= 0.25  # 6 planes x 8 tables
+    # tuned 4 planes x 24 tables measure 0.98-1.0 recall on the sf corpora
+    # (random 64-dim data — the weakest neighbor structure possible)
+    assert recall >= 0.8
     assert len(a) <= len(e)  # never more than k per query
 
 
@@ -185,8 +185,9 @@ def test_ann_ivf_recall(ray_session):
     e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
     a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
-    # n_probe=4 of 16 lists on random data: scans ~1/4 of the collection
-    assert recall >= 0.3
+    # tuned probe 5 of 6 lists measures 0.94 recall at sf0.01 AND sf0.1
+    # (recall tracks scan fraction on cluster-free random embeddings)
+    assert recall >= 0.8
     assert len(a) <= len(e)
 
 
