@@ -181,24 +181,58 @@ def crawl_host_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+# canonical authority fast path (VERDICT r2 #7). RE2 (pyarrow's engine)
+# has no lookarounds, so the "no '@', no ASCII uppercase, no non-ASCII,
+# no edge dots" check is spelled with byte-range classes:
+#   C (any allowed char)  = [\x00-\x3f\x5b-\x7f]   (excludes @, A-Z, >=0x80)
+#   E (allowed edge char) = C minus '.'
+# For an authority matching E(C*E)? (or empty), lower()/strip('.')/userinfo
+# handling are all no-ops, so authority_of(url) == the raw netloc verbatim.
+_AUTH_EXTRACT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<auth>[^/?#]*)"
+_AUTH_FAST_RE = (
+    r"^(?:[\x00-\x2d\x2f-\x3f\x5b-\x7f]"
+    r"(?:[\x00-\x3f\x5b-\x7f]*[\x00-\x2d\x2f-\x3f\x5b-\x7f])?)?$"
+)
+
+
+def authority_keep_mask(urls: pa.Array, want: str) -> pa.Array:
+    """Vectorized ``authority_of(u) == want`` over a url column: RE2
+    netloc extraction + charset check cover the overwhelmingly-common
+    canonical shape; only rows failing the shape fall back to the scalar
+    normalizer (fuzz-proven equivalent in tests/test_ops.py)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from raycrawl.functions.canonicalize import authority_of
+
+    urls = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls
+    auth = pc.struct_field(pc.extract_regex(urls, _AUTH_EXTRACT_RE), "auth")
+    fast = pc.fill_null(pc.match_substring_regex(auth, _AUTH_FAST_RE), False)
+    keep = pc.fill_null(
+        pc.and_(fast, pc.equal(auth, pa.scalar(want, pa.string()))), False
+    ).to_numpy(zero_copy_only=False).copy()
+    slow_idx = np.flatnonzero(
+        ~fast.to_numpy(zero_copy_only=False)
+    )
+    if slow_idx.size:
+        lst = urls.to_pylist()
+        for k in slow_idx:
+            keep[k] = authority_of(lst[k]) == want
+    return pa.array(keep, pa.bool_())
+
+
 def crawl_filter_by(sf_dir: str, authority: str = "h0.example.com") -> rd.Dataset:
     """filter_by(authority=...) parity (reference HyperlinkSet.filter_by,
     hyperlink.py:195-209): keep corpus urls whose normalized authority
     equals the (normalized) requested one. Kwargs normalize through the
     same component dispatcher as the reference (M3)."""
-    from raycrawl.functions.canonicalize import (
-        authority_of,
-        normalise_component_kwargs,
-    )
+    from raycrawl.functions.canonicalize import normalise_component_kwargs
 
     info = corpus_for(sf_dir)
     want = normalise_component_kwargs(authority=authority)["authority"]
 
     def keep(t: pa.Table) -> pa.Table:
-        mask = pa.array(
-            [authority_of(u) == want for u in t["url"].to_pylist()], pa.bool_()
-        )
-        return t.filter(mask).select(["url"])
+        return t.filter(authority_keep_mask(t["url"], want)).select(["url"])
 
     return rd.read_parquet(info["corpus"], columns=["url"]).map_batches(
         keep, batch_format="pyarrow"
