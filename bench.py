@@ -193,13 +193,19 @@ def scaling():
 
     lo = int(os.environ.get("RAYCRAWL_SCALE_LO", "4"))
     hi = int(os.environ.get("RAYCRAWL_SCALE_HI", str(lo * 4)))
-    # interleave the levels and keep each level's best: the neighbor swings
-    # single runs up to 2x, and a one-shot lo/hi pair measures whichever
-    # level it happened to degrade (observed efficiencies 0.58-1.20 from
-    # the same code). RAYCRAWL_SCALE_REPS=1 restores the quick one-pass.
+    # ACTUALLY interleave the levels (lo,hi,lo,hi) and keep each level's
+    # best: the neighbor swings single runs up to 2x, and a phase-grouped
+    # lo,lo,hi,hi order charges whichever phase the neighbor woke up in to
+    # ONE level (observed: a 30-40% hi-only penalty that read as 0.33
+    # efficiency from code that measures 0.8+ when quiet).
+    # RAYCRAWL_SCALE_REPS=1 restores the quick one-pass.
     reps = int(os.environ.get("RAYCRAWL_SCALE_REPS", "2"))
-    r_lo = min((run(lo) for _ in range(reps)), key=lambda r: r["value"])
-    r_hi = min((run(hi) for _ in range(reps)), key=lambda r: r["value"])
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     thr_lo = r_lo["urls_per_sec"]
     thr_hi = r_hi["urls_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo else 0.0
@@ -216,6 +222,8 @@ def scaling():
                 "urls_per_sec_lo": thr_lo,
                 "urls_per_sec_hi": thr_hi,
                 "reps": reps,
+                "runs_lo_sec": [r["value"] for r in runs_lo],
+                "runs_hi_sec": [r["value"] for r in runs_hi],
                 "loadavg": os.getloadavg()[0],
                 "sf": r_hi["sf"],
             }

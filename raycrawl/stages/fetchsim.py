@@ -77,7 +77,11 @@ class BucketStore:
                 columns=["url", "html", "text"],
                 filter=pc.field("bucket") == b,
             )
-            ref = ray.put(tbl)
+            # combine ONCE before the plasma put: Table.take against a
+            # multi-chunk column pays O(table) per call (measured 444 ms
+            # vs 0.7 ms single-chunk on a 746k-row bucket — a per-batch
+            # cost that grew with corpus size and capped scaling)
+            ref = ray.put(tbl.combine_chunks())
             self._refs[b] = ref
         return ref
 
@@ -97,7 +101,7 @@ class BucketStore:
                 tbl = self._ds.to_table(
                     columns=["url"], filter=pc.field("bucket") == b
                 )
-            ref = ray.put(tbl)
+            ref = ray.put(tbl.combine_chunks())
             self._url_refs[b] = ref
         return ref
 
@@ -178,6 +182,11 @@ class FetchSimulator:
                     columns=["url", "html", "text"] if with_body else ["url"],
                     filter=pc.field("bucket") == b,
                 )
+            # single-chunk columns keep per-batch Table.take O(batch); a
+            # chunked bucket pays O(table) PER take (600x measured). The
+            # store combines before ray.put; this covers standalone reads
+            # (zero-copy no-op when already combined).
+            tbl = tbl.combine_chunks()
             index = {u: i for i, u in enumerate(tbl.column("url").to_pylist())}
             ent = (tbl, index)
             if len(_BUCKET_CACHE) >= self.max_cached_buckets:
