@@ -15,15 +15,17 @@ and the FIXTURES.md rules, mirroring the reference's own test HTTP routes:
   the ORIGINAL url — exactly what requests does for the reference
 
 Execution model: the corpus is laid out ``bucket=<b>/`` by host-hash
-(sources/synth.py). Each worker caches the buckets it touches as ARROW
-TABLES (no python-object materialization — cold load is a columnar parquet
-read) plus a url->row dict index built once per worker, and per batch the
-lookup is one dict probe per row + a vectorized ``take`` per touched
-bucket — O(batch), independent of bucket size (an ``index_in`` per batch
-re-hashes the whole bucket and degrades with corpus growth). Output row order within a batch is unspecified (every
-downstream stage is row-independent). Classification (error/redirect paths)
-is cheap per-row string work; the heavy columns (html/text) never leave
-Arrow until the extractor decodes them.
+(sources/synth.py). Buckets load ONCE per crawl as single-chunk ARROW
+TABLES plus a sorted-hash url index (both built in a parallel task wave,
+shared zero-copy through plasma); per batch the lookup is one vectorized
+hash + searchsorted probe + a ``take`` per touched bucket — O(batch log
+bucket), independent of bucket size, with zero per-worker index build
+(an ``index_in`` per batch re-hashes the whole bucket and degrades with
+corpus growth; a per-worker url->row dict paid O(bucket) build + ~100 MB
+in EVERY worker process). Output row order within a batch is unspecified
+(every downstream stage is row-independent). Classification
+(error/redirect paths) is cheap per-row string work; the heavy columns
+(html/text) never leave Arrow until the extractor decodes them.
 
 At 100 TB the per-bucket table becomes a lazy row-group index over Parquet
 metadata; the batch flow and vectorized lookup stay identical.
@@ -33,6 +35,7 @@ from __future__ import annotations
 
 from urllib.parse import urljoin, urlsplit
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -45,43 +48,127 @@ __all__ = ["FetchSimulator", "content_type_for_path"]
 
 _MAX_HOPS = 8
 
+_HASH_SEED = 0x5EED_C0DE
+
 # (corpus_path, bucket) -> (pa.Table VIEW over plasma shared memory,
-# url -> row-index dict); worker-process lifetime. The bytes live once per
-# node in the object store — this cache holds zero-copy table handles plus
-# a LOOKUP INDEX built once per worker: pc.index_in rebuilds the value-set
-# hash of the whole bucket on EVERY call, which made per-batch lookup cost
-# grow with corpus size (measured: 16-CPU throughput dropped 37% when the
-# corpus doubled). A dict probe is O(batch), independent of bucket size.
+# sorted-hash url index — see build_url_index); worker-process lifetime.
+# The bytes live once per node in the object store; the index is built
+# ONCE (in the bucket-read task) and shared zero-copy, so workers pay no
+# per-worker O(bucket) dict build (16 workers x a 768k-url python dict was
+# ~100 MB AND ~0.5 s of warmup EACH). pc.index_in is still worse: it
+# re-hashes the whole bucket on EVERY call (measured: 16-CPU throughput
+# dropped 37% when the corpus doubled).
 _BUCKET_CACHE: dict = {}
+
+
+def build_url_index(url_col):
+    """(h_sorted, order): vectorized url -> row-index lookup state.
+
+    One stable 64-bit hash per url (polars, vectorized), argsorted so a
+    probe is np.searchsorted — O(batch log n) per batch with ZERO build
+    cost in the probing worker. Collisions are resolved at probe time by
+    verifying url equality and walking the equal-hash run (lookup_rows).
+    """
+    import polars as pl
+
+    if isinstance(url_col, pa.ChunkedArray):
+        url_col = url_col.combine_chunks()
+    h = pl.from_arrow(url_col).hash(seed=_HASH_SEED).to_numpy()
+    order = np.argsort(h, kind="stable").astype(np.int64)
+    return h[order], order
+
+
+def lookup_rows(finals: list, index, urls_col) -> np.ndarray:
+    """Row indices of ``finals`` in the bucket (-1 = absent).
+
+    Vectorized probe of the shared sorted-hash index; every hash hit is
+    verified against the actual url (a 64-bit collision must yield the
+    CORRECT row or -1, never a wrong row — byte-parity depends on it),
+    with mismatches walking the equal-hash run scalar-side (runs are
+    length 1 in practice).
+    """
+    import polars as pl
+
+    n_rows = len(urls_col)
+    out = np.full(len(finals), -1, dtype=np.int64)
+    if not finals or n_rows == 0:
+        return out
+    h_sorted, order = index
+    hb = pl.Series(finals, dtype=pl.Utf8).hash(seed=_HASH_SEED).to_numpy()
+    pos = np.searchsorted(h_sorted, hb)
+    in_range = pos < n_rows
+    safe_pos = np.minimum(pos, n_rows - 1)
+    valid = in_range & (h_sorted[safe_pos] == hb)
+    if not valid.any():
+        return out
+    cand_rows = order[safe_pos[valid]]
+    got = urls_col.take(pa.array(cand_rows, pa.int64()))
+    q_idx = np.nonzero(valid)[0]
+    eq = pc.equal(got, pa.array([finals[i] for i in q_idx])).to_numpy(
+        zero_copy_only=False
+    ).astype(bool)
+    out[q_idx[eq]] = cand_rows[eq]
+    # hash-collision stragglers: walk the (sorted) equal-hash run
+    for qi in q_idx[~eq]:
+        p = int(pos[qi])
+        h = hb[qi]
+        u = finals[qi]
+        while p < n_rows and h_sorted[p] == h:
+            r = int(order[p])
+            if urls_col[r].as_py() == u:
+                out[qi] = r
+                break
+            p += 1
+    return out
+
+
+@ray.remote(num_cpus=0.25)
+def _read_bucket(corpus_path: str, b: int, with_body: bool = True):
+    """One bucket -> (single-chunk table, shared url index) in plasma.
+
+    Runs as a task so preloading a corpus' buckets is PARALLEL (the
+    lazy-inside-the-actor path serialized ~8 parquet reads behind round
+    0's first tasks — measured as a fixed ~2 s of per-run serial cost).
+    combine_chunks before returning: Table.take against a multi-chunk
+    column pays O(table) per call (measured 444 ms vs 0.7 ms single-chunk
+    on a 746k-row bucket).
+    """
+    ds = pads.dataset(corpus_path, partitioning="hive")
+    tbl = ds.to_table(
+        columns=["url", "html", "text"] if with_body else ["url"],
+        filter=pc.field("bucket") == b,
+    ).combine_chunks()
+    return tbl, build_url_index(tbl.column("url"))
 
 
 @ray.remote(num_cpus=0)
 class BucketStore:
     """Owner of the corpus bucket tables in the object store.
 
-    Each bucket is read from Parquet ONCE per crawl and ray.put into
-    plasma; every fetch worker on the node maps the same physical bytes
-    zero-copy. At 100 TB scale get_ref becomes a per-node cache over
-    lazily-read row-group ranges; the worker-side protocol is unchanged.
+    Each bucket is read from Parquet ONCE per crawl — by a parallel
+    ``_read_bucket`` task wave when ``preload`` is called (crawl() does,
+    overlapping the reads with seeding and round-0 spin-up), else lazily
+    on first touch — and lives in plasma as (table, url-index); every
+    fetch worker on the node maps the same physical bytes zero-copy. At
+    100 TB scale get_ref becomes a per-node cache over lazily-read
+    row-group ranges; the worker-side protocol is unchanged.
     """
 
     def __init__(self, corpus_path: str):
-        self._ds = pads.dataset(corpus_path, partitioning="hive")
+        self.corpus_path = corpus_path
         self._refs: dict = {}
         self._url_refs: dict = {}
+
+    def preload(self, buckets) -> int:
+        for b in buckets:
+            if b not in self._refs:
+                self._refs[b] = _read_bucket.remote(self.corpus_path, b)
+        return len(self._refs)
 
     def get_ref(self, b: int):
         ref = self._refs.get(b)
         if ref is None:
-            tbl = self._ds.to_table(
-                columns=["url", "html", "text"],
-                filter=pc.field("bucket") == b,
-            )
-            # combine ONCE before the plasma put: Table.take against a
-            # multi-chunk column pays O(table) per call (measured 444 ms
-            # vs 0.7 ms single-chunk on a 746k-row bucket — a per-batch
-            # cost that grew with corpus size and capped scaling)
-            ref = ray.put(tbl.combine_chunks())
+            ref = _read_bucket.remote(self.corpus_path, b)
             self._refs[b] = ref
         return ref
 
@@ -96,12 +183,10 @@ class BucketStore:
         if ref is None:
             full = self._refs.get(b)
             if full is not None:
-                tbl = ray.get(full).select(["url"])  # already resident
+                tbl, index = ray.get(full)  # already resident
+                ref = ray.put((tbl.select(["url"]), index))
             else:
-                tbl = self._ds.to_table(
-                    columns=["url"], filter=pc.field("bucket") == b
-                )
-            ref = ray.put(tbl.combine_chunks())
+                ref = _read_bucket.remote(self.corpus_path, b, False)
             self._url_refs[b] = ref
         return ref
 
@@ -157,13 +242,13 @@ class FetchSimulator:
 
     # -- corpus access ------------------------------------------------------
     def _bucket_table(self, b: int, with_body: bool = True):
-        # per-worker cache of zero-copy plasma views + a url->row index
-        # built ONCE per worker: the parquet read happens once per crawl in
-        # the BucketStore actor; without a store (standalone use) fall back
-        # to a direct read. Store identity in the key = cache buster across
-        # crawls (a corpus regenerated at the same path gets a fresh store,
-        # hence fresh views). with_body=False is the check_head pruned
-        # read: url column only, no html/text IO for the bucket.
+        # per-worker cache of zero-copy plasma views: the parquet read AND
+        # the url index build happen once per crawl in a _read_bucket task;
+        # without a store (standalone use) fall back to a direct read.
+        # Store identity in the key = cache buster across crawls (a corpus
+        # regenerated at the same path gets a fresh store, hence fresh
+        # views). with_body=False is the check_head pruned read: url
+        # column only, no html/text IO for the bucket.
         full_key = (self.corpus_path, b, str(self.bucket_store), True)
         if not with_body:
             ent = _BUCKET_CACHE.get(full_key)
@@ -176,19 +261,15 @@ class FetchSimulator:
             if self.bucket_store is not None:
                 meth = (self.bucket_store.get_ref if with_body
                         else self.bucket_store.get_url_ref)
-                tbl = ray.get(ray.get(meth.remote(b)))
+                ent = ray.get(ray.get(meth.remote(b)))
             else:
+                # single-chunk columns keep per-batch Table.take O(batch);
+                # a chunked bucket pays O(table) PER take (600x measured)
                 tbl = self._ds.to_table(
                     columns=["url", "html", "text"] if with_body else ["url"],
                     filter=pc.field("bucket") == b,
-                )
-            # single-chunk columns keep per-batch Table.take O(batch); a
-            # chunked bucket pays O(table) PER take (600x measured). The
-            # store combines before ray.put; this covers standalone reads
-            # (zero-copy no-op when already combined).
-            tbl = tbl.combine_chunks()
-            index = {u: i for i, u in enumerate(tbl.column("url").to_pylist())}
-            ent = (tbl, index)
+                ).combine_chunks()
+                ent = (tbl, build_url_index(tbl.column("url")))
             if len(_BUCKET_CACHE) >= self.max_cached_buckets:
                 _BUCKET_CACHE.pop(next(iter(_BUCKET_CACHE)))
             _BUCKET_CACHE[key] = ent
@@ -270,11 +351,13 @@ class FetchSimulator:
 
         for (b, need_body), (pos, finals, ctl) in by_group.items():
             tbl, url_index = self._bucket_table(b, with_body=need_body)
-            # worker-cached dict probe: O(batch) regardless of bucket size
-            # (pc.index_in would re-hash the whole bucket per batch)
-            get = url_index.get
-            raw_idx = [get(f, -1) for f in finals]
-            idx_arr = pa.array(raw_idx, pa.int64())
+            # shared sorted-hash probe: O(batch log bucket) per batch, zero
+            # per-worker build cost (pc.index_in would re-hash the whole
+            # bucket per batch; a per-worker dict costs O(bucket) to build
+            # in EVERY worker process)
+            idx_arr = pa.array(
+                lookup_rows(finals, url_index, tbl.column("url")), pa.int64()
+            )
             found = pc.not_equal(idx_arr, -1)
             ctypes = pa.array(ctl, pa.string())
 

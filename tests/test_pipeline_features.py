@@ -206,6 +206,49 @@ def test_check_head_prunes_body_io(ray_session, corpus):
     fetchsim._BUCKET_CACHE.clear()
 
 
+def test_lookup_rows_matches_dict_probe():
+    """The shared sorted-hash url index must agree with a plain dict probe
+    on hits, misses, and empty edges (it replaced the per-worker dict)."""
+    import pyarrow as pa
+
+    from raycrawl.stages.fetchsim import build_url_index, lookup_rows
+
+    urls = [f"http://h{i % 7}.example.com/p{i}" for i in range(997)]
+    col = pa.chunked_array([urls[:400], urls[400:]]).combine_chunks()
+    index = build_url_index(col)
+    ref = {u: i for i, u in enumerate(urls)}
+    queries = urls[::13] + [u + "x" for u in urls[::29]] + ["", "http://absent/"]
+    got = lookup_rows(queries, index, col)
+    assert got.tolist() == [ref.get(q, -1) for q in queries]
+    # empty edges
+    assert lookup_rows([], index, col).tolist() == []
+    empty = pa.array([], pa.string())
+    assert lookup_rows(["http://x/"], build_url_index(empty), empty).tolist() == [-1]
+
+
+def test_lookup_rows_walks_hash_collision_runs():
+    """A 64-bit hash collision must resolve to the CORRECT row or -1,
+    never a wrong row (byte-parity depends on it). Forced by doctoring an
+    index so every slot carries the query's hash: the probe's equality
+    check fails on the first candidate and walks the equal-hash run."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    from raycrawl.stages.fetchsim import _HASH_SEED, lookup_rows
+
+    urls = pa.array(["http://a/", "http://b/", "http://c/"])
+    h_b = pl.Series(["http://b/"]).hash(seed=_HASH_SEED).to_numpy()[0]
+    doctored = (np.array([h_b] * 3, dtype=np.uint64),
+                np.array([0, 1, 2], dtype=np.int64))
+    # hash hit at pos 0 -> url mismatch -> walk finds row 1
+    assert lookup_rows(["http://b/"], doctored, urls).tolist() == [1]
+    # colliding hash but the url is in no slot -> -1, never a wrong row
+    doctored_absent = (np.array([h_b] * 3, dtype=np.uint64),
+                       np.array([0, 2, 0], dtype=np.int64))
+    assert lookup_rows(["http://b/"], doctored_absent, urls).tolist() == [-1]
+
+
 def test_max_depth(ray_session, corpus):
     res = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE, max_depth=1))
     assert res.depths() and max(res.depths().values()) <= 1
