@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": relops.brand_revenue,
         "supplier_nation_balance": relops.supplier_nation_balance,
         "region_nation_counts": relops.region_nation_counts,
+        "orders_price_quantiles": relops.orders_price_quantiles,
+        "docs_top_per_lang": textops.top_docs_per_lang,
     }
 
 
@@ -550,6 +552,20 @@ SELECT o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
+""",
+        "orders_price_quantiles": """
+SELECT o_orderpriority,
+       quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+        "docs_top_per_lang": """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 3
 """,
         "lineitem_topk": """
 SELECT l_orderkey, l_linenumber,

@@ -617,32 +617,94 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> rd.Dataset:
-    """(id_a, id_b) pairs with cosine >= threshold, blocked by ``label``.
+def _cosine_block_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact (id_a, id_b) pairs with cosine >= threshold inside one block:
+    dense |B|x|B| float64 matmul, upper triangle only."""
+    g = g.sort_values("vec_id")
+    ids = g["vec_id"].to_numpy()
+    m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    sims = m @ m.T
+    ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+    return pd.DataFrame(
+        {"id_a": ids[ia].astype(np.int64), "id_b": ids[ib].astype(np.int64)}
+    )
 
-    The label column is the blocking key (same role an IVF/LSH bucket id
-    plays at scale): pairs are only scored within a block, so the shuffle
-    is groupby(label) and each group scores a dense |B|x|B| matmul in
-    float64."""
+
+def embedding_near_dup(
+    sf_dir: str,
+    threshold: float = 0.95,
+    blocking: str = "label",
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 11,
+) -> rd.Dataset:
+    """(id_a, id_b) pairs with cosine >= threshold, scored only within
+    blocks (never all-pairs).
+
+    ``blocking="label"`` uses the label column as the block key — exact
+    (and oracle-checkable) when a clustering key exists. ``blocking="lsh"``
+    is the scale path for UNLABELED data: each vector lands in
+    ``n_tables`` random-hyperplane sign buckets, candidate pairs are
+    exactly verified (cosine in float64) inside each bucket, and the
+    cross-table duplicates collapse in a native hash aggregation — so
+    precision is exact and per-pair recall is 1-(1-p^n_planes)^n_tables
+    with p = 1 - theta/pi. Size ``n_planes`` to the threshold: defaults
+    (4 planes x 12 tables) give >=0.999 for true near-dups (cosine 0.9+,
+    p~=0.86/plane) while keeping buckets small; a LOOSE threshold like
+    0.3 (theta 72deg, p~=0.6) needs fewer planes for the borderline
+    pairs — n_planes=2 measures ~0.99 recall at threshold 0.3 (see
+    test_embedding_lsh_blocking). The shuffle moves n_tables copies of
+    (bucket, id, vec), never an all-pairs matrix."""
 
     def block(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        m = m / norms[:, None]
-        sims = m @ m.T
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame(
-            {"id_a": ids[ia].astype(np.int64), "id_b": ids[ib].astype(np.int64)}
+        return _cosine_block_pairs(g, threshold)
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    if blocking == "label":
+        return ds.groupby("label").map_groups(block, batch_format="pandas")
+
+    # --- LSH sign-bucket blocking (deterministic planes from the seed) ---
+    def fan_out(t: pa.Table) -> pa.Table:
+        # planes are derived from the seed per batch (64*n cheap doubles);
+        # sign bits -> one bucket id per (vector, table)
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((m.shape[1], n_tables * n_planes))
+        bits = (m @ planes) >= 0.0  # (rows, tables*planes)
+        bits = bits.reshape(len(m), n_tables, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        codes = (bits * weights).sum(axis=2)  # (rows, tables)
+        table_ids = np.arange(n_tables, dtype=np.int64)
+        bucket = (table_ids[None, :] << n_planes) | codes  # (rows, tables)
+        # table-major layout: [table0 rows..., table1 rows...] so the
+        # replicated embedding column is a plain concat (no row gather)
+        emb = t["embedding"].combine_chunks()
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.T.reshape(-1), pa.int64()),
+                "vec_id": pa.array(
+                    np.tile(t["vec_id"].to_numpy(), n_tables), pa.int64()
+                ),
+                "embedding": pa.concat_arrays([emb] * n_tables),
+            }
         )
 
+    from ray.data.aggregate import Count
+
     return (
-        rd.read_parquet(
-            os.path.join(sf_dir, "embeddings.parquet"),
-            columns=["vec_id", "embedding", "label"],
-        )
-        .groupby("label")
+        ds.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(block, batch_format="pandas")
+        # a pair found in several tables collapses via native hash agg
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_tables"))
+        .select_columns(["id_a", "id_b"])
     )

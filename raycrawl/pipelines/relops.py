@@ -39,6 +39,7 @@ __all__ = [
     "brand_revenue",
     "supplier_nation_balance",
     "region_nation_counts",
+    "orders_price_quantiles",
 ]
 
 
@@ -659,4 +660,67 @@ def region_nation_counts(sf_dir: str) -> rd.Dataset:
         .map_batches(Join, batch_format="pyarrow", concurrency=2, num_cpus=1)
         .groupby("r_name")
         .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+def orders_price_quantiles(sf_dir: str) -> rd.Dataset:
+    """(o_orderpriority, p50_cents, p90_cents, n): exact per-group discrete
+    quantiles of the order price — DuckDB ``quantile_disc`` semantics
+    (sorted 0-based index ``ceil(q*n) - 1``).
+
+    Scale shape: a HISTOGRAM aggregate, not a sort. Per batch, prices
+    collapse to (group, cents) -> count partials; the shuffle then moves
+    one row per DISTINCT (group, value) pair — bounded by the value
+    domain, not the row count — and a per-group cumulative scan over the
+    sorted histogram picks the quantile elements. An exact distributed
+    quantile with no whole-column sort and no row-level shuffle; degrades
+    gracefully (worst case = distinct-value count) when the domain is
+    unbounded.
+    """
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "o_orderpriority": t["o_orderpriority"],
+                    "cents": _cents(t["o_totalprice"]),
+                }
+            )
+            .group_by(["o_orderpriority", "cents"])
+            .aggregate([("cents", "count")])
+        )
+        return g.rename_columns(["o_orderpriority", "cents", "n"])
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        counts = g["n"].to_numpy()
+        cents = g["cents"].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+
+        def pick(q: float) -> int:
+            # DuckDB quantile_disc: the ceil(q*n)-th smallest element
+            # (verified against duckdb across n/q boundaries incl. the
+            # q*n float-representation edges — the SAME float expression
+            # runs on both sides)
+            rank = math.ceil(q * n)
+            return int(cents[np.searchsorted(cum, rank, side="left")])
+
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "p50_cents": [pick(0.5)],
+                "p90_cents": [pick(0.9)],
+                "n": [n],
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("o_orderpriority")
+        .map_groups(quant, batch_format="pandas")
     )

@@ -19,6 +19,7 @@ import ray.data as rd
 
 __all__ = [
     "vocab_topk",
+    "top_docs_per_lang",
     "token_stats",
     "bpe_token_counts",
     "stopword_stats",
@@ -186,6 +187,34 @@ def vocab_topk(sf_dir: str, k: int = 50) -> rd.Dataset:
         .aggregate(Sum("n", alias_name="n"))
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
+    )
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """(doc_id, lang, n_chars): top-k documents per language by
+    (n_chars desc, doc_id asc) — the "keep best N per group" curation op
+    of a training-data pipeline (e.g. best docs per domain/language).
+
+    Scale shape: every batch is pruned to <=k candidate rows per lang
+    BEFORE the shuffle (a batch can contribute at most k winners), so the
+    groupby moves O(langs * k * n_batches) rows — never the corpus — and
+    the per-group finalist pick is the same C-speed sort+head. Both
+    passes are one pandas sort_values + groupby().head, no per-row loop.
+    """
+    import pandas as pd
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .groupby("lang", sort=False)
+            .head(k)
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(prune, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(prune, batch_format="pandas")
     )
 
 

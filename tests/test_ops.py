@@ -142,6 +142,35 @@ def test_embedding_near_dup_matches_numpy(ray_session):
     assert got_pairs == expected
 
 
+def test_embedding_lsh_blocking(ray_session):
+    """The unlabeled-data scale path: LSH sign-bucket blocking must emit
+    only TRUE pairs (precision 1 — every candidate is exactly verified)
+    at >=0.9 recall vs the brute-force all-pairs truth. Threshold 0.3 is
+    a LOOSE bar (theta 72deg), so the planes-per-table count drops to 2
+    (per-pair recall 1-(1-0.6^2)^12 ~= 0.995; the 4-plane default is
+    sized for real near-dup thresholds >=0.9 — measured 0.843 here)."""
+    from raycrawl.pipelines.dedup import embedding_near_dup
+
+    got = embedding_near_dup(
+        SF, threshold=0.3, blocking="lsh", n_planes=2
+    ).to_pandas()
+    got_pairs = {tuple(r) for r in got[["id_a", "id_b"]].itertuples(index=False)}
+
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    ids = np.array(t["vec_id"].to_pylist())
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.stack(t["embedding"].to_pylist()).astype(np.float64)[order]
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ia, ib = np.nonzero(np.triu(m @ m.T >= 0.3, k=1))
+    truth = {(int(ids[a]), int(ids[b])) for a, b in zip(ia, ib)}
+
+    assert got_pairs <= truth  # exact verify => no false pairs, ever
+    assert truth  # corpus actually has near-dup pairs
+    recall = len(got_pairs) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(truth)} true)"
+
+
 def test_ann_brute_matches_numpy(ray_session):
     from raycrawl.pipelines.ann import brute_force_topk
 
@@ -298,3 +327,31 @@ def test_authority_keep_mask_fuzz(parts):
         return  # >1 '@': both paths raise; filter inputs never hit this
     got = authority_keep_mask(pa.array([url], pa.string()), want).to_pylist()
     assert got == [expect], url
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=400),
+    st.sampled_from([0.5, 0.9]),
+)
+def test_quantile_disc_pick_matches_duckdb(vals, q):
+    """The histogram-cumsum quantile pick (orders_price_quantiles.quant)
+    must reproduce DuckDB's quantile_disc exactly — same ceil(q*n) float
+    expression on both sides, duplicates collapse into histogram rows."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    # histogram path, identical to the pipeline's quant()
+    uniq, counts = np.unique(np.array(vals, dtype=np.int64), return_counts=True)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    rank = math.ceil(q * n)
+    ours = int(uniq[np.searchsorted(cum, rank, side="left")])
+
+    con = duckdb.connect()
+    theirs = con.execute(
+        "SELECT quantile_disc(x, ?) FROM (SELECT unnest(?) AS x)", [q, vals]
+    ).fetchone()[0]
+    assert ours == theirs, (vals, q)
