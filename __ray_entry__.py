@@ -36,6 +36,7 @@ from raycrawl.pipelines.crawlqueries import (
     crawl_edges_joined,
     crawl_filter_by,
     crawl_host_stats,
+    crawl_pagerank,
     crawl_text_identity,
 )
 
@@ -48,6 +49,56 @@ _HTML_FILTER = (
     "url NOT LIKE '%/robots.txt' AND url NOT LIKE '%.pdf' "
     "AND url NOT LIKE '%.png' AND url NOT LIKE '%.css'"
 )
+
+
+def _pagerank_sql(iters: int = 4, k: int = 20) -> str:
+    """Unrolled exact-integer PageRank oracle (crawl_pagerank twin).
+
+    The iteration count is FIXED, so the oracle is ``iters`` chained CTE
+    levels instead of a recursive CTE (standard SQL forbids aggregates
+    over the recursive reference). All arithmetic is BIGINT floor
+    division — bit-identical to the pipeline's int64 pyarrow kernels."""
+    scale, base = 10**12, 15 * 10**12 // 100
+    step = """
+r{i} AS (
+  SELECT p.url, {base} + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS r
+  FROM pages p LEFT JOIN (
+    SELECT e.dst, r{j}.r // deg.d AS contrib
+    FROM edges e
+    JOIN r{j} ON e.src = r{j}.url
+    JOIN deg ON deg.src = e.src
+  ) c ON c.dst = p.url
+  GROUP BY p.url
+)"""
+    levels = ",".join(
+        step.format(i=i, j=i - 1, base=base) for i in range(1, iters + 1)
+    )
+    return f"""
+WITH pages AS (
+  SELECT url FROM read_parquet('{_SF001_CORPUS}')
+),
+cand AS (
+  SELECT DISTINCT url AS src,
+         CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+              ELSE 'http://' || host || h1 END AS dst
+  FROM (
+    SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+           split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                      '?', 1) AS h1
+    FROM read_parquet('{_SF001_CORPUS}')
+    WHERE {_HTML_FILTER} AND text <> ''
+  )
+),
+edges AS (
+  SELECT src, dst FROM cand
+  WHERE dst IN (SELECT url FROM pages) AND src <> dst
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS (SELECT url, CAST({scale} AS BIGINT) AS r FROM pages),
+{levels}
+SELECT url, CAST(r AS BIGINT) AS rank_scaled FROM r{iters}
+ORDER BY rank_scaled DESC, url LIMIT {k}
+"""
 
 
 def entry() -> Any:
@@ -65,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_text_identity": crawl_text_identity,
         "crawl_host_stats": crawl_host_stats,
         "crawl_filter_by": crawl_filter_by,
+        "crawl_pagerank": crawl_pagerank,
         # ---- text analysis ----
         "docs_token_stats": textops.token_stats,
         "docs_quality": textops.quality_stats,
@@ -250,6 +302,7 @@ WHERE (CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
             ELSE 'http://' || host || h1 END)
       LIKE 'http://' || host || '/%'
 """,
+        "crawl_pagerank": _pagerank_sql(),
         "crawl_text_identity": f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pages, CAST(COUNT(*) AS BIGINT) AS n_match
 FROM read_parquet('{_SF001_CORPUS}')

@@ -80,6 +80,7 @@ def parse_page_hrefs(
     base_raw: str,
     trim_query: bool = True,
     trim_fragment: bool = True,
+    filter_authority: bool = True,
 ) -> list:
     """(raw hrefs, page raw url) -> [(candidate_raw, candidate_norm), ...].
 
@@ -150,6 +151,9 @@ def parse_page_hrefs(
         if key in seen:
             continue
         seen.add(key)
-        if auth == page_authority:
+        # filter_authority=False keeps cross-host candidates (the full web
+        # graph, e.g. for link analysis); True is the reference's crawl
+        # gate (crawler.py same-authority filter)
+        if not filter_authority or auth == page_authority:
             out.append((j, key))
     return out

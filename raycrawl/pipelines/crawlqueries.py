@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from raycrawl.config import CrawlConfig
@@ -25,7 +26,8 @@ from raycrawl.pipelines.crawl import crawl
 from raycrawl.sources.synth import generate_corpus
 
 __all__ = ["corpus_for", "crawl_bfs", "crawl_edges", "crawl_text_identity",
-           "crawl_host_stats", "crawl_filter_by", "CORPUS_ROOT", "SCALES"]
+           "crawl_host_stats", "crawl_filter_by", "crawl_pagerank",
+           "CORPUS_ROOT", "SCALES"]
 
 CORPUS_ROOT = "/tmp/raycrawl_corpus"
 
@@ -273,3 +275,149 @@ def crawl_text_identity(sf_dir: str) -> pa.Table:
             "n_match": pa.array([agg["sum(n_match)"]], pa.int64()),
         }
     )
+
+
+def crawl_pagerank(sf_dir: str, iters: int = 4, k: int = 20) -> rd.Dataset:
+    """(url, rank_scaled): top-k pages by PageRank over the FULL resolved
+    link graph (cross-host edges kept — ``parse_page_hrefs`` with
+    ``filter_authority=False``), in pure int64 arithmetic so a DuckDB
+    oracle reproduces every bit.
+
+    r_0 = 1e12 per node; r_{i+1}(v) = 0.15e12 + (85 * sum over in-edges
+    of r_i(u) // outdeg(u)) // 100, dangling mass dropped — an explicit,
+    deterministic variant (floor division is identical in numpy and SQL).
+
+    Scale shape: the same iterated hash-join + grouped-sum skeleton as
+    dedup's distributed label propagation — per iteration one
+    edges-to-ranks join and one groupby-sum, both partitioned; the driver
+    holds only loop control. Edges/outdegrees materialize ONCE (they are
+    loop-invariant; blocks stay in plasma) and every per-node table is a
+    Dataset, never a driver structure. iters is FIXED (graph-analytics
+    checkpointable rounds), not run to convergence."""
+    from ray.data.aggregate import Count, Sum
+
+    from raycrawl.pipelines.dedup import clean_blocks, doc_blocks
+
+    info = corpus_for(sf_dir)
+    scale = 10**12
+    base = 15 * scale // 100
+    n_parts = max(4, doc_blocks(sf_dir))
+
+    nodes = rd.read_parquet(info["corpus"], columns=["url"])
+
+    def flow(t: pa.Table) -> pa.Table:
+        src_out, dst_out = [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if not _is_html_url(url):
+                continue
+            try:
+                pairs = hrefs_with_norm(bytes(html).decode("utf-8"))
+            except Exception:
+                continue
+            for _, norm in parse_page_hrefs(
+                [r for r, _ in pairs], url, filter_authority=False
+            ):
+                if norm != url:
+                    src_out.append(url)
+                    dst_out.append(norm)
+        return pa.table(
+            {
+                "src": pa.array(src_out, pa.string()),
+                "dst": pa.array(dst_out, pa.string()),
+            }
+        )
+
+    edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    cand = (
+        rd.read_parquet(info["corpus"], columns=["url", "html"])
+        .map_batches(flow, batch_format="pyarrow")
+        .groupby(["src", "dst"])  # distinct edges
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"])
+    )
+    # closure: keep edges whose target IS a corpus page (dst joins nodes);
+    # at web scale this is the same partitioned hash join, never a
+    # driver-side set
+    edges = clean_blocks(
+        clean_blocks(cand, edge_schema)
+        .join(
+            nodes.map_batches(
+                lambda t: pa.table({"node": t["url"]}), batch_format="pyarrow"
+            ),
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("dst",),
+            right_on=("node",),
+        )
+        .select_columns(["src", "dst"]),
+        edge_schema,
+    )
+    deg_schema = pa.schema([("src", pa.string()), ("deg", pa.int64())])
+    deg = clean_blocks(
+        edges.groupby("src").aggregate(Count(alias_name="deg")), deg_schema
+    )
+    ed_schema = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("deg", pa.int64())]
+    )
+    # loop-invariant: materialize once, reuse every iteration
+    edges_deg = clean_blocks(
+        edges.join(deg, join_type="inner", num_partitions=n_parts,
+                   on=("src",), right_on=("src",)),
+        ed_schema,
+    ).materialize()
+
+    rank_schema = pa.schema([("url", pa.string()), ("rank_scaled", pa.int64())])
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "rank_scaled": pa.array([scale] * len(t), pa.int64()),
+            }
+        )
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dst": t["url"],
+                "contrib": pa.array([0] * len(t), pa.int64()),
+            }
+        )
+
+    def edge_contrib(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dst": t["dst"],
+                # int64/int64 pc.divide IS integer division (non-negative
+                # here, so trunc == floor == SQL //)
+                "contrib": pc.divide(t["rank_scaled"], t["deg"]),
+            }
+        )
+
+    def damp(t: pa.Table) -> pa.Table:
+        s = t["contrib"]
+        r = pc.add(base, pc.divide(pc.multiply(85, s), 100))
+        return pa.table({"url": t["dst"], "rank_scaled": r})
+
+    ranks = clean_blocks(
+        nodes.map_batches(init_ranks, batch_format="pyarrow"), rank_schema
+    ).materialize()
+    zeros = clean_blocks(
+        nodes.map_batches(zero_rows, batch_format="pyarrow"),
+        pa.schema([("dst", pa.string()), ("contrib", pa.int64())]),
+    ).materialize()
+    for _ in range(iters):
+        contribs = (
+            edges_deg.join(ranks, join_type="inner", num_partitions=n_parts,
+                           on=("src",), right_on=("url",))
+            .map_batches(edge_contrib, batch_format="pyarrow")
+        )
+        ranks = clean_blocks(
+            zeros.union(contribs)
+            .groupby("dst")
+            .aggregate(Sum("contrib", alias_name="contrib"))
+            .map_batches(damp, batch_format="pyarrow"),
+            rank_schema,
+        ).materialize()
+
+    return ranks.sort(["rank_scaled", "url"], descending=[True, False]).limit(k)

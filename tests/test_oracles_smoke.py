@@ -11,7 +11,7 @@ import pytest
 SF = "/root/testdata/sf0.001"
 SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "q1_returnflag_agg", "events_topk_users", "docs_exact_dedup",
-         "orders_price_quantiles", "docs_top_per_lang"]
+         "orders_price_quantiles", "docs_top_per_lang", "crawl_pagerank"]
 
 
 @pytest.fixture(scope="module")
