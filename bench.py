@@ -115,9 +115,19 @@ def run_queries() -> dict:
         "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(SF_DIR),
         "ann_brute_topk": lambda: ann.brute_force_topk(SF_DIR),
     }.items():
-        t0 = time.perf_counter()
-        consume(fn())
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
+        # as the headline: a burst during one 1-3 s query would otherwise
+        # dominate its recorded time
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            consume(fn())
+            runs.append(time.perf_counter() - t0)
+        if max(runs) > 1.25 * min(runs):
+            t0 = time.perf_counter()
+            consume(fn())
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
     return timings
 
 
