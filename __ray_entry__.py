@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": relops.events_distinct_users,
         "docs_bpe_token_counts": textops.bpe_token_counts,
         "docs_stopword_stats": textops.stopword_stats,
+        "docs_repetition_stats": textops.repetition_stats,
         "brand_revenue": relops.brand_revenue,
         "supplier_nation_balance": relops.supplier_nation_balance,
         "region_nation_counts": relops.region_nation_counts,
@@ -366,6 +367,45 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS text_len
 FROM documents
+""",
+        # same tokenization as the pipeline (lower + \s+ split, empties
+        # dropped); n-grams recomputed by 1-based list indexing
+        "docs_repetition_stats": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+  FROM toks, UNNEST(range(1, len(ts))) AS u(i)
+),
+tg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i)
+),
+bstats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_n
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+tstats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+         CAST(MAX(c) AS BIGINT) AS top_trigram_n
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(b.n_dup_bigrams, 0) AS BIGINT) AS n_dup_bigrams,
+  CAST(COALESCE(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+  CAST(COALESCE(t.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+  CAST(COALESCE(t.top_trigram_n, 0) AS BIGINT) AS top_trigram_n
+FROM documents d
+LEFT JOIN bstats b USING (doc_id)
+LEFT JOIN tstats t USING (doc_id)
 """,
         "docs_quality": r"""
 SELECT doc_id,

@@ -23,6 +23,7 @@ __all__ = [
     "token_stats",
     "bpe_token_counts",
     "stopword_stats",
+    "repetition_stats",
     "quality_stats",
     "quality_label",
     "clean_text",
@@ -158,6 +159,99 @@ def stopword_stats(sf_dir: str) -> rd.Dataset:
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow"
+    )
+
+
+def _ngram_per_row(grow, gid, n_rows):
+    """totals, distincts, per-row max multiplicity for (row, gram-id)."""
+    import numpy as np
+    import pandas as pd
+
+    total = np.bincount(grow, minlength=n_rows)
+    if len(gid):
+        gc, _ = pd.factorize(gid)
+        key = grow.astype(np.int64) * (gc.max() + 1) + gc
+        uk, uc = np.unique(key, return_counts=True)
+        urow = (uk // (gc.max() + 1)).astype(np.int64)
+        distinct = np.bincount(urow, minlength=n_rows)
+        top = np.zeros(n_rows, np.int64)
+        np.maximum.at(top, urow, uc)
+    else:
+        distinct = np.zeros(n_rows, np.int64)
+        top = np.zeros(n_rows, np.int64)
+    return total.astype(np.int64), distinct, top
+
+
+def _repetition_batch(t: pa.Table) -> pa.Table:
+    """The repetition_stats map_batches kernel (module-level so the
+    hypothesis differential test can drive it on in-memory tables)."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(t)
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(t["text"]), r"\s+"
+    ).combine_chunks()
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    offs = toks.offsets.to_numpy()
+    trow = np.repeat(np.arange(n), np.diff(offs))
+    keep = flat != ""
+    flat, trow = flat[keep], trow[keep]
+
+    codes, _ = pd.factorize(flat)
+    codes = codes.astype(np.int64)
+    k_voc = codes.max() + 1 if len(codes) else 1
+
+    # bigram ids at EVERY adjacent token position (cross-row boundary
+    # positions yield garbage ids that the adj masks drop; keeping the
+    # array position-aligned is what lets the trigram step reuse it)
+    adj2 = trow[1:] == trow[:-1] if len(trow) else np.empty(0, bool)
+    b_full = (
+        codes[:-1] * k_voc + codes[1:] if len(codes) else np.empty(0, np.int64)
+    )
+    n_bi, d_bi, top_bi = _ngram_per_row(trow[:-1][adj2], b_full[adj2], n)
+
+    if len(trow) > 2:
+        adj3 = trow[2:] == trow[:-2]
+        t_row = trow[:-2][adj3]
+        # factorized bigram (i,i+1) composed with token i+2 — both arrays
+        # indexed by token position i, so the mask aligns
+        bc_full = pd.factorize(b_full)[0].astype(np.int64)
+        t_id = bc_full[:-1][adj3] * k_voc + codes[2:][adj3]
+    else:
+        t_row = np.empty(0, np.int64)
+        t_id = np.empty(0, np.int64)
+    n_tri, _, top_tri = _ngram_per_row(t_row, t_id, n)
+
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_bigrams": pa.array(n_bi, pa.int64()),
+            "n_dup_bigrams": pa.array(n_bi - d_bi, pa.int64()),
+            "top_bigram_n": pa.array(top_bi, pa.int64()),
+            "n_trigrams": pa.array(n_tri, pa.int64()),
+            "top_trigram_n": pa.array(top_tri, pa.int64()),
+        }
+    )
+
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_bigrams, n_dup_bigrams, top_bigram_n, n_trigrams,
+    top_trigram_n): Gopher-style repetition quality signals — the
+    top-n-gram fraction and duplicate-n-gram fraction numerators and
+    denominators (integer-only; a downstream filter thresholds the ratios,
+    e.g. drop docs where top_bigram_n/n_bigrams > 0.2).
+
+    Single-pass map_batches, fully vectorized: one RE2 split per batch,
+    then token-code factorization (pandas C) and n-gram ids built by
+    integer composition of adjacent codes — no string concatenation, no
+    Python loop. Per-row totals/distincts/maxima come from np.unique +
+    bincount over (row, gram-id) keys. Trigram ids compose the FACTORIZED
+    bigram id with the third token code so the key space stays
+    ~(tokens/batch)^2 — no K^3 overflow at any realistic batch vocab.
+    """
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _repetition_batch, batch_format="pyarrow"
     )
 
 

@@ -8,6 +8,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 SF = "/root/testdata/sf0.001"
 
@@ -249,6 +251,78 @@ def test_token_stats_values(ray_session):
     for _, row in docs.head(10).iterrows():
         assert got.loc[row.doc_id, "n_tokens"] == len(row.text.split())
         assert got.loc[row.doc_id, "text_len"] == len(row.text)
+
+
+def test_repetition_stats_planted(ray_session, tmp_path):
+    """Edge cases + hand-computed n-gram counts (brute-force Counter twin)."""
+    from collections import Counter
+
+    from raycrawl.pipelines.textops import repetition_stats
+
+    texts = [
+        "a b a b a b",          # bigrams: ab x3, ba x2 -> top 3, dup 3
+        "x",                    # single token: no n-grams
+        "",                     # empty doc
+        "  spaced   out  ",     # whitespace edges
+        "t t t t",              # tt x3
+        "one two three four",   # all distinct
+    ]
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        repetition_stats(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, text in enumerate(texts):
+        ts = [w for w in text.lower().split() if w]
+        bg = Counter(zip(ts, ts[1:]))
+        tg = Counter(zip(ts, ts[1:], ts[2:]))
+        row = got.loc[i]
+        assert row.n_bigrams == sum(bg.values()), (i, text)
+        assert row.n_dup_bigrams == sum(bg.values()) - len(bg), (i, text)
+        assert row.top_bigram_n == (max(bg.values()) if bg else 0), (i, text)
+        assert row.n_trigrams == sum(tg.values()), (i, text)
+        assert row.top_trigram_n == (max(tg.values()) if tg else 0), (i, text)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab \n\t", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_repetition_stats_fuzz(texts):
+    """Hypothesis: the vectorized batch kernel == a row-wise Counter."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from raycrawl.pipelines import textops
+
+    # driving the full Dataset op per hypothesis example is too heavy;
+    # call the map_batches UDF directly on an in-memory table instead
+    t = pa.table(
+        {"doc_id": list(range(len(texts))), "text": [x.lower() for x in texts]}
+    )
+    got = textops._repetition_batch(t).to_pandas().set_index("doc_id")
+    for i, text in enumerate(texts):
+        ts = [w for w in text.lower().split() if w]
+        bg = Counter(zip(ts, ts[1:]))
+        tg = Counter(zip(ts, ts[1:], ts[2:]))
+        row = got.loc[i]
+        assert row.n_bigrams == sum(bg.values())
+        assert row.n_dup_bigrams == sum(bg.values()) - len(bg)
+        assert row.top_bigram_n == (max(bg.values()) if bg else 0)
+        assert row.n_trigrams == sum(tg.values())
+        assert row.top_trigram_n == (max(tg.values()) if tg else 0)
 
 
 def test_fingerprint_deterministic(ray_session):
