@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding_cosine": lambda sf: dedup.embedding_near_dup(sf, threshold=0.3),
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_survivors": dedup.dedup_survivors,
         # ---- similarity search ----
         "ann_brute_topk": ann.brute_force_topk,
         "ann_lsh_topk": _ann_lsh_checked,
@@ -155,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_token_counts": textops.bpe_token_counts,
         "docs_stopword_stats": textops.stopword_stats,
         "docs_repetition_stats": textops.repetition_stats,
+        "docs_decontaminate": textops.decontaminate,
+        "docs_hash_split": textops.hash_split,
         "brand_revenue": relops.brand_revenue,
         "supplier_nation_balance": relops.supplier_nation_balance,
         "region_nation_counts": relops.region_nation_counts,
@@ -203,7 +206,7 @@ def _ann_ivf_checked(sf_dir: str):
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "crawl_bfs": f"""
 WITH RECURSIVE corpus AS (
   SELECT url, text, regexp_extract(url, '^http://([^/]+)', 1) AS host
@@ -406,6 +409,45 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN bstats b USING (doc_id)
 LEFT JOIN tstats t USING (doc_id)
+""",
+        # same tokenization as the pipeline; eval set = docs with
+        # doc_id % 97 == 0, shingles n=3, flag = any shared shingle
+        "docs_decontaminate": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, list_aggregate(ts[i:i+2], 'string_agg', ' ') AS g
+  FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i)
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hit AS (
+  SELECT DISTINCT doc_id FROM grams JOIN ev USING (g) WHERE doc_id % 97 <> 0
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS contaminated
+FROM documents d
+LEFT JOIN hit h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+""",
+        # mod-2^64 affine hash in HUGEINT; top 12 bits pick the bucket
+        # (constants interpolated from textops so they cannot drift)
+        "docs_hash_split": f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(((doc_id::HUGEINT * {textops._SPLIT_MUL}
+                + {textops._SPLIT_ADD}) % 18446744073709551616)
+              // 4503599627370496 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 3276 THEN 'train'
+            WHEN bucket < 3686 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
 """,
         "docs_quality": r"""
 SELECT doc_id,
@@ -747,3 +789,11 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
 """,
     }
+    # survivors = the canonical (min-doc_id) row of every cluster: wrap the
+    # clusters oracle so the two can never disagree on the graph
+    sql["dedup_survivors"] = (
+        "SELECT doc_id FROM (\n"
+        + sql["dedup_clusters"]
+        + "\n) WHERE doc_id = cluster_id"
+    )
+    return sql

@@ -36,6 +36,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_near_dup",
     "dedup_clusters",
+    "dedup_survivors",
     "shingles",
     "jaccard",
     "MinHasher",
@@ -487,6 +488,26 @@ def dedup_clusters(sf_dir: str, pairs_ds=None, mode: str = "auto",
     return all_labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]),
         batch_format="pyarrow",
+    )
+
+
+def dedup_survivors(sf_dir: str, **cluster_kw) -> rd.Dataset:
+    """(doc_id): the RETAINED corpus after near-dup clustering — the
+    canonical doc (min doc_id == its cluster label) of every cluster,
+    singletons included. This is the materialization step a dedup pipeline
+    actually ships: cluster, keep one per cluster, drop the rest.
+
+    Pure streaming filter over :func:`dedup_clusters` — no extra shuffle,
+    no driver work beyond what clustering already did.
+    """
+
+    def keep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.filter(pc.equal(t["doc_id"], t["cluster_id"]))["doc_id"]}
+        )
+
+    return dedup_clusters(sf_dir, **cluster_kw).map_batches(
+        keep, batch_format="pyarrow"
     )
 
 

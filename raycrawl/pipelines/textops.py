@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 __all__ = [
@@ -24,6 +25,8 @@ __all__ = [
     "bpe_token_counts",
     "stopword_stats",
     "repetition_stats",
+    "decontaminate",
+    "hash_split",
     "quality_stats",
     "quality_label",
     "clean_text",
@@ -162,6 +165,37 @@ def stopword_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _flat_tokens(t: pa.Table):
+    """Flatten the batch's texts into (tokens, row_ids): lower + \\s+ split,
+    empties dropped — THE tokenization every n-gram op (repetition,
+    decontaminate) and its oracle share."""
+    import numpy as np
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(t["text"]), r"\s+"
+    ).combine_chunks()
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    offs = toks.offsets.to_numpy()
+    trow = np.repeat(np.arange(len(t)), np.diff(offs))
+    keep = flat != ""
+    return flat[keep], trow[keep]
+
+
+def _shingles(flat, trow, n: int):
+    """n-token shingle strings + their row ids, vectorized: n shifted
+    slices joined element-wise by pyarrow (one C pass), windows that cross
+    a row boundary masked out. No Python loop over positions."""
+    import numpy as np
+
+    m = len(flat) - n + 1
+    if m <= 0:
+        return np.empty(0, object), np.empty(0, np.int64)
+    ok = trow[:m] == trow[n - 1 :]
+    parts = [pa.array(flat[k : m + k], pa.string()) for k in range(n)]
+    joined = pc.binary_join_element_wise(*parts, " ")
+    return joined.to_numpy(zero_copy_only=False)[ok], trow[:m][ok]
+
+
 def _ngram_per_row(grow, gid, n_rows):
     """totals, distincts, per-row max multiplicity for (row, gram-id)."""
     import numpy as np
@@ -189,14 +223,7 @@ def _repetition_batch(t: pa.Table) -> pa.Table:
     import pandas as pd
 
     n = len(t)
-    toks = pc.split_pattern_regex(
-        pc.utf8_lower(t["text"]), r"\s+"
-    ).combine_chunks()
-    flat = toks.flatten().to_numpy(zero_copy_only=False)
-    offs = toks.offsets.to_numpy()
-    trow = np.repeat(np.arange(n), np.diff(offs))
-    keep = flat != ""
-    flat, trow = flat[keep], trow[keep]
+    flat, trow = _flat_tokens(t)
 
     codes, _ = pd.factorize(flat)
     codes = codes.astype(np.int64)
@@ -252,6 +279,113 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
     """
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         _repetition_batch, batch_format="pyarrow"
+    )
+
+
+def decontaminate(sf_dir: str, n: int = 3, eval_mod: int = 97) -> rd.Dataset:
+    """(doc_id, contaminated): benchmark-decontamination flag — a non-eval
+    doc is contaminated iff it shares ANY n-token shingle with the eval
+    subset (docs where doc_id % eval_mod == 0 stand in for a benchmark
+    suite; real pipelines pass the actual eval corpus). Production n is
+    8-13; the query uses n=3 because the synthetic corpus has ~50-token
+    docs over a small vocabulary.
+
+    Scale shape: the eval side is SMALL BY DEFINITION (a benchmark suite,
+    not the corpus), so it is the broadcast side — distinct eval shingles
+    are reduced per-batch, collected once on the driver (bounded by the
+    eval corpus, never the training corpus), and shipped via ray.put.
+    (Because the stand-in eval set lives inside the same table, building
+    it costs one extra corpus scan here; with a real benchmark file the
+    gram build reads only that small file.) The
+    corpus-side pass is an actor-pool map_batches: each actor builds ONE
+    pandas hash index over the eval grams in __init__ and probes each
+    batch's shingles at C speed (O(batch), never O(eval) per batch — the
+    fetchsim/VERDICT-r2 index-once rule). Shingle construction is one
+    element-wise pyarrow join over n shifted token slices; per-row "any
+    hit" is a bincount. No shuffle anywhere.
+    """
+    import numpy as np
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.take(np.flatnonzero(ids % eval_mod == 0))
+        g, _ = _shingles(*_flat_tokens(sub), n)
+        return pa.table({"g": pa.array(np.unique(g), pa.string())})
+
+    ev_batches = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(eval_grams, batch_format="pyarrow")
+        .to_pandas()  # bounded: distinct grams of the (small) eval set
+    )
+    ev_ref = ray.put(np.unique(ev_batches["g"].to_numpy()))
+
+    class Decontaminate:
+        def __init__(self):
+            import pandas as pd
+
+            # one object-store read + ONE hash index per actor
+            self.idx = pd.Index(ray.get(ev_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            sub = t.take(np.flatnonzero(ids % eval_mod != 0))
+            g, grow = _shingles(*_flat_tokens(sub), n)
+            hit = self.idx.get_indexer(g) >= 0
+            bad = np.bincount(grow[hit], minlength=len(sub)) > 0
+            return pa.table(
+                {
+                    "doc_id": sub["doc_id"],
+                    "contaminated": pa.array(bad.astype(np.int64), pa.int64()),
+                }
+            )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Decontaminate, batch_format="pyarrow", concurrency=2, num_cpus=1
+    )
+
+
+# odd 64-bit constants (golden-ratio / Pelle Evensen mixers); ids map
+# through a mod-2^64 affine hash whose top 12 bits pick the bucket —
+# numpy uint64 wraps natively, DuckDB reproduces it in HUGEINT
+_SPLIT_MUL = 0x9E3779B97F4A7C15
+_SPLIT_ADD = 0xD1B54A32D192ED03
+
+
+def hash_split(
+    sf_dir: str, pct_train: int = 80, pct_val: int = 10
+) -> rd.Dataset:
+    """(doc_id, bucket, split): deterministic train/val/test assignment by
+    content-independent id hash — the split every training pipeline needs,
+    stable under re-runs, resharding and corpus growth (a doc's split
+    never changes when other docs are added or the job is re-partitioned,
+    unlike random_shuffle + slice). Embarrassingly parallel: a stateless
+    map_batches with a 3-op numpy uint64 kernel per batch; no shuffle, no
+    state, no driver work. bucket (0..4095) is exposed so downstream
+    samplers can sub-slice ("every doc in buckets 0-40" == a deterministic
+    1% sample) without rehashing.
+    """
+    import numpy as np
+
+    thr_t = 4096 * pct_train // 100
+    thr_v = 4096 * (pct_train + pct_val) // 100
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ids * np.uint64(_SPLIT_MUL) + np.uint64(_SPLIT_ADD)
+        bucket = (h >> np.uint64(52)).astype(np.int64)
+        split = np.where(
+            bucket < thr_t, "train", np.where(bucket < thr_v, "val", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bucket": pa.array(bucket, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
     )
 
 

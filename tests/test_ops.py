@@ -86,6 +86,16 @@ def test_dedup_clusters_planted(ray_session, planted_docs):
     assert out[3] == 3 and out[4] == 4  # singletons label themselves
 
 
+def test_dedup_survivors_planted(ray_session, planted_docs):
+    from raycrawl.pipelines.dedup import dedup_survivors
+
+    kept = sorted(
+        dedup_survivors(planted_docs).to_pandas()["doc_id"].tolist()
+    )
+    # one canonical doc (min id) for the 0/1/2/5 component + the singletons
+    assert kept == [0, 3, 4]
+
+
 def test_dedup_clusters_modes_agree_on_chain(ray_session, tmp_path):
     """Driver union-find and distributed min-label propagation must produce
     identical labels — exercised on a long dup-CHAIN (worst case for label
@@ -323,6 +333,71 @@ def test_repetition_stats_fuzz(texts):
         assert row.top_bigram_n == (max(bg.values()) if bg else 0)
         assert row.n_trigrams == sum(tg.values())
         assert row.top_trigram_n == (max(tg.values()) if tg else 0)
+
+
+def test_decontaminate_planted(ray_session, tmp_path):
+    """Eval doc (id%97==0) shingles poison exactly the docs sharing a
+    full n-gram; bigram-only overlap does not count; eval rows excluded."""
+    from raycrawl.pipelines.textops import decontaminate
+
+    rows = [
+        (0, "alpha beta gamma delta"),            # eval doc (0 % 97 == 0)
+        (1, "stuff alpha beta gamma more"),       # shares trigram -> 1
+        (2, "totally unrelated words here"),      # clean
+        (3, "alpha beta different tail"),         # bigram only -> clean
+        (4, "x y"),                               # too short for a trigram
+        (97, "alpha beta gamma delta"),           # eval doc, excluded
+        (98, "delta gamma beta alpha"),           # reversed: no shared gram
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        decontaminate(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")["contaminated"]
+        .sort_index()
+    )
+    assert sorted(got.index) == [1, 2, 3, 4, 98]  # 0 and 97 excluded
+    assert got.to_dict() == {1: 1, 2: 0, 3: 0, 4: 0, 98: 0}
+
+
+def test_hash_split_deterministic(ray_session, tmp_path):
+    """Split matches the closed-form hash row-by-row, covers every doc,
+    and lands near the requested 80/10/10 fractions."""
+    from raycrawl.pipelines.textops import (
+        _SPLIT_ADD,
+        _SPLIT_MUL,
+        hash_split,
+    )
+
+    ids = list(range(2000))
+    pq.write_table(
+        pa.table({"doc_id": ids, "text": ["w" for _ in ids]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = hash_split(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    assert len(got) == len(ids)
+    h = (np.array(ids, np.uint64) * np.uint64(_SPLIT_MUL)) + np.uint64(
+        _SPLIT_ADD
+    )
+    bucket = (h >> np.uint64(52)).astype(np.int64)
+    assert (got["bucket"].to_numpy() == bucket).all()
+    exp = np.where(
+        bucket < 4096 * 80 // 100,
+        "train",
+        np.where(bucket < 4096 * 90 // 100, "val", "test"),
+    )
+    assert (got["split"].to_numpy() == exp).all()
+    frac = got["split"].value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.05 < frac["val"] < 0.15
 
 
 def test_fingerprint_deterministic(ray_session):
