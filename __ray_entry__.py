@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_stats": textops.repetition_stats,
         "docs_decontaminate": textops.decontaminate,
         "docs_hash_split": textops.hash_split,
+        "docs_curation": textops.curation,
         "brand_revenue": relops.brand_revenue,
         "supplier_nation_balance": relops.supplier_nation_balance,
         "region_nation_counts": relops.region_nation_counts,
@@ -796,4 +797,69 @@ GROUP BY r.r_name
         + sql["dedup_clusters"]
         + "\n) WHERE doc_id = cluster_id"
     )
+    # the fused curation decision: length gate + top-bigram repetition gate
+    # + decontamination + hash split computed per doc, survivor flag from
+    # the (wrapped) clusters oracle, keep = the AND of the four gates
+    sql["docs_curation"] = f"""
+WITH surv AS ({sql["dedup_survivors"]}),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ts
+  FROM documents WHERE doc_id % 97 <> 0
+),
+nt AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks),
+bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+  FROM toks, UNNEST(range(1, len(ts))) AS u(i)
+),
+bs AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bi, CAST(MAX(c) AS BIGINT) AS top_bi
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i)
+),
+evtoks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ts
+  FROM documents WHERE doc_id % 97 = 0
+),
+ev AS (
+  SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM evtoks, UNNEST(range(1, len(ts) - 1)) AS u(i)
+),
+hit AS (SELECT DISTINCT doc_id FROM g3 JOIN ev USING (g)),
+h AS (
+  SELECT doc_id,
+         CAST(((doc_id::HUGEINT * {textops._SPLIT_MUL}
+                + {textops._SPLIT_ADD}) % 18446744073709551616)
+              // 4503599627370496 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT d.doc_id,
+  nt.n_tokens,
+  CAST(CASE WHEN nt.n_tokens BETWEEN 20 AND 2000 THEN 1 ELSE 0 END AS BIGINT)
+    AS q_ok,
+  CAST(CASE WHEN COALESCE(bs.n_bi, 0) = 0
+            OR bs.top_bi * 100 <= 20 * bs.n_bi THEN 1 ELSE 0 END AS BIGINT)
+    AS rep_ok,
+  CAST(CASE WHEN ht.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS uncontaminated,
+  CAST(CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS survivor,
+  CASE WHEN h.bucket < 3276 THEN 'train'
+       WHEN h.bucket < 3686 THEN 'val'
+       ELSE 'test' END AS split,
+  CAST(CASE WHEN nt.n_tokens BETWEEN 20 AND 2000
+             AND (COALESCE(bs.n_bi, 0) = 0 OR bs.top_bi * 100 <= 20 * bs.n_bi)
+             AND ht.doc_id IS NULL
+             AND s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d
+JOIN nt USING (doc_id)
+JOIN h USING (doc_id)
+LEFT JOIN bs USING (doc_id)
+LEFT JOIN hit ht USING (doc_id)
+LEFT JOIN surv s USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
     return sql

@@ -111,8 +111,11 @@ def run_queries() -> dict:
         "events_sessionize": lambda: relops.events_sessionize(SF_DIR),
         "lineitem_topk": lambda: relops.lineitem_topk(SF_DIR),
         "docs_token_stats": lambda: textops.token_stats(SF_DIR),
+        "docs_repetition_stats": lambda: textops.repetition_stats(SF_DIR),
+        "docs_decontaminate": lambda: textops.decontaminate(SF_DIR),
         "docs_exact_dedup": lambda: dedup.exact_dedup(SF_DIR),
         "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(SF_DIR),
+        "docs_curation": lambda: textops.curation(SF_DIR),
         "ann_brute_topk": lambda: ann.brute_force_topk(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy

@@ -27,6 +27,7 @@ __all__ = [
     "repetition_stats",
     "decontaminate",
     "hash_split",
+    "curation",
     "quality_stats",
     "quality_label",
     "clean_text",
@@ -282,6 +283,26 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _eval_gram_ref(sf_dir: str, n: int, eval_mod: int):
+    """Distinct n-token shingles of the eval subset, as a ray.put'd sorted
+    numpy array. Per-batch distinct reduce -> one driver collect bounded by
+    the (benchmark-sized) eval corpus, never the training corpus."""
+    import numpy as np
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.take(np.flatnonzero(ids % eval_mod == 0))
+        g, _ = _shingles(*_flat_tokens(sub), n)
+        return pa.table({"g": pa.array(np.unique(g), pa.string())})
+
+    ev_batches = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(eval_grams, batch_format="pyarrow")
+        .to_pandas()  # bounded: distinct grams of the (small) eval set
+    )
+    return ray.put(np.unique(ev_batches["g"].to_numpy()))
+
+
 def decontaminate(sf_dir: str, n: int = 3, eval_mod: int = 97) -> rd.Dataset:
     """(doc_id, contaminated): benchmark-decontamination flag — a non-eval
     doc is contaminated iff it shares ANY n-token shingle with the eval
@@ -306,18 +327,7 @@ def decontaminate(sf_dir: str, n: int = 3, eval_mod: int = 97) -> rd.Dataset:
     """
     import numpy as np
 
-    def eval_grams(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        sub = t.take(np.flatnonzero(ids % eval_mod == 0))
-        g, _ = _shingles(*_flat_tokens(sub), n)
-        return pa.table({"g": pa.array(np.unique(g), pa.string())})
-
-    ev_batches = (
-        _read_docs(sf_dir, ["doc_id", "text"])
-        .map_batches(eval_grams, batch_format="pyarrow")
-        .to_pandas()  # bounded: distinct grams of the (small) eval set
-    )
-    ev_ref = ray.put(np.unique(ev_batches["g"].to_numpy()))
+    ev_ref = _eval_gram_ref(sf_dir, n, eval_mod)
 
     class Decontaminate:
         def __init__(self):
@@ -387,6 +397,143 @@ def hash_split(
     return _read_docs(sf_dir, ["doc_id"]).map_batches(
         assign, batch_format="pyarrow"
     )
+
+
+def curation(
+    sf_dir: str,
+    n: int = 3,
+    eval_mod: int = 97,
+    min_words: int = 20,
+    max_words: int = 2000,
+    rep_max_pct: int = 20,
+    pct_train: int = 80,
+    pct_val: int = 10,
+) -> rd.Dataset:
+    """(doc_id, n_tokens, q_ok, rep_ok, uncontaminated, survivor, split,
+    keep): the full end-to-end curation decision — the flagship
+    training-data pipeline composed from this module's signals. A doc is
+    kept iff it passes the length gate, its top-bigram fraction is at most
+    rep_max_pct %, it shares no n-gram with the eval set, and it is the
+    canonical doc of its near-dup cluster. `split` rides along so the kept
+    corpus is already train/val/test partitioned.
+
+    Scale shape: FOUR signals (length, repetition, contamination, split)
+    come from ONE fused actor-pool map_batches over one corpus read — one
+    tokenization amortized across all of them, the eval-gram index held per
+    actor. The only shuffle in the whole pipeline is what dedup itself
+    needs: the survivor flag arrives by a hash-partitioned left join
+    against :func:`dedup.dedup_survivors` (corpus-sized on both sides, so a
+    broadcast is not an option).
+    """
+    import numpy as np
+
+    from raycrawl.pipelines.dedup import clean_blocks, dedup_survivors
+
+    thr_t = 4096 * pct_train // 100
+    thr_v = 4096 * (pct_train + pct_val) // 100
+    ev_ref = _eval_gram_ref(sf_dir, n, eval_mod)
+
+    class Curate:
+        def __init__(self):
+            import pandas as pd
+
+            self.idx = pd.Index(ray.get(ev_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids_all = t["doc_id"].to_numpy(zero_copy_only=False)
+            sub = t.take(np.flatnonzero(ids_all % eval_mod != 0))
+            m = len(sub)
+            flat, trow = _flat_tokens(sub)
+            n_tok = np.bincount(trow, minlength=m).astype(np.int64)
+            q_ok = (n_tok >= min_words) & (n_tok <= max_words)
+            g2, grow2 = _shingles(flat, trow, 2)
+            n_bi, _, top_bi = _ngram_per_row(grow2, g2, m)
+            rep_ok = (n_bi == 0) | (top_bi * 100 <= rep_max_pct * n_bi)
+            gq, growq = _shingles(flat, trow, n)
+            hit = self.idx.get_indexer(gq) >= 0
+            unc = np.bincount(growq[hit], minlength=m) == 0
+            ids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            h = ids * np.uint64(_SPLIT_MUL) + np.uint64(_SPLIT_ADD)
+            bucket = (h >> np.uint64(52)).astype(np.int64)
+            split = np.where(
+                bucket < thr_t,
+                "train",
+                np.where(bucket < thr_v, "val", "test"),
+            )
+            return pa.table(
+                {
+                    "doc_id": sub["doc_id"],
+                    "n_tokens": pa.array(n_tok, pa.int64()),
+                    "q_ok": pa.array(q_ok.astype(np.int64), pa.int64()),
+                    "rep_ok": pa.array(rep_ok.astype(np.int64), pa.int64()),
+                    "uncontaminated": pa.array(
+                        unc.astype(np.int64), pa.int64()
+                    ),
+                    "split": pa.array(split, pa.string()),
+                }
+            )
+
+    # 0.5-CPU actors: the downstream hash-shuffle join spawns aggregator
+    # actors that reserve whole CPUs — full-CPU signal actors deadlock the
+    # pipeline on small (4-CPU) clusters (same reservation-starvation class
+    # as the crawl fetch actors, BASELINE.md round-2)
+    # clean_blocks: on small corpora some read blocks are empty; empty
+    # blocks BYPASS the map_batches UDF, stay schema-less, and kill the
+    # join ("No match for key field reference" — the round-2 sharp edge)
+    signals = clean_blocks(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            Curate, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+        ),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("q_ok", pa.int64()),
+                ("rep_ok", pa.int64()),
+                ("uncontaminated", pa.int64()),
+                ("split", pa.string()),
+            ]
+        ),
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        one = np.ones(len(t), np.int64)
+        return pa.table({"doc_id": t["doc_id"], "survivor": pa.array(one)})
+
+    surv = clean_blocks(
+        dedup_survivors(sf_dir),
+        pa.schema([("doc_id", pa.int64())]),
+    ).map_batches(mark, batch_format="pyarrow")
+
+    joined = signals.join(
+        surv,
+        join_type="left_outer",
+        num_partitions=8,
+        on=("doc_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        surv_col = pc.fill_null(t["survivor"], 0)
+        keep = pc.multiply(
+            pc.multiply(t["q_ok"], t["rep_ok"]),
+            pc.multiply(t["uncontaminated"], surv_col),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "q_ok": t["q_ok"],
+                "rep_ok": t["rep_ok"],
+                "uncontaminated": t["uncontaminated"],
+                "survivor": surv_col,
+                "split": t["split"],
+                "keep": keep,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def vocab_topk(sf_dir: str, k: int = 50) -> rd.Dataset:

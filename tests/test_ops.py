@@ -400,6 +400,35 @@ def test_hash_split_deterministic(ray_session, tmp_path):
     assert 0.05 < frac["val"] < 0.15
 
 
+def test_curation_planted(ray_session, planted_docs):
+    """Every flag checked per doc on the planted corpus: doc 0 is the eval
+    doc (excluded); its dups are contaminated AND non-survivors; the short
+    singletons fail the length gate; keep is the AND of the four gates."""
+    from raycrawl.pipelines.textops import curation
+
+    got = (
+        curation(planted_docs)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert sorted(got.index) == [1, 2, 3, 4, 5]
+    # cluster {0,1,2,5} is canonicalized by eval doc 0 -> 1,2,5 dropped
+    assert got["survivor"].to_dict() == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+    # exact/near dups of the eval doc share trigrams with it
+    assert got["uncontaminated"].to_dict() == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+    assert got["n_tokens"].to_dict() == {1: 60, 2: 60, 3: 8, 4: 7, 5: 60}
+    assert got["q_ok"].to_dict() == {1: 1, 2: 1, 3: 0, 4: 0, 5: 1}
+    assert (got["rep_ok"] == 1).all()
+    assert (
+        got["keep"]
+        == got["q_ok"]
+        * got["rep_ok"]
+        * got["uncontaminated"]
+        * got["survivor"]
+    ).all()
+
+
 def test_fingerprint_deterministic(ray_session):
     from raycrawl.pipelines.textops import fingerprint64
 
