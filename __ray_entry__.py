@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": relops.events_asof_join,
         "events_range_join": relops.events_range_join,
         "events_distinct_users": relops.events_distinct_users,
+        "events_hll_users": _hll_checked,
         "docs_bpe_token_counts": textops.bpe_token_counts,
         "docs_stopword_stats": textops.stopword_stats,
         "docs_repetition_stats": textops.repetition_stats,
@@ -179,6 +180,29 @@ def _ann_recall(approx, exact) -> float:
     a = {(q, v) for q, v in zip(approx["query_id"].to_pylist(),
                                 approx["vec_id"].to_pylist())}
     return len(e & a) / max(len(e), 1)
+
+
+def _hll_checked(sf_dir: str):
+    """HyperLogLog user cardinality with a CHECKED error bound vs the exact
+    two-level distinct count — deterministic hash, no SQL oracle (DuckDB's
+    approx_count_distinct is a different sketch), so the correctness signal
+    is this assertion failing loudly inside the driver's rows-only check."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    approx = relops.events_hll_users(sf_dir)
+    # the exact twin, computed locally (this is the CHECK, not the
+    # operator — the distributed exact path is events_distinct_users)
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    exact = len(pc.unique(t["user_id"]))
+    got = approx["n_users_hll"][0].as_py()
+    err = abs(got - exact) / max(exact, 1)
+    # m=2^14 registers -> sigma ~0.8%; 4% is ~5 sigma and still catches a
+    # broken register/merge path instantly
+    assert err <= 0.04, f"HLL {got} vs exact {exact}: error {err:.3f} > 0.04"
+    return approx
 
 
 def _ann_lsh_checked(sf_dir: str):

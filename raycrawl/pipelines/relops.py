@@ -36,6 +36,7 @@ __all__ = [
     "events_asof_join",
     "events_range_join",
     "events_distinct_users",
+    "events_hll_users",
     "brand_revenue",
     "supplier_nation_balance",
     "region_nation_counts",
@@ -559,6 +560,78 @@ def events_distinct_users(sf_dir: str) -> rd.Dataset:
         .groupby("event_type")
         .aggregate(Count(alias_name="n_users"))
     )
+
+
+def events_hll_users(sf_dir: str, p: int = 14) -> pa.Table:
+    """(n_users_hll,): global user cardinality via HyperLogLog — the sketch
+    counterpart of :func:`events_distinct_users` for when the distinct key
+    set itself is too large to shuffle (the exact version moves one row per
+    distinct key; this moves 2^p bytes per BLOCK, full stop).
+
+    Deterministic (splitmix-style integer hash, no RNG), so the result is
+    stable run-to-run; the query wrapper asserts the estimate against the
+    exact count at gate time. Merge is two-level so no single task ever
+    sees more than max(64, blocks/64) register rows: per-batch registers →
+    64-way salted groupby of elementwise maxima → driver max over ≤64 rows
+    (16 KiB each). Standard small-range linear-counting correction applied.
+    """
+    m = 1 << p
+    _MIX1 = 0x9E3779B97F4A7C15
+    _MIX2 = 0xBF58476D1CE4E5B9
+    _ADD = 0xD1B54A32D192ED03
+
+    def registers(t: pa.Table) -> pa.Table:
+        ids = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ids * np.uint64(_MIX1) + np.uint64(_ADD)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(_MIX2)
+        h ^= h >> np.uint64(32)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        # rho over the LOW 50 bits: exactly representable in float64, so
+        # floor(log2) is exact and the leading-zero count is branch-free
+        w = (h & np.uint64((1 << 50) - 1)).astype(np.float64)
+        rho = np.where(w > 0, 50 - np.floor(np.log2(w)), 51).astype(np.int8)
+        regs = np.zeros(m, np.int8)
+        np.maximum.at(regs, idx, rho)
+        salt = int(h[0] % np.uint64(64)) if len(h) else 0
+        return pa.table(
+            {
+                "salt": pa.array([salt], pa.int64()),
+                "regs": pa.array([regs], pa.list_(pa.int8(), m)),
+            }
+        )
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        stacked = (
+            t["regs"].combine_chunks().flatten().to_numpy().reshape(-1, m)
+        )
+        merged = np.maximum.reduce(stacked).astype(np.int8)
+        return pa.table(
+            {
+                "salt": t["salt"][:1],
+                "regs": pa.array([merged], pa.list_(pa.int8(), m)),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(registers, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(merge_group, batch_format="pyarrow")
+        .take_all()  # bounded: <=64 rows of 2^p bytes
+    )
+    if rows:
+        regs = np.maximum.reduce(
+            [np.asarray(r["regs"], np.int8) for r in rows]
+        ).astype(np.float64)
+    else:
+        regs = np.zeros(m, np.float64)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return pa.table({"n_users_hll": pa.array([int(round(est))], pa.int64())})
 
 
 def events_range_join(sf_dir: str, window_s: int = 3600) -> rd.Dataset:

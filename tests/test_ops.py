@@ -429,6 +429,22 @@ def test_curation_planted(ray_session, planted_docs):
     ).all()
 
 
+def test_hll_users_accuracy_and_determinism(ray_session, tmp_path):
+    """HLL estimate within ~5-sigma of truth at small AND large
+    cardinality (linear-counting and raw regimes), and bit-identical
+    across runs (deterministic hash, no RNG)."""
+    from raycrawl.pipelines.relops import events_hll_users
+
+    for n_users, n_rows in ((150, 3000), (60_000, 120_000)):
+        ids = np.arange(n_rows, dtype=np.int64) % n_users + 7_000_000
+        pa_t = pa.table({"user_id": ids})
+        pq.write_table(pa_t, str(tmp_path / "events.parquet"))
+        est1 = events_hll_users(str(tmp_path))["n_users_hll"][0].as_py()
+        est2 = events_hll_users(str(tmp_path))["n_users_hll"][0].as_py()
+        assert est1 == est2
+        assert abs(est1 - n_users) / n_users < 0.04, (n_users, est1)
+
+
 def test_fingerprint_deterministic(ray_session):
     from raycrawl.pipelines.textops import fingerprint64
 

@@ -54,8 +54,16 @@ def main(sf_dir: str):
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # the crawl oracles read a corpus synthesized at the DRIVER's gate
+    # scale (sf0.01, the literal path baked into the SQL) — at any other
+    # sf the comparison is apples-to-oranges, so skip rather than FAIL
+    pinned = entrymod._SF001_CORPUS.split("/corpus/")[0].rsplit("/", 1)[-1]
+    at_pinned_sf = os.path.basename(os.path.normpath(sf_dir)) == pinned
     failures = []
     for name, fn in qs.items():
+        if name.startswith("crawl_") and not at_pinned_sf:
+            print(f"skip  {name}: crawl oracle pinned to {pinned}")
+            continue
         try:
             ours = normalize(to_pandas(fn(sf_dir)))
         except Exception as exc:
