@@ -335,6 +335,31 @@ def test_repetition_stats_fuzz(texts):
         assert row.top_trigram_n == (max(tg.values()) if tg else 0)
 
 
+@given(
+    st.lists(
+        st.text(alphabet="abc \n", min_size=0, max_size=25),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=40, deadline=None)
+def test_shingles_fuzz(texts, n):
+    """The vectorized cross-row shingle builder == per-row brute force
+    (window masking at row boundaries is the part worth fuzzing — it is
+    shared by repetition, decontaminate, and curation)."""
+    from raycrawl.pipelines.textops import _flat_tokens, _shingles
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    g, grow = _shingles(*_flat_tokens(t), n)
+    got = sorted(zip(grow.tolist(), g.tolist()))
+    exp = []
+    for i, text in enumerate(texts):
+        ts = [w for w in text.lower().split() if w]
+        exp += [(i, " ".join(ts[j : j + n])) for j in range(len(ts) - n + 1)]
+    assert got == sorted(exp)
+
+
 def test_decontaminate_planted(ray_session, tmp_path):
     """Eval doc (id%97==0) shingles poison exactly the docs sharing a
     full n-gram; bigram-only overlap does not count; eval rows excluded."""
