@@ -27,7 +27,15 @@ from typing import Any
 # robust against drivers importing this module by file path from another cwd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from raycrawl.pipelines import ann, dedup, multimodal, relops, textops
+from raycrawl.pipelines import (
+    analytics,
+    ann,
+    dedup,
+    multimodal,
+    relops,
+    retrieval,
+    textops,
+)
 from raycrawl.pipelines.crawlqueries import (
     corpus_for,
     crawl_bfs,
@@ -165,6 +173,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_nation_counts": relops.region_nation_counts,
         "orders_price_quantiles": relops.orders_price_quantiles,
         "docs_top_per_lang": textops.top_docs_per_lang,
+        # ---- window / rollup / semi-anti join / pivot ----
+        "events_user_running": analytics.events_user_running,
+        "lineitem_rollup": analytics.lineitem_rollup,
+        "customers_without_big_orders": analytics.customers_without_big_orders,
+        "customers_with_big_orders": analytics.customers_with_big_orders,
+        "events_pivot": analytics.events_pivot,
+        # ---- retrieval / cross-doc duplication ----
+        "docs_tfidf_topk": retrieval.docs_tfidf_topk,
+        "docs_dup_ngrams": retrieval.docs_dup_ngrams,
     }
 
 
@@ -812,6 +829,108 @@ FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
+""",
+        # events collapsed per (user, ts) first so the running sum is
+        # deterministic under timestamp ties; ts_us is unique per user
+        # after the collapse, so RANGE == ROWS framing
+        "events_user_running": """
+WITH per AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS step_cents
+  FROM events GROUP BY user_id, ts
+)
+SELECT user_id, ts_us,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       step_cents,
+       CAST(SUM(step_cents) OVER w AS BIGINT) AS cum_cents
+FROM per
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+""",
+        "lineitem_rollup": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+        "customers_without_big_orders": """
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice >= 450000.0)
+GROUP BY n.n_name
+""",
+        "customers_with_big_orders": """
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 450000.0)
+GROUP BY c.c_mktsegment
+""",
+        "events_pivot": """
+SELECT user_id,"""
+        + ",".join(
+            f"""
+  CAST(SUM(CASE WHEN event_type = '{et}'
+                THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS {et}_cents"""
+            for et in ("click", "view", "purchase", "signup", "error")
+        )
+        + """,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+""",
+        # same tokenization as the pipeline; integer idf weight
+        # (n_docs * SCALE) // df — constants interpolated from the module
+        "docs_tfidf_topk": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ts
+  FROM documents
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+tf AS (
+  SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks, UNNEST(ts) AS u(t)
+  WHERE t IN ({terms})
+  GROUP BY doc_id, t
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf * ((nd.n * {scale}) // df.df)) AS BIGINT) AS score
+FROM tf JOIN df USING (term) CROSS JOIN nd
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id LIMIT {k}
+""".format(
+            terms=",".join(f"'{t}'" for t in retrieval.TFIDF_TERMS),
+            scale=retrieval.TFIDF_SCALE,
+            k=20,
+        ),
+        # 5-token shingles (same tokenization); a gram is shared iff it
+        # appears in >= 2 distinct documents; docs with no shared grams
+        # are absent on both sides
+        "docs_dup_ngrams": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ts
+  FROM documents
+),
+g AS (
+  SELECT doc_id, list_aggregate(ts[i:i+4], 'string_agg', ' ') AS gram
+  FROM toks, UNNEST(range(1, len(ts) - 3)) AS u(i)
+),
+per AS (
+  SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS n_pos
+  FROM g GROUP BY doc_id, gram
+),
+shared AS (SELECT gram FROM per GROUP BY gram HAVING COUNT(*) >= 2)
+SELECT per.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_grams,
+       CAST(SUM(per.n_pos) AS BIGINT) AS n_shared_positions
+FROM per JOIN shared USING (gram)
+GROUP BY per.doc_id
 """,
     }
     # survivors = the canonical (min-doc_id) row of every cluster: wrap the

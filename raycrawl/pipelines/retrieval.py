@@ -1,0 +1,190 @@
+"""Text retrieval / cross-document duplication analysis over `documents`.
+
+Two training-data operators the crawl reference lacks but a 100-TB text
+pipeline needs, both with exact DuckDB oracle twins:
+
+- :func:`docs_tfidf_topk` — keyword retrieval: integer-scaled TF-IDF
+  scoring of every document against a fixed query-term set, top-k by
+  score. The scale shape is the classic two-pass plan: a corpus pass
+  reduces to per-term document frequencies (output bounded by |query
+  terms|), the weights broadcast via ``ray.put``, and the scoring pass is
+  embarrassingly parallel with a distributed sort+limit at the end.
+- :func:`docs_dup_ngrams` — the exact-substring-duplication signal from
+  "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+  2022), at token-n-gram granularity: for every document, how many of its
+  n-gram positions are covered by grams that also appear in ANOTHER
+  document. Plan: per-batch (gram, doc, positions) partials, one shuffle
+  on a coarse gram-hash partition to find cross-document grams, one
+  shuffle by doc to re-aggregate. Gram keys here ship as strings to keep
+  the oracle exact; the 100-TB variant ships a 128-bit gram hash instead
+  (same plan, ~10x smaller exchange).
+
+Tokenization is textops._flat_tokens (lower + \\s+ split, empties
+dropped) — THE shared contract every n-gram oracle mirrors in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from raycrawl.pipelines.textops import _flat_tokens, _read_docs, _shingles
+
+__all__ = ["docs_tfidf_topk", "docs_dup_ngrams", "TFIDF_TERMS", "TFIDF_SCALE"]
+
+# fixed query-term set (mid-frequency corpus vocabulary) and the integer
+# idf scale: w(term) = (n_docs * TFIDF_SCALE) // df(term) — an integer
+# inverse-document-frequency, exactly reproducible in BIGINT SQL (a float
+# log-idf would hash-drift; the ranking behavior is the same monotone
+# decreasing-in-df weighting)
+TFIDF_TERMS = ("hash", "join", "sort", "vector")
+TFIDF_SCALE = 1_000_000
+
+
+def _term_counts(t: pa.Table, terms) -> np.ndarray:
+    """(len(terms), n_rows) occurrence counts via one flatten + one
+    membership pass per term (C-level object compare + bincount)."""
+    flat, trow = _flat_tokens(t)
+    out = np.zeros((len(terms), len(t)), np.int64)
+    for i, term in enumerate(terms):
+        hit = flat == term
+        if hit.any():
+            out[i] = np.bincount(trow[hit], minlength=len(t))
+    return out
+
+
+def docs_tfidf_topk(
+    sf_dir: str, k: int = 20, terms: tuple = TFIDF_TERMS
+) -> rd.Dataset:
+    """(doc_id, score): top-k documents by integer TF-IDF against ``terms``.
+
+    score(doc) = sum over query terms of tf(term, doc) * w(term), with
+    w(term) = (n_docs * TFIDF_SCALE) // df(term). Pass 1 reduces the
+    corpus to |terms| (term, df) rows (per-batch partials, driver-side
+    final sum over a batch-count-bounded table); pass 2 scores each batch
+    against the broadcast weight vector and a distributed sort+limit picks
+    the top k (ties broken by doc_id)."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        counts = _term_counts(t, terms)
+        return pa.table(
+            {
+                "term": pa.array(list(terms), pa.string()),
+                "df": pa.array((counts > 0).sum(axis=1), pa.int64()),
+            }
+        )
+
+    df = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .to_pandas()  # bounded: |terms| rows per batch
+        .groupby("term")["df"].sum()
+    )
+    weights = {
+        t: (n_docs * TFIDF_SCALE) // int(df[t]) for t in terms if df.get(t, 0)
+    }
+    w_ref = ray.put(weights)
+
+    class Score:
+        def __init__(self):
+            self.terms = list(ray.get(w_ref).items())  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            counts = _term_counts(t, [term for term, _ in self.terms])
+            w = np.array([wt for _, wt in self.terms], np.int64)
+            score = (counts * w[:, None]).sum(axis=0)
+            keep = np.flatnonzero(score > 0)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].take(pa.array(keep)),
+                    "score": pa.array(score[keep], pa.int64()),
+                }
+            )
+
+    return (
+        docs.map_batches(Score, batch_format="pyarrow", concurrency=2,
+                         num_cpus=0.5)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def docs_dup_ngrams(sf_dir: str, n: int = 5, parts: int = 64) -> rd.Dataset:
+    """(doc_id, n_shared_grams, n_shared_positions): per document, the
+    distinct token n-grams (and total gram positions) it shares with at
+    least one OTHER document — the cross-document exact-duplication signal
+    (Lee et al. 2022) a substring-dedup pass thresholds on.
+
+    Plan: each document is one row, so a per-batch (doc, gram) unique
+    reduce is already globally per-doc unique; batches emit (gram, doc_id,
+    n_pos) partial rows keyed by a coarse gram-hash partition. ONE shuffle
+    groups grams; a vectorized pandas pass per partition keeps rows of
+    grams seen in >= 2 documents. A second (tiny) shuffle re-aggregates by
+    doc. Documents with no shared grams are absent from the output (the
+    oracle filters identically)."""
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        g, grow = _shingles(*_flat_tokens(t), n)
+        if not len(g):
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_pos": pa.array([], pa.int64()),
+                    "gpart": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniques = pd.factorize(g)
+        k_g = len(uniques)
+        key = grow.astype(np.int64) * k_g + codes
+        uk, n_pos = np.unique(key, return_counts=True)
+        urow, ucode = uk // k_g, uk % k_g
+        grams = np.asarray(uniques, object)[ucode]
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[urow]
+        # partition key: any deterministic gram hash works (it never
+        # reaches the output); pandas' siphash is vectorized C
+        gpart = (pd.util.hash_array(grams) % parts).astype(np.int64)
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_pos": pa.array(n_pos, pa.int64()),
+                "gpart": pa.array(gpart, pa.int64()),
+            }
+        )
+
+    def shared_only(g: pd.DataFrame) -> pd.DataFrame:
+        # one C-speed pass: per-gram row count == distinct-doc count
+        # (rows are per-(doc, gram) by construction)
+        sizes = g.groupby("gram", sort=False)["doc_id"].transform("size")
+        out = g.loc[sizes >= 2, ["doc_id", "n_pos"]].copy()
+        out["one"] = np.int64(1)
+        return out
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("n_pos", "sum"), ("one", "sum")])
+        return g.rename_columns(
+            [
+                {"n_pos_sum": "n_shared_positions", "one_sum": "n_shared_grams"}
+                .get(c, c)
+                for c in g.column_names
+            ]
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(shared_only, batch_format="pandas")
+        .map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_shared_grams", alias_name="n_shared_grams"),
+            Sum("n_shared_positions", alias_name="n_shared_positions"),
+        )
+    )

@@ -1,0 +1,170 @@
+"""Planted-truth tests for the window/rollup/semi-anti/pivot and
+retrieval operators (the oracle comparisons live in test_oracles_smoke;
+these pin the semantic edges: ties, null grouping-set rows, shared-gram
+boundaries)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted_events(tmp_path_factory):
+    """events.parquet with deliberate timestamp ties within one user."""
+    d = tmp_path_factory.mktemp("planted_events")
+    base = 1_700_000_000_000_000  # us
+    rows = [
+        # user 7: two events at the SAME ts (the tie the per-(user,ts)
+        # collapse makes deterministic), then a later one
+        (1, base, 7, "click", 1.00),
+        (2, base, 7, "purchase", 2.00),
+        (3, base + 5_000_000, 7, "click", 0.50),
+        # user 9: single event
+        (4, base + 1, 9, "view", 4.25),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        os.path.join(str(d), "events.parquet"),
+    )
+    return str(d)
+
+
+def test_user_running_collapses_ts_ties(ray_session, planted_events):
+    from raycrawl.pipelines.analytics import events_user_running
+
+    out = (
+        events_user_running(planted_events)
+        .to_pandas()
+        .sort_values(["user_id", "rn"])
+        .reset_index(drop=True)
+    )
+    u7 = out[out["user_id"] == 7]
+    # the two tied events collapse to one step of 300 cents
+    assert list(u7["rn"]) == [1, 2]
+    assert list(u7["step_cents"]) == [300, 50]
+    assert list(u7["cum_cents"]) == [300, 350]
+    u9 = out[out["user_id"] == 9]
+    assert list(u9["cum_cents"]) == [425]
+
+
+def test_pivot_row_sums(ray_session, planted_events):
+    from raycrawl.pipelines.analytics import events_pivot
+
+    out = events_pivot(planted_events).to_pandas().set_index("user_id")
+    assert out.loc[7, "click_cents"] == 150
+    assert out.loc[7, "purchase_cents"] == 200
+    assert out.loc[7, "n_events"] == 3
+    assert out.loc[9, "view_cents"] == 425
+    assert out.loc[9, "signup_cents"] == 0
+
+
+def test_rollup_levels_consistent(ray_session):
+    from raycrawl.pipelines.analytics import lineitem_rollup
+
+    out = lineitem_rollup(SF).to_pandas()
+    fine = out[out["l_linestatus"].notna()]
+    mid = out[out["l_linestatus"].isna() & out["l_returnflag"].notna()]
+    top = out[out["l_returnflag"].isna()]
+    assert len(top) == 1
+    for col in ("sum_qty", "sum_price_cents", "n_items"):
+        assert fine[col].sum() == top[col].iloc[0]
+        assert mid[col].sum() == top[col].iloc[0]
+    # every (flag) mid row equals the sum of its fine rows
+    per_flag = fine.groupby("l_returnflag")["n_items"].sum()
+    for _, r in mid.iterrows():
+        assert per_flag[r["l_returnflag"]] == r["n_items"]
+
+
+def test_semi_anti_partition_customers(ray_session):
+    """semi + anti partition the customer set exactly."""
+    from raycrawl.pipelines.analytics import (
+        customers_with_big_orders,
+        customers_without_big_orders,
+    )
+
+    n_semi = customers_with_big_orders(SF).to_pandas()["n_customers"].sum()
+    n_anti = customers_without_big_orders(SF).to_pandas()["n_customers"].sum()
+    n_cust = pq.read_metadata(os.path.join(SF, "customer.parquet")).num_rows
+    assert n_semi + n_anti == n_cust
+    assert n_semi > 0 and n_anti > 0
+
+
+@pytest.fixture(scope="module")
+def gram_docs(tmp_path_factory):
+    """documents.parquet where shared-5-gram structure is fully known."""
+    d = tmp_path_factory.mktemp("gram_docs")
+    shared = "alpha beta gamma delta epsilon"          # exactly one 5-gram
+    docs = [
+        (0, shared + " zeta eta"),                     # 3 grams, 1 shared
+        (1, "prefix " + shared),                       # 2 grams, 1 shared
+        (2, "unique words only here nothing repeats"), # no shared grams
+        (3, "short text"),                             # too short for any gram
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array(["s"] * len(docs)),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_dup_ngrams_planted(ray_session, gram_docs):
+    from raycrawl.pipelines.retrieval import docs_dup_ngrams
+
+    out = docs_dup_ngrams(gram_docs).to_pandas().set_index("doc_id")
+    # docs 0 and 1 share exactly the one planted 5-gram; 2 and 3 are absent
+    assert set(out.index) == {0, 1}
+    assert out.loc[0, "n_shared_grams"] == 1
+    assert out.loc[0, "n_shared_positions"] == 1
+    assert out.loc[1, "n_shared_grams"] == 1
+
+
+def test_tfidf_scores_match_bruteforce(ray_session):
+    """Integer tf-idf recomputed driver-side from raw tokens."""
+    from raycrawl.pipelines.retrieval import (
+        TFIDF_SCALE,
+        TFIDF_TERMS,
+        docs_tfidf_topk,
+    )
+
+    docs = pq.read_table(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    toks = docs["text"].str.lower().str.split()
+    n = len(docs)
+    df = {t: int(toks.apply(lambda ws: t in ws).sum()) for t in TFIDF_TERMS}
+    w = {t: (n * TFIDF_SCALE) // df[t] for t in TFIDF_TERMS if df[t]}
+    score = toks.apply(lambda ws: sum(ws.count(t) * wt for t, wt in w.items()))
+    brute = (
+        pd.DataFrame({"doc_id": docs["doc_id"], "score": score})
+        .query("score > 0")
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    got = docs_tfidf_topk(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"score": "int64"}), brute.astype({"score": "int64"})
+    )

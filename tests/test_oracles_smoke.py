@@ -11,7 +11,10 @@ import pytest
 SF = "/root/testdata/sf0.001"
 SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "q1_returnflag_agg", "events_topk_users", "docs_exact_dedup",
-         "orders_price_quantiles", "docs_top_per_lang", "crawl_pagerank"]
+         "orders_price_quantiles", "docs_top_per_lang", "crawl_pagerank",
+         "events_user_running", "lineitem_rollup",
+         "customers_without_big_orders", "customers_with_big_orders",
+         "events_pivot", "docs_tfidf_topk", "docs_dup_ngrams"]
 
 
 @pytest.fixture(scope="module")
