@@ -46,6 +46,7 @@ from raycrawl.pipelines.crawlqueries import (
     crawl_host_stats,
     crawl_pagerank,
     crawl_text_identity,
+    crawl_triangles,
 )
 
 # materialize the correctness-scale corpus for the oracle's literal path
@@ -125,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": crawl_host_stats,
         "crawl_filter_by": crawl_filter_by,
         "crawl_pagerank": crawl_pagerank,
+        "crawl_triangles": crawl_triangles,
         # ---- text analysis ----
         "docs_token_stats": textops.token_stats,
         "docs_quality": textops.quality_stats,
@@ -179,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_big_orders": analytics.customers_without_big_orders,
         "customers_with_big_orders": analytics.customers_with_big_orders,
         "events_pivot": analytics.events_pivot,
+        "small_quantity_revenue": analytics.small_quantity_revenue,
+        "events_funnel": analytics.events_funnel,
         # ---- retrieval / cross-doc duplication ----
         "docs_tfidf_topk": retrieval.docs_tfidf_topk,
         "docs_dup_ngrams": retrieval.docs_dup_ngrams,
@@ -349,6 +353,38 @@ WHERE (CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
       LIKE 'http://' || host || '/%'
 """,
         "crawl_pagerank": _pagerank_sql(),
+        # undirected distinct link graph; a<b canonicalization counts each
+        # triangle exactly once on both engines
+        "crawl_triangles": f"""
+WITH pages AS (
+  SELECT url FROM read_parquet('{_SF001_CORPUS}')
+),
+cand AS (
+  SELECT DISTINCT url AS src,
+         CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+              ELSE 'http://' || host || h1 END AS dst
+  FROM (
+    SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+           split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                      '?', 1) AS h1
+    FROM read_parquet('{_SF001_CORPUS}')
+    WHERE {_HTML_FILTER} AND text <> ''
+  )
+),
+edges AS (
+  SELECT src, dst FROM cand
+  WHERE dst IN (SELECT url FROM pages) AND src <> dst
+),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges
+)
+SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_und_edges,
+       CAST((SELECT COUNT(*)
+             FROM und e1
+             JOIN und e2 ON e1.b = e2.a
+             JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT)
+         AS n_triangles
+""",
         "crawl_text_identity": f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pages, CAST(COUNT(*) AS BIGINT) AS n_match
 FROM read_parquet('{_SF001_CORPUS}')
@@ -881,6 +917,42 @@ SELECT user_id,"""
         + """,
   CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY user_id
+""",
+        # threshold in pure integers: qty < 0.2*avg  <=>  5*qty*n < sum
+        "small_quantity_revenue": """
+WITH pq AS (
+  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN pq ON l.l_partkey = pq.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * pq.n < pq.s
+""",
+        # conversion = first purchase strictly after first signup, landing
+        # within 1 hour of it
+        "events_funnel": """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS fs
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts FROM events
+  WHERE event_type = 'purchase'
+),
+fp AS (
+  SELECT p.user_id, MIN(p.ts) AS fpa
+  FROM p JOIN s USING (user_id) WHERE p.ts > s.fs
+  GROUP BY p.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup_users,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM p)
+         AS n_purchase_users,
+       CAST(COUNT(*) FILTER (WHERE fp.fpa - s.fs <= 3600000000) AS BIGINT)
+         AS n_converted
+FROM s LEFT JOIN fp USING (user_id)
 """,
         # same tokenization as the pipeline; integer idf weight
         # (n_docs * SCALE) // df — constants interpolated from the module

@@ -94,7 +94,7 @@ def run_headline() -> dict:
 
 def run_queries() -> dict:
     """Representative operator timings over $GRAFT_SF_DIR."""
-    from raycrawl.pipelines import ann, dedup, relops, textops
+    from raycrawl.pipelines import analytics, ann, dedup, relops, retrieval, textops
 
     def consume(x):
         import pyarrow as pa
@@ -117,6 +117,9 @@ def run_queries() -> dict:
         "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(SF_DIR),
         "docs_curation": lambda: textops.curation(SF_DIR),
         "ann_brute_topk": lambda: ann.brute_force_topk(SF_DIR),
+        "events_user_running": lambda: analytics.events_user_running(SF_DIR),
+        "docs_tfidf_topk": lambda: retrieval.docs_tfidf_topk(SF_DIR),
+        "docs_dup_ngrams": lambda: retrieval.docs_dup_ngrams(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
         # as the headline: a burst during one 1-3 s query would otherwise

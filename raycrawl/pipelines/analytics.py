@@ -44,6 +44,8 @@ __all__ = [
     "customers_without_big_orders",
     "customers_with_big_orders",
     "events_pivot",
+    "small_quantity_revenue",
+    "events_funnel",
 ]
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -269,6 +271,160 @@ def customers_with_big_orders(sf_dir: str, min_price: float = 450_000.0) -> rd.D
         qualified.map_batches(partial, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+
+
+def small_quantity_revenue(sf_dir: str) -> pa.Table:
+    """(revenue_cents, n_items): revenue from lineitems whose quantity is
+    below 20% of their part's average order quantity — the TPC-H Q17
+    correlated-aggregate shape.
+
+    The per-part average is a distributed aggregate over the SAME fact
+    table, joined back by Ray Data's native hash-partitioned join (one row
+    per part — too large to broadcast at scale, so this is the big-big
+    join shape, unlike the dimension broadcasts in relops). The threshold
+    is evaluated in pure integers: qty < 0.2 * (sum/n)  <=>  5*qty*n < sum
+    — exact on both engines, no float division anywhere."""
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "qty": pc.cast(t["l_quantity"], pa.int64()),
+                    "one": pa.array(np.ones(len(t), np.int64)),
+                }
+            )
+            .group_by("l_partkey")
+            .aggregate([("qty", "sum"), ("one", "sum")])
+        )
+        return _rename(g, {"qty_sum": "s", "one_sum": "n"})
+
+    per_part = clean_blocks(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")),
+        pa.schema([("l_partkey", pa.int64()), ("s", pa.int64()),
+                   ("n", pa.int64())]),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pk": t["l_partkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "price_cents": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    items = clean_blocks(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(prep, batch_format="pyarrow"),
+        pa.schema([("pk", pa.int64()), ("qty", pa.int64()),
+                   ("price_cents", pa.int64())]),
+    )
+
+    def small_partial(t: pa.Table) -> pa.Table:
+        keep = pc.less(
+            pc.multiply(pc.multiply(t["qty"], 5), t["n"]), t["s"]
+        )
+        kept = t.filter(keep)
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [pc.sum(kept["price_cents"]).as_py() or 0], pa.int64()
+                ),
+                "n_items": pa.array([kept.num_rows], pa.int64()),
+            }
+        )
+
+    partials = (
+        items.join(per_part, join_type="inner", num_partitions=16,
+                   on=("pk",), right_on=("l_partkey",))
+        .map_batches(small_partial, batch_format="pyarrow")
+        .to_arrow_refs()  # bounded: ONE partial row per block
+    )
+    out = pa.concat_tables(
+        [x for x in ray.get(partials) if x.num_rows]
+    ).combine_chunks()
+    return pa.table(
+        {
+            "revenue_cents": pa.array(
+                [pc.sum(out["revenue_cents"]).as_py() or 0], pa.int64()
+            ),
+            "n_items": pa.array(
+                [pc.sum(out["n_items"]).as_py() or 0], pa.int64()
+            ),
+        }
+    )
+
+
+def events_funnel(sf_dir: str, window_s: int = 3600) -> pa.Table:
+    """(n_signup_users, n_purchase_users, n_converted): funnel analysis —
+    users who signed up, users who purchased, and users whose FIRST
+    purchase after their first signup landed within ``window_s`` seconds
+    of it (ordered-sequence matching with a conversion window, the
+    product-analytics funnel shape).
+
+    The order dependence is resolved with ONE shuffle: signup/purchase
+    events partition by the coarse 64-way user key, and a single pandas
+    pass per partition computes each user's first-signup time, joins it
+    onto that user's purchases (C-speed reindex), and reduces to THREE
+    partial counters per partition. The driver sums <=64 counter rows —
+    no per-user state ever leaves the partitions."""
+    win_us = window_s * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"], value_set=pa.array(["signup", "purchase"]))
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "is_signup": pc.equal(t["event_type"], "signup"),
+            }
+        )
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        fs = g[g["is_signup"]].groupby("user_id")["ts_us"].min()
+        p = g[~g["is_signup"]]
+        n_signup = int(fs.size)
+        n_buy = int(p["user_id"].nunique())
+        fs_of = fs.reindex(p["user_id"]).to_numpy(dtype="float64")
+        pts = p["ts_us"].to_numpy(dtype="float64")
+        after = p[(pts > fs_of)]  # NaN (no signup) compares False
+        if len(after):
+            fpa = after.groupby("user_id")["ts_us"].min()
+            n_conv = int((fpa - fs.reindex(fpa.index) <= win_us).sum())
+        else:
+            n_conv = 0
+        return pd.DataFrame(
+            {
+                "n_signup_users": pd.array([n_signup], "int64"),
+                "n_purchase_users": pd.array([n_buy], "int64"),
+                "n_converted": pd.array([n_conv], "int64"),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(prep, batch_format="pyarrow")
+        .map_batches(_add_upart, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(funnel, batch_format="pandas")
+        .to_arrow_refs()  # bounded: <=64 one-row partials
+    )
+    out = pa.concat_tables(
+        [x.select(["n_signup_users", "n_purchase_users", "n_converted"])
+         for x in ray.get(parts) if x.num_rows]
+    ).combine_chunks()
+    return pa.table(
+        {
+            c: pa.array([pc.sum(out[c]).as_py() or 0], pa.int64())
+            for c in ("n_signup_users", "n_purchase_users", "n_converted")
+        }
     )
 
 

@@ -27,7 +27,7 @@ from raycrawl.sources.synth import generate_corpus
 
 __all__ = ["corpus_for", "crawl_bfs", "crawl_edges", "crawl_text_identity",
            "crawl_host_stats", "crawl_filter_by", "crawl_pagerank",
-           "CORPUS_ROOT", "SCALES"]
+           "crawl_triangles", "CORPUS_ROOT", "SCALES"]
 
 CORPUS_ROOT = "/tmp/raycrawl_corpus"
 
@@ -277,32 +277,18 @@ def crawl_text_identity(sf_dir: str) -> pa.Table:
     )
 
 
-def crawl_pagerank(sf_dir: str, iters: int = 4, k: int = 20) -> rd.Dataset:
-    """(url, rank_scaled): top-k pages by PageRank over the FULL resolved
-    link graph (cross-host edges kept — ``parse_page_hrefs`` with
-    ``filter_authority=False``), in pure int64 arithmetic so a DuckDB
-    oracle reproduces every bit.
-
-    r_0 = 1e12 per node; r_{i+1}(v) = 0.15e12 + (85 * sum over in-edges
-    of r_i(u) // outdeg(u)) // 100, dangling mass dropped — an explicit,
-    deterministic variant (floor division is identical in numpy and SQL).
-
-    Scale shape: the same iterated hash-join + grouped-sum skeleton as
-    dedup's distributed label propagation — per iteration one
-    edges-to-ranks join and one groupby-sum, both partitioned; the driver
-    holds only loop control. Edges/outdegrees materialize ONCE (they are
-    loop-invariant; blocks stay in plasma) and every per-node table is a
-    Dataset, never a driver structure. iters is FIXED (graph-analytics
-    checkpointable rounds), not run to convergence."""
-    from ray.data.aggregate import Count, Sum
+def _link_edges(sf_dir: str):
+    """(edges, nodes, n_parts): the distinct resolved link graph shared by
+    the graph-analytics queries (pagerank, triangles) — cross-host edges
+    kept (``parse_page_hrefs`` with ``filter_authority=False``), self
+    loops dropped, closed over corpus pages by a partitioned hash join
+    (never a driver-side set)."""
+    from ray.data.aggregate import Count
 
     from raycrawl.pipelines.dedup import clean_blocks, doc_blocks
 
     info = corpus_for(sf_dir)
-    scale = 10**12
-    base = 15 * scale // 100
     n_parts = max(4, doc_blocks(sf_dir))
-
     nodes = rd.read_parquet(info["corpus"], columns=["url"])
 
     def flow(t: pa.Table) -> pa.Table:
@@ -335,9 +321,6 @@ def crawl_pagerank(sf_dir: str, iters: int = 4, k: int = 20) -> rd.Dataset:
         .aggregate(Count(alias_name="_n"))
         .select_columns(["src", "dst"])
     )
-    # closure: keep edges whose target IS a corpus page (dst joins nodes);
-    # at web scale this is the same partitioned hash join, never a
-    # driver-side set
     edges = clean_blocks(
         clean_blocks(cand, edge_schema)
         .join(
@@ -352,6 +335,105 @@ def crawl_pagerank(sf_dir: str, iters: int = 4, k: int = 20) -> rd.Dataset:
         .select_columns(["src", "dst"]),
         edge_schema,
     )
+    return edges, nodes, n_parts
+
+
+def crawl_triangles(sf_dir: str) -> pa.Table:
+    """(n_und_edges, n_triangles): triangle count over the undirected,
+    deduplicated link graph — the classic distributed graph-analytics
+    join plan: canonicalize each edge to (a, b) with a < b (node-iterator
+    ordering — every triangle counted exactly once), build wedges by ONE
+    hash join (x<y joined to y<z on the middle vertex), close them with a
+    second hash join against the edge set on the composite (x, z) key.
+    All joins are Ray-native hash-partitioned; the driver sees only the
+    two final counts. At web scale the wedge join is skew-sensitive (hub
+    vertices); the standard mitigation — orient edges from lower- to
+    higher-degree endpoints instead of lexicographically — drops in at the
+    canonicalization step without changing the plan."""
+    from ray.data.aggregate import Count
+
+    from raycrawl.pipelines.dedup import clean_blocks
+
+    edges, _nodes, n_parts = _link_edges(sf_dir)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        lt = pc.less(t["src"], t["dst"])
+        return pa.table(
+            {
+                "a": pc.if_else(lt, t["src"], t["dst"]),
+                "b": pc.if_else(lt, t["dst"], t["src"]),
+            }
+        )
+
+    und_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    und = clean_blocks(
+        edges.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"]),
+        und_schema,
+    ).materialize()  # reused by both joins; blocks stay in plasma
+    n_und = und.count()
+
+    # second-hop copy renamed (b, c): join keys share the name "b", so the
+    # wedge result carries distinct columns (a, b, c) with a < b < c
+    hop = clean_blocks(
+        und.map_batches(
+            lambda t: pa.table({"b": t["a"], "c": t["b"]}),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("b", pa.string()), ("c", pa.string())]),
+    )
+    wedges = und.join(hop, join_type="inner", num_partitions=n_parts,
+                      on=("b",))
+    # closing edge: (a, c) must be an edge — composite-key hash join
+    closer = clean_blocks(
+        und.map_batches(
+            lambda t: pa.table({"a": t["a"], "c": t["b"]}),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("a", pa.string()), ("c", pa.string())]),
+    )
+    tri_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("c", pa.string())]
+    )
+    triangles = clean_blocks(
+        wedges.join(closer, join_type="inner", num_partitions=n_parts,
+                    on=("a", "c")),
+        tri_schema,
+    )
+    return pa.table(
+        {
+            "n_und_edges": pa.array([n_und], pa.int64()),
+            "n_triangles": pa.array([triangles.count()], pa.int64()),
+        }
+    )
+
+
+def crawl_pagerank(sf_dir: str, iters: int = 4, k: int = 20) -> rd.Dataset:
+    """(url, rank_scaled): top-k pages by PageRank over the FULL resolved
+    link graph (cross-host edges kept — ``parse_page_hrefs`` with
+    ``filter_authority=False``), in pure int64 arithmetic so a DuckDB
+    oracle reproduces every bit.
+
+    r_0 = 1e12 per node; r_{i+1}(v) = 0.15e12 + (85 * sum over in-edges
+    of r_i(u) // outdeg(u)) // 100, dangling mass dropped — an explicit,
+    deterministic variant (floor division is identical in numpy and SQL).
+
+    Scale shape: the same iterated hash-join + grouped-sum skeleton as
+    dedup's distributed label propagation — per iteration one
+    edges-to-ranks join and one groupby-sum, both partitioned; the driver
+    holds only loop control. Edges/outdegrees materialize ONCE (they are
+    loop-invariant; blocks stay in plasma) and every per-node table is a
+    Dataset, never a driver structure. iters is FIXED (graph-analytics
+    checkpointable rounds), not run to convergence."""
+    from ray.data.aggregate import Count, Sum
+
+    from raycrawl.pipelines.dedup import clean_blocks
+
+    scale = 10**12
+    base = 15 * scale // 100
+    edges, nodes, n_parts = _link_edges(sf_dir)
     deg_schema = pa.schema([("src", pa.string()), ("deg", pa.int64())])
     deg = clean_blocks(
         edges.groupby("src").aggregate(Count(alias_name="deg")), deg_schema

@@ -105,6 +105,71 @@ def test_semi_anti_partition_customers(ray_session):
 
 
 @pytest.fixture(scope="module")
+def funnel_events(tmp_path_factory):
+    """events.parquet with known funnel structure around the 1 h window."""
+    d = tmp_path_factory.mktemp("funnel_events")
+    base = 1_700_000_000_000_000
+    H = 3_600_000_000
+    rows = [
+        # user 1: purchase 30 min after signup -> converted
+        (1, base, 1, "signup", 0.0),
+        (2, base + H // 2, 1, "purchase", 5.0),
+        # user 2: purchase 2 h after signup -> NOT converted (outside window)
+        (3, base, 2, "signup", 0.0),
+        (4, base + 2 * H, 2, "purchase", 5.0),
+        # user 3: purchase BEFORE signup only -> not converted
+        (5, base, 3, "purchase", 5.0),
+        (6, base + 1, 3, "signup", 0.0),
+        # user 4: purchase exactly AT the window edge -> converted (<=)
+        (7, base, 4, "signup", 0.0),
+        (8, base + H, 4, "purchase", 5.0),
+        # user 5: purchases only, no signup
+        (9, base, 5, "purchase", 5.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        os.path.join(str(d), "events.parquet"),
+    )
+    return str(d)
+
+
+def test_funnel_window_edges(ray_session, funnel_events):
+    from raycrawl.pipelines.analytics import events_funnel
+
+    out = events_funnel(funnel_events).to_pandas().iloc[0]
+    assert out["n_signup_users"] == 4      # users 1-4
+    assert out["n_purchase_users"] == 5    # all five purchase
+    assert out["n_converted"] == 2         # users 1 and 4 (edge inclusive)
+
+
+def test_small_quantity_revenue_bruteforce(ray_session):
+    from raycrawl.pipelines.analytics import small_quantity_revenue
+
+    li = pq.read_table(
+        os.path.join(SF, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).to_pandas()
+    li["qty"] = li["l_quantity"].astype("int64")
+    g = li.groupby("l_partkey")["qty"].agg(["sum", "count"])
+    s = g["sum"].reindex(li["l_partkey"]).to_numpy()
+    n = g["count"].reindex(li["l_partkey"]).to_numpy()
+    keep = 5 * li["qty"].to_numpy() * n < s
+    cents = (li["l_extendedprice"] * 100).round().astype("int64").to_numpy()
+    out = small_quantity_revenue(SF).to_pandas().iloc[0]
+    assert out["n_items"] == int(keep.sum())
+    assert out["revenue_cents"] == int(cents[keep].sum())
+
+
+@pytest.fixture(scope="module")
 def gram_docs(tmp_path_factory):
     """documents.parquet where shared-5-gram structure is fully known."""
     d = tmp_path_factory.mktemp("gram_docs")

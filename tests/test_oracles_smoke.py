@@ -14,7 +14,8 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "orders_price_quantiles", "docs_top_per_lang", "crawl_pagerank",
          "events_user_running", "lineitem_rollup",
          "customers_without_big_orders", "customers_with_big_orders",
-         "events_pivot", "docs_tfidf_topk", "docs_dup_ngrams"]
+         "events_pivot", "docs_tfidf_topk", "docs_dup_ngrams",
+         "small_quantity_revenue", "events_funnel", "crawl_triangles"]
 
 
 @pytest.fixture(scope="module")
