@@ -45,6 +45,7 @@ from raycrawl.pipelines.crawlqueries import (
     crawl_filter_by,
     crawl_host_stats,
     crawl_pagerank,
+    crawl_components,
     crawl_text_identity,
     crawl_triangles,
 )
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_filter_by": crawl_filter_by,
         "crawl_pagerank": crawl_pagerank,
         "crawl_triangles": crawl_triangles,
+        "crawl_components": crawl_components,
         # ---- text analysis ----
         "docs_token_stats": textops.token_stats,
         "docs_quality": textops.quality_stats,
@@ -186,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- retrieval / cross-doc duplication ----
         "docs_tfidf_topk": retrieval.docs_tfidf_topk,
         "docs_dup_ngrams": retrieval.docs_dup_ngrams,
+        "docs_postings": retrieval.docs_postings,
+        # ---- vector aggregates ----
+        "embeddings_label_centroids": ann.label_centroids,
     }
 
 
@@ -917,6 +922,60 @@ SELECT user_id,"""
         + """,
   CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY user_id
+""",
+        # weakly-connected components: transitive closure over the
+        # symmetric edge set, component = min reachable url
+        "crawl_components": f"""
+WITH RECURSIVE pages AS (
+  SELECT url FROM read_parquet('{_SF001_CORPUS}')
+),
+cand AS (
+  SELECT DISTINCT url AS src,
+         CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+              ELSE 'http://' || host || h1 END AS dst
+  FROM (
+    SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+           split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                      '?', 1) AS h1
+    FROM read_parquet('{_SF001_CORPUS}')
+    WHERE {_HTML_FILTER} AND text <> ''
+  )
+),
+edges AS (
+  SELECT src, dst FROM cand
+  WHERE dst IN (SELECT url FROM pages) AND src <> dst
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(a, b) AS (
+  SELECT url, url FROM pages
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src
+)
+SELECT a AS url, MIN(b) AS component FROM reach GROUP BY a
+""",
+        # full inverted-index postings; docs are single rows so tf is a
+        # plain grouped count on both sides
+        "docs_postings": r"""
+SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+FROM (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+  FROM documents
+)
+GROUP BY token, doc_id
+""",
+        # fixed-point centroid numerators: float32 -> DOUBLE is exact and
+        # DOUBLE multiply + floor are bit-identical in numpy and SQL
+        "embeddings_label_centroids": """
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS sum_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+GROUP BY label, dim
 """,
         # threshold in pure integers: qty < 0.2*avg  <=>  5*qty*n < sum
         "small_quantity_revenue": """

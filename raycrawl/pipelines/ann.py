@@ -18,7 +18,57 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk"]
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "label_centroids"]
+
+
+def label_centroids(sf_dir: str, scale: int = 1_000_000) -> rd.Dataset:
+    """(label, dim, sum_scaled, n_vecs): per-label embedding centroid
+    numerators, melted to one row per (label, dimension) — the vector
+    aggregate a clustering / class-prototype stage needs (centroid =
+    sum/n; the division is left to the caller so the result stays
+    integer-exact).
+
+    Values are fixed-point ints: floor(float64(v) * scale) — float32 ->
+    float64 is exact and float64 multiply + floor are bit-identical in
+    numpy and SQL, so a DuckDB oracle reproduces every sum. Per batch,
+    the list column is ONE zero-copy flatten + reshape (no per-row
+    python), per-label partial sums via np.add.at; the shuffle then moves
+    |labels| x dim partial rows per batch, never the vectors."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        m = emb.flatten().to_numpy(zero_copy_only=False)
+        d = len(m) // max(len(t), 1)
+        m = m.reshape(-1, d).astype(np.float64)
+        ints = np.floor(m * scale).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, inv, ints)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1), len(uniq)),
+                                pa.int64()),
+                "sum_scaled": pa.array(sums.ravel(), pa.int64()),
+                "n_vecs": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["label", "embedding"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum("sum_scaled", alias_name="sum_scaled"),
+            Sum("n_vecs", alias_name="n_vecs"),
+        )
+    )
 
 
 def _load_queries(sf_dir: str, n_queries: int):

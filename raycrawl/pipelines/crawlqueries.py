@@ -27,7 +27,7 @@ from raycrawl.sources.synth import generate_corpus
 
 __all__ = ["corpus_for", "crawl_bfs", "crawl_edges", "crawl_text_identity",
            "crawl_host_stats", "crawl_filter_by", "crawl_pagerank",
-           "crawl_triangles", "CORPUS_ROOT", "SCALES"]
+           "crawl_triangles", "crawl_components", "CORPUS_ROOT", "SCALES"]
 
 CORPUS_ROOT = "/tmp/raycrawl_corpus"
 
@@ -407,6 +407,105 @@ def crawl_triangles(sf_dir: str) -> pa.Table:
             "n_und_edges": pa.array([n_und], pa.int64()),
             "n_triangles": pa.array([triangles.count()], pa.int64()),
         }
+    )
+
+
+def crawl_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
+    """(url, component): weakly-connected components of the link graph —
+    every corpus page labeled with the lexicographically smallest url of
+    its component (isolated pages label themselves).
+
+    Distributed min-label propagation, the same iterated join + groupby-min
+    skeleton as dedup's cluster labeling (dedup.py dedup_clusters) but over
+    STRING node ids: per round, each node takes the min of its own and its
+    neighbors' labels (one partitioned hash join + one grouped min).
+    String labels have no monotone sum, so the fixpoint test is an exact
+    changed-label count (one more hash join per round) — rounds are
+    bounded by the component diameter either way."""
+    from ray.data.aggregate import Min
+
+    from raycrawl.pipelines.dedup import clean_blocks
+
+    edges, nodes, n_parts = _link_edges(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks()
+        d = t["dst"].combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([s, d]),
+                "dst": pa.concat_arrays([d, s]),
+            }
+        )
+
+    sym_edges = clean_blocks(
+        edges.map_batches(sym, batch_format="pyarrow"),
+        pa.schema([("src", pa.string()), ("dst", pa.string())]),
+    ).materialize()
+
+    label_schema = pa.schema([("node", pa.string()), ("label", pa.string())])
+    labels = clean_blocks(
+        nodes.map_batches(
+            lambda t: pa.table({"node": t["url"], "label": t["url"]}),
+            batch_format="pyarrow",
+        ),
+        label_schema,
+    ).materialize()
+
+    for _ in range(max_iters):
+        neigh = (
+            sym_edges.join(labels, join_type="inner", num_partitions=n_parts,
+                           on=("dst",), right_on=("node",))
+            .select_columns(["src", "label"])
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]),
+                batch_format="pyarrow",
+            )
+        )
+        new_labels = clean_blocks(
+            labels.union(neigh)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label")),
+            label_schema,
+        ).materialize()
+        # exact fixpoint: count nodes whose label changed this round
+        prev = labels.map_batches(
+            lambda t: t.rename_columns(["node", "prev"]),
+            batch_format="pyarrow",
+        )
+        diff = (
+            new_labels.join(prev, join_type="inner", num_partitions=n_parts,
+                            on=("node",))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "changed": pa.array(
+                            [pc.sum(
+                                pc.cast(
+                                    pc.not_equal(t["label"], t["prev"]),
+                                    pa.int64(),
+                                )
+                            ).as_py() or 0],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .sum("changed")
+        )
+        labels = new_labels
+        if not diff:
+            break
+    else:
+        raise RuntimeError(
+            f"component label propagation did not converge in {max_iters} "
+            f"rounds (a component's diameter exceeds it)"
+        )
+
+    return labels.map_batches(
+        lambda t: pa.table({"url": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
     )
 
 

@@ -28,13 +28,20 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
 from raycrawl.pipelines.textops import _flat_tokens, _read_docs, _shingles
 
-__all__ = ["docs_tfidf_topk", "docs_dup_ngrams", "TFIDF_TERMS", "TFIDF_SCALE"]
+__all__ = [
+    "docs_tfidf_topk",
+    "docs_dup_ngrams",
+    "docs_postings",
+    "TFIDF_TERMS",
+    "TFIDF_SCALE",
+]
 
 # fixed query-term set (mid-frequency corpus vocabulary) and the integer
 # idf scale: w(term) = (n_docs * TFIDF_SCALE) // df(term) — an integer
@@ -111,6 +118,57 @@ def docs_tfidf_topk(
                          num_cpus=0.5)
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(k)
+    )
+
+
+def docs_postings(sf_dir: str) -> rd.Dataset:
+    """(token, doc_id, tf): the full inverted-index postings table —
+    search-index construction as a dataflow.
+
+    Each document is one row, so per-batch (doc, token) counts are already
+    the global term frequencies (no merge shuffle needed); the ONE
+    all-to-all is the distributed sort by (token, doc_id) that
+    range-partitions the postings — the layout a term-lookup service
+    actually serves (a block per token range, doc ids ordered within).
+    Tokenization is raw ``\\S+`` extraction — the vocab_topk contract, not
+    the lowercased n-gram one."""
+
+    def postings(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(t["text"], r"\s+").combine_chunks()
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        offs = lists.offsets.to_numpy()
+        trow = np.repeat(np.arange(len(t)), np.diff(offs))
+        keep = flat != ""
+        flat, trow = flat[keep], trow[keep]
+        if not len(flat):
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniques = pd.factorize(flat)
+        k_t = len(uniques)
+        key = trow.astype(np.int64) * k_t + codes
+        uk, tf = np.unique(key, return_counts=True)
+        urow, ucode = uk // k_t, uk % k_t
+        return pa.table(
+            {
+                "token": pa.array(np.asarray(uniques, object)[ucode],
+                                  pa.string()),
+                "doc_id": pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False)[urow],
+                    pa.int64(),
+                ),
+                "tf": pa.array(tf, pa.int64()),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(postings, batch_format="pyarrow")
+        .sort(["token", "doc_id"])
     )
 
 

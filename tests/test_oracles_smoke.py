@@ -15,7 +15,8 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "events_user_running", "lineitem_rollup",
          "customers_without_big_orders", "customers_with_big_orders",
          "events_pivot", "docs_tfidf_topk", "docs_dup_ngrams",
-         "small_quantity_revenue", "events_funnel", "crawl_triangles"]
+         "small_quantity_revenue", "events_funnel", "crawl_triangles",
+         "crawl_components", "docs_postings", "embeddings_label_centroids"]
 
 
 @pytest.fixture(scope="module")
