@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -415,32 +417,49 @@ def crawl_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
     every corpus page labeled with the lexicographically smallest url of
     its component (isolated pages label themselves).
 
-    Distributed min-label propagation, the same iterated join + groupby-min
-    skeleton as dedup's cluster labeling (dedup.py dedup_clusters) but over
-    STRING node ids: per round, each node takes the min of its own and its
-    neighbors' labels (one partitioned hash join + one grouped min).
-    String labels have no monotone sum, so the fixpoint test is an exact
-    changed-label count (one more hash join per round) — rounds are
-    bounded by the component diameter either way."""
-    from ray.data.aggregate import Min
-
+    Distributed min-label propagation as coarse-partition MESSAGE PASSING
+    — no per-round ``Dataset.join`` (its hash-shuffle aggregator actor
+    pool costs seconds of startup per call, measured ~6 s/round on this
+    graph): each round is ONE lazy chain of two grouped shuffles over a
+    64-way hash partition, with C-speed pandas merges inside the
+    partitions. Phase A delivers each node's label to its out-neighbors
+    (label rows and edge rows co-partitioned by the destination's hash,
+    pandas merge emits (neighbor, label) messages and passes the label
+    rows through); phase B re-partitions by receiving node and takes the
+    per-node min over {own label} ∪ messages, emitting the changed-count
+    partials alongside (string labels have no monotone sum, so the exact
+    fixpoint test is this count reaching zero). Rounds are bounded by the
+    component diameter (4 on the sf0.1 graph; 37 s -> ~31 s vs the
+    join-based variant at sf0.1 — the remaining wall time is Ray Data's
+    fixed per-shuffle floor x 2 shuffles x rounds, which amortizes at
+    real data scale where shuffle time is data-bound)."""
     from raycrawl.pipelines.dedup import clean_blocks
 
+    P = 64
     edges, nodes, n_parts = _link_edges(sf_dir)
 
+    def _part(vals: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(vals.astype(object)) % P).astype(np.int64)
+
+    # static symmetric edge rows, pre-partitioned by the DESTINATION node's
+    # hash (where the dst's label lives in phase A): (kpart, key=dst, src)
     def sym(t: pa.Table) -> pa.Table:
-        s = t["src"].combine_chunks()
-        d = t["dst"].combine_chunks()
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([d, s])
+        src = np.concatenate([s, d])
         return pa.table(
             {
-                "src": pa.concat_arrays([s, d]),
-                "dst": pa.concat_arrays([d, s]),
+                "kpart": pa.array(_part(key), pa.int64()),
+                "key": pa.array(key, pa.string()),
+                "src": pa.array(src, pa.string()),
             }
         )
 
     sym_edges = clean_blocks(
         edges.map_batches(sym, batch_format="pyarrow"),
-        pa.schema([("src", pa.string()), ("dst", pa.string())]),
+        pa.schema([("kpart", pa.int64()), ("key", pa.string()),
+                   ("src", pa.string())]),
     ).materialize()
 
     label_schema = pa.schema([("node", pa.string()), ("label", pa.string())])
@@ -452,49 +471,62 @@ def crawl_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
         label_schema,
     ).materialize()
 
+    def as_label_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "kpart": pa.array(_part(node), pa.int64()),
+                "key": t["node"],
+                "src": pa.nulls(len(t), pa.string()),
+                "label": t["label"],
+            }
+        )
+
+    def deliver(g: pd.DataFrame) -> pd.DataFrame:
+        # label rows (src null) hold THE label of every key in this
+        # partition; edge rows pick it up for their src — one C merge
+        labs = g[g["src"].isna()][["key", "label"]]
+        msgs = g[g["src"].notna()][["key", "src"]].merge(labs, on="key")
+        own = labs.rename(columns={"key": "node"})
+        out = pd.concat(
+            [own.assign(is_own=True),
+             msgs[["src", "label"]].rename(columns={"src": "node"})
+             .assign(is_own=False)],
+            ignore_index=True,
+        )
+        out["npart"] = pd.util.hash_array(
+            out["node"].to_numpy(object)) % P
+        return out[["npart", "node", "label", "is_own"]]
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby("node")["label"].min()
+        old = g[g["is_own"]].set_index("node")["label"]
+        changed = int((new != old.reindex(new.index)).sum())
+        out = new.reset_index()
+        out["changed"] = np.int64(0)
+        if len(out):
+            out.loc[0, "changed"] = changed
+        return out[["node", "label", "changed"]]
+
     for _ in range(max_iters):
-        neigh = (
-            sym_edges.join(labels, join_type="inner", num_partitions=n_parts,
-                           on=("dst",), right_on=("node",))
-            .select_columns(["src", "label"])
-            .map_batches(
-                lambda t: t.rename_columns(["node", "label"]),
-                batch_format="pyarrow",
+        merged = clean_blocks(
+            sym_edges.union(
+                labels.map_batches(as_label_rows, batch_format="pyarrow")
             )
-        )
-        new_labels = clean_blocks(
-            labels.union(neigh)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label")),
-            label_schema,
+            .groupby("kpart")
+            .map_groups(deliver, batch_format="pandas")
+            .groupby("npart")
+            .map_groups(reduce_min, batch_format="pandas"),
+            pa.schema([("node", pa.string()), ("label", pa.string()),
+                       ("changed", pa.int64())]),
         ).materialize()
-        # exact fixpoint: count nodes whose label changed this round
-        prev = labels.map_batches(
-            lambda t: t.rename_columns(["node", "prev"]),
-            batch_format="pyarrow",
+        diff = merged.sum("changed")  # scan over in-plasma blocks
+        labels = clean_blocks(
+            merged.map_batches(
+                lambda t: t.select(["node", "label"]), batch_format="pyarrow"
+            ),
+            label_schema,
         )
-        diff = (
-            new_labels.join(prev, join_type="inner", num_partitions=n_parts,
-                            on=("node",))
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "changed": pa.array(
-                            [pc.sum(
-                                pc.cast(
-                                    pc.not_equal(t["label"], t["prev"]),
-                                    pa.int64(),
-                                )
-                            ).as_py() or 0],
-                            pa.int64(),
-                        )
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .sum("changed")
-        )
-        labels = new_labels
         if not diff:
             break
     else:
