@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": analytics.events_pivot,
         "small_quantity_revenue": analytics.small_quantity_revenue,
         "events_funnel": analytics.events_funnel,
+        "events_user_paths": analytics.events_user_paths,
         # ---- retrieval / cross-doc duplication ----
         "docs_tfidf_topk": retrieval.docs_tfidf_topk,
         "docs_dup_ngrams": retrieval.docs_dup_ngrams,
@@ -1012,6 +1013,14 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup_users,
        CAST(COUNT(*) FILTER (WHERE fp.fpa - s.fs <= 3600000000) AS BIGINT)
          AS n_converted
 FROM s LEFT JOIN fp USING (user_id)
+""",
+        # ordered string agg — (ts, event_id) makes ties deterministic
+        "events_user_paths": """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
 """,
         # same tokenization as the pipeline; integer idf weight
         # (n_docs * SCALE) // df — constants interpolated from the module

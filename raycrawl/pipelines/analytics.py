@@ -46,6 +46,7 @@ __all__ = [
     "events_pivot",
     "small_quantity_revenue",
     "events_funnel",
+    "events_user_paths",
 ]
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -425,6 +426,45 @@ def events_funnel(sf_dir: str, window_s: int = 3600) -> pa.Table:
             c: pa.array([pc.sum(out[c]).as_py() or 0], pa.int64())
             for c in ("n_signup_users", "n_purchase_users", "n_converted")
         }
+    )
+
+
+def events_user_paths(sf_dir: str) -> rd.Dataset:
+    """(user_id, path, n_events): each user's full ordered event-type
+    sequence joined with '>' — the clickstream/path-analysis aggregation
+    (ordered string agg). Ordering is (ts, event_id) — event_id is unique,
+    so the sequence is deterministic under timestamp ties on both engines.
+
+    One shuffle on the coarse 64-way user partition, then a single sorted
+    pandas pass per partition; the per-user join cost is O(its events),
+    the same bound any ordered-aggregation engine pays."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+            }
+        )
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id", sort=False)["event_type"].agg(
+            [(">".join), "size"]
+        )
+        agg.columns = ["path", "n_events"]
+        out = agg.reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "path", "n_events"]]
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+        .map_batches(prep, batch_format="pyarrow")
+        .map_batches(_add_upart, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(paths, batch_format="pandas")
     )
 
 

@@ -62,6 +62,17 @@ def test_user_running_collapses_ts_ties(ray_session, planted_events):
     assert list(u9["cum_cents"]) == [425]
 
 
+def test_user_paths_tie_order(ray_session, planted_events):
+    from raycrawl.pipelines.analytics import events_user_paths
+
+    out = events_user_paths(planted_events).to_pandas().set_index("user_id")
+    # user 7's two tied events order by event_id: click(1) then purchase(2)
+    assert out.loc[7, "path"] == "click>purchase>click"
+    assert out.loc[7, "n_events"] == 3
+    assert out.loc[9, "path"] == "view"
+    assert out.loc[9, "n_events"] == 1
+
+
 def test_pivot_row_sums(ray_session, planted_events):
     from raycrawl.pipelines.analytics import events_pivot
 
