@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_nation_counts": relops.region_nation_counts,
         "orders_price_quantiles": relops.orders_price_quantiles,
         "docs_top_per_lang": textops.top_docs_per_lang,
+        "docs_bigrams_topk": textops.bigrams_topk,
         # ---- window / rollup / semi-anti join / pivot ----
         "events_user_running": analytics.events_user_running,
         "lineitem_rollup": analytics.lineitem_rollup,
@@ -186,6 +187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": analytics.small_quantity_revenue,
         "events_funnel": analytics.events_funnel,
         "events_user_paths": analytics.events_user_paths,
+        "events_outliers": analytics.events_outliers,
+        "events_cohort_retention": analytics.events_cohort_retention,
+        "nation_customer_supplier_outer": analytics.nation_customer_supplier_outer,
         # ---- retrieval / cross-doc duplication ----
         "docs_tfidf_topk": retrieval.docs_tfidf_topk,
         "docs_dup_ngrams": retrieval.docs_dup_ngrams,
@@ -819,6 +823,24 @@ GROUP BY token
 ORDER BY n DESC, token
 LIMIT 50
 """,
+        # same lower + \s+ tokenization as the n-gram family; bigrams
+        # never cross a document boundary
+        "docs_bigrams_topk": r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     w -> w <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS gram
+  FROM toks WHERE len(ts) >= 2
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+FROM grams GROUP BY gram
+ORDER BY n DESC, gram
+LIMIT 20
+""",
         "events_sessionize": """
 WITH d AS (
   SELECT user_id, ts,
@@ -1021,6 +1043,54 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY user_id
+""",
+        # z-score in pure integers: (n*x-s)^2 > z^2*(n*ssq-s^2), z=2
+        "events_outliers": """
+WITH e AS (
+  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+),
+st AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(cents * cents) AS BIGINT) AS ssq
+  FROM e GROUP BY user_id
+)
+SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_outliers
+FROM e JOIN st USING (user_id)
+WHERE st.n >= 2
+  AND (st.n * e.cents - st.s) * (st.n * e.cents - st.s)
+      > 4 * (st.n * st.ssq - st.s * st.s)
+GROUP BY e.user_id
+""",
+        # cohort = epoch-week of first event; one row per (cohort, offset)
+        "events_cohort_retention": """
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS cw
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w FROM events
+)
+SELECT CAST(f.cw AS BIGINT) AS cohort_week,
+       CAST(a.w - f.cw AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+        "nation_customer_supplier_outer": """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS nc
+  FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+  GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS ns
+  FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_building_customers,
+       CAST(COALESCE(s.ns, 0) AS BIGINT) AS n_rich_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
 """,
         # same tokenization as the pipeline; integer idf weight
         # (n_docs * SCALE) // df — constants interpolated from the module

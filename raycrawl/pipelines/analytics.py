@@ -47,6 +47,9 @@ __all__ = [
     "small_quantity_revenue",
     "events_funnel",
     "events_user_paths",
+    "events_outliers",
+    "events_cohort_retention",
+    "nation_customer_supplier_outer",
 ]
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -466,6 +469,189 @@ def events_user_paths(sf_dir: str) -> rd.Dataset:
         .groupby("upart")
         .map_groups(paths, batch_format="pandas")
     )
+
+
+def events_outliers(sf_dir: str, z: int = 2) -> rd.Dataset:
+    """(user_id, n_outliers): per-user anomaly detection — count each
+    user's events whose value lies more than ``z`` population standard
+    deviations from that user's mean, decided in PURE integers so the
+    oracle reproduces it bit-for-bit: with per-user n, s=sum(cents),
+    ssq=sum(cents^2), event x is an outlier iff
+
+        (n*x - s)^2  >  z^2 * (n*ssq - s^2)        (n >= 2)
+
+    (multiply the z-score inequality through by n^2 — no division, no
+    floats). Users with zero outliers are omitted.
+
+    Scale shape: ONE shuffle on the coarse 64-way user partition, then a
+    single pandas pass per partition (C-speed groupby for the moments, a
+    reindex join-back, one vectorized mask). int64 headroom: needs
+    n*ssq < 2^63/z^2, i.e. per-user event counts up to ~10^5 at
+    dollar-scale values; beyond that the moments column switches to
+    python-int (object) per partition.
+    """
+    z2 = z * z
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "cents": _cents(t["value"])}
+        )
+
+    def outliers(g: pd.DataFrame) -> pd.DataFrame:
+        st = g.groupby("user_id")["cents"].agg(["count", "sum"])
+        sq = g.assign(sq=g["cents"] ** 2).groupby("user_id")["sq"].sum()
+        n = st["count"].reindex(g["user_id"]).to_numpy()
+        s = st["sum"].reindex(g["user_id"]).to_numpy()
+        ssq = sq.reindex(g["user_id"]).to_numpy()
+        x = g["cents"].to_numpy()
+        d = n * x - s
+        mask = (n >= 2) & (d * d > z2 * (n * ssq - s * s))
+        out = (
+            g.loc[mask]
+            .groupby("user_id")
+            .size()
+            .rename("n_outliers")
+            .reset_index()
+        )
+        out["n_outliers"] = out["n_outliers"].astype("int64")
+        return out[["user_id", "n_outliers"]]
+
+    return (
+        _read(sf_dir, "events", ["user_id", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .map_batches(_add_upart, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(outliers, batch_format="pandas")
+    )
+
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def events_cohort_retention(sf_dir: str) -> rd.Dataset:
+    """(cohort_week, week_offset, n_users): cohort retention — users are
+    cohorted by the epoch-week of their FIRST event; for every later week
+    in which a cohort member is active, count the distinct members. The
+    product-analytics retention triangle.
+
+    Scale shape: ONE shuffle on the coarse 64-way user partition. Within a
+    partition a user's rows are complete, so the per-(cohort, offset)
+    distinct-user partials from disjoint partitions sum EXACTLY — the
+    global aggregate is a tiny groupby over O(cohorts x offsets x 64)
+    rows, never a distinct over the corpus."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        wk = pc.divide(pc.cast(t["ts"], pa.int64()), _WEEK_US)
+        return pa.table({"user_id": t["user_id"], "week": wk})
+
+    def retention(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("user_id")["week"].min()
+        uw = g.drop_duplicates(["user_id", "week"])
+        cohort = first.reindex(uw["user_id"]).to_numpy()
+        out = (
+            pd.DataFrame(
+                {
+                    "cohort_week": cohort,
+                    "week_offset": uw["week"].to_numpy() - cohort,
+                }
+            )
+            .groupby(["cohort_week", "week_offset"])
+            .size()
+            .rename("n_users")
+            .reset_index()
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .map_batches(_add_upart, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(retention, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def nation_customer_supplier_outer(sf_dir: str) -> rd.Dataset:
+    """(nationkey, n_building_customers, n_rich_suppliers): per-nation
+    counts of rich (acctbal > 9000) BUILDING-segment customers FULL OUTER
+    JOINed with counts of suppliers with acctbal > 5000 — nations holding
+    only one side appear with a 0 on the other (at sf0.01 the filters
+    leave 4 nations customer-only and 4 supplier-only, so both outer
+    directions are exercised for real). Ray Data's native full_outer
+    hash join.
+
+    Scale shape: both sides are aggregated to one row per nation BEFORE
+    the join (per-batch partials, then a domain-bounded groupby), so the
+    full-outer shuffle moves O(nations) rows regardless of corpus size."""
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.equal(t["c_mktsegment"], "BUILDING"),
+                pc.greater(t["c_acctbal"], 9000.0),
+            )
+        )
+        g = (
+            pa.table({"nationkey": t["c_nationkey"]})
+            .group_by("nationkey")
+            .aggregate([("nationkey", "count")])
+        )
+        return _rename(g, {"nationkey_count": "n_building_customers"})
+
+    def supp_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["s_acctbal"], 5000.0))
+        g = (
+            pa.table({"nationkey_r": t["s_nationkey"]})
+            .group_by("nationkey_r")
+            .aggregate([("nationkey_r", "count")])
+        )
+        return _rename(g, {"nationkey_r_count": "n_rich_suppliers"})
+
+    cust = clean_blocks(
+        _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"])
+        .map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("n_building_customers", alias_name="n_building_customers")),
+        pa.schema(
+            [("nationkey", pa.int64()), ("n_building_customers", pa.int64())]
+        ),
+    )
+    supp = clean_blocks(
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(supp_partial, batch_format="pyarrow")
+        .groupby("nationkey_r")
+        .aggregate(Sum("n_rich_suppliers", alias_name="n_rich_suppliers")),
+        pa.schema(
+            [("nationkey_r", pa.int64()), ("n_rich_suppliers", pa.int64())]
+        ),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's join merges on/right_on into ONE key column, filled from
+        # whichever side matched; only the count columns can be null here.
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "nationkey": t["nationkey"],
+                "n_building_customers": pc.coalesce(
+                    pc.cast(t["n_building_customers"], pa.int64()), zero
+                ),
+                "n_rich_suppliers": pc.coalesce(
+                    pc.cast(t["n_rich_suppliers"], pa.int64()), zero
+                ),
+            }
+        )
+
+    return cust.join(
+        supp,
+        join_type="full_outer",
+        num_partitions=4,
+        on=("nationkey",),
+        right_on=("nationkey_r",),
+    ).map_batches(finish, batch_format="pyarrow")
 
 
 def events_pivot(sf_dir: str) -> rd.Dataset:

@@ -20,6 +20,7 @@ import ray.data as rd
 
 __all__ = [
     "vocab_topk",
+    "bigrams_topk",
     "top_docs_per_lang",
     "token_stats",
     "bpe_token_counts",
@@ -561,6 +562,47 @@ def vocab_topk(sf_dir: str, k: int = 50) -> rd.Dataset:
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
         .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def bigrams_topk(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """(gram, n): top-k corpus bigrams — the n-gram language-model count
+    table every data-mixing recipe reads off first. Tokenization is
+    :func:`_flat_tokens` (lower + \\s+ split, the shared contract with the
+    repetition/decontamination oracles); bigrams never cross a document
+    boundary.
+
+    Scale shape: the shingle explode is the vectorized cross-row shift
+    (`_shingles`, one pyarrow binary_join pass per batch) and the counts
+    are PARTIAL per batch before the one shuffle — the groupby moves one
+    row per distinct (batch, gram), not one per occurrence. Deterministic
+    (n desc, gram asc) tie-break."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        g, _ = _shingles(*_flat_tokens(t), 2)
+        if not len(g):
+            return pa.table(
+                {"gram": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        grams, counts = np.unique(g, return_counts=True)
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(explode_count, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "gram"], descending=[True, False])
         .limit(k)
     )
 

@@ -180,6 +180,83 @@ def test_small_quantity_revenue_bruteforce(ray_session):
     assert out["revenue_cents"] == int(cents[keep].sum())
 
 
+def _write_events(d, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        os.path.join(str(d), "events.parquet"),
+    )
+    return str(d)
+
+
+def test_outliers_z2_planted(ray_session, tmp_path):
+    """One spike among flat values is the only z>2 outlier."""
+    from raycrawl.pipelines.analytics import events_outliers
+
+    base = 1_700_000_000_000_000
+    rows = [(i, base + i, 1, "click", 1.00) for i in range(5)]
+    rows.append((5, base + 5, 1, "purchase", 100.00))      # the spike
+    rows.append((6, base + 6, 2, "view", 50.00))           # n=1: excluded
+    _write_events(tmp_path, rows)
+    out = events_outliers(str(tmp_path)).to_pandas()
+    assert out.set_index("user_id")["n_outliers"].to_dict() == {1: 1}
+
+
+def test_cohort_retention_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.analytics import events_cohort_retention
+
+    WEEK = 7 * 86_400 * 1_000_000
+    W = 2810  # an exact epoch-week boundary
+    rows = [
+        # user 1: first in week W, active W and W+1 (twice in W+1 —
+        # distinct-per-week must count it once)
+        (1, W * WEEK + 10, 1, "click", 1.0),
+        (2, (W + 1) * WEEK + 5, 1, "view", 1.0),
+        (3, (W + 1) * WEEK + 9, 1, "view", 1.0),
+        # user 2: first in week W+1 only
+        (4, (W + 1) * WEEK + 1, 2, "click", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    out = events_cohort_retention(str(tmp_path)).to_pandas()
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users for r in out.itertuples()
+    }
+    assert got == {(W, 0): 1, (W, 1): 1, (W + 1, 0): 1}
+
+
+def test_full_outer_nation_counts(ray_session):
+    """Both outer directions vs a pandas brute force at sf0.001."""
+    from raycrawl.pipelines.analytics import nation_customer_supplier_outer
+
+    cust = pq.read_table(
+        os.path.join(SF, "customer.parquet"),
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    ).to_pandas()
+    supp = pq.read_table(
+        os.path.join(SF, "supplier.parquet"),
+        columns=["s_nationkey", "s_acctbal"],
+    ).to_pandas()
+    nc = (
+        cust[(cust["c_mktsegment"] == "BUILDING") & (cust["c_acctbal"] > 9000)]
+        .groupby("c_nationkey")
+        .size()
+    )
+    ns = supp[supp["s_acctbal"] > 5000].groupby("s_nationkey").size()
+    out = nation_customer_supplier_outer(SF).to_pandas().set_index("nationkey")
+    assert set(out.index) == set(nc.index) | set(ns.index)
+    for k in out.index:
+        assert out.loc[k, "n_building_customers"] == nc.get(k, 0)
+        assert out.loc[k, "n_rich_suppliers"] == ns.get(k, 0)
+
+
 @pytest.fixture(scope="module")
 def gram_docs(tmp_path_factory):
     """documents.parquet where shared-5-gram structure is fully known."""

@@ -263,6 +263,35 @@ def test_token_stats_values(ray_session):
         assert got.loc[row.doc_id, "text_len"] == len(row.text)
 
 
+def test_bigrams_topk_planted(ray_session, tmp_path):
+    """Brute-force Counter twin over docs with boundary/empty edges."""
+    from collections import Counter
+
+    from raycrawl.pipelines.textops import bigrams_topk
+
+    texts = [
+        "The quick brown fox",   # case-folding: 'the quick'
+        "the quick red fox",     # shares 'the quick'
+        "fox",                   # single token: no bigrams
+        "",                      # empty doc
+        "the quick the quick",   # within-doc repeat
+    ]
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    brute = Counter()
+    for t in texts:
+        ws = [w for w in t.lower().split() if w]
+        brute.update(" ".join(p) for p in zip(ws, ws[1:]))
+    want = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = bigrams_topk(str(tmp_path)).to_pandas()
+    assert list(zip(got["gram"], got["n"])) == want
+    assert brute["the quick"] == 4  # the planted cross-doc + repeat signal
+
+
 def test_repetition_stats_planted(ray_session, tmp_path):
     """Edge cases + hand-computed n-gram counts (brute-force Counter twin)."""
     from collections import Counter
