@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles": relops.orders_price_quantiles,
         "docs_top_per_lang": textops.top_docs_per_lang,
         "docs_bigrams_topk": textops.bigrams_topk,
+        "docs_heavy_tokens": textops.heavy_tokens,
         # ---- window / rollup / semi-anti join / pivot ----
         "events_user_running": analytics.events_user_running,
         "lineitem_rollup": analytics.lineitem_rollup,
@@ -840,6 +841,17 @@ SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
 FROM grams GROUP BY gram
 ORDER BY n DESC, gram
 LIMIT 20
+""",
+        # exact heavy hitters: every token with count * k > total tokens
+        "docs_heavy_tokens": r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            w -> w <> '')) AS token
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token)
+SELECT c.token, c.cnt AS n FROM c, n WHERE c.cnt * 200 > n.total
 """,
         "events_sessionize": """
 WITH d AS (

@@ -21,6 +21,7 @@ import ray.data as rd
 __all__ = [
     "vocab_topk",
     "bigrams_topk",
+    "heavy_tokens",
     "top_docs_per_lang",
     "token_stats",
     "bpe_token_counts",
@@ -605,6 +606,92 @@ def bigrams_topk(sf_dir: str, k: int = 20) -> rd.Dataset:
         .sort(["n", "gram"], descending=[True, False])
         .limit(k)
     )
+
+
+def heavy_tokens(sf_dir: str, k: int = 200) -> pa.Table:
+    """(token, n): EXACT heavy hitters — every token whose corpus count
+    strictly exceeds N/k (N = total token count), via the two-pass
+    Misra-Gries candidate sweep. Tokenization is :func:`_flat_tokens`.
+
+    Why not vocab_topk's plan: a full wordcount shuffles one row per
+    distinct (batch, token) — at web scale the token domain is huge and
+    almost all of it is irrelevant to the > N/k question. Here pass 1
+    ships at most k+1 rows per batch (each batch's MG(k)-compressed
+    summary: exact batch counts, decremented by the (k+1)-th largest and
+    dropped at <= 0 — any token with global count > N/k must survive in
+    >= 1 batch, since sum(f_i) > N/k forces some f_i > N_i/k >= the
+    batch's decrement). Pass 2 broadcasts the candidate union (bounded by
+    (k+1) x n_batches) and exact-counts ONLY candidates; its shuffle is
+    candidate-domain-sized. Both passes stream; the driver holds just the
+    candidate list and the final <= |candidates| rows."""
+    import numpy as np
+
+    import ray
+
+    def mg_candidates(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t)
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string())})
+        toks, counts = np.unique(flat, return_counts=True)
+        if len(toks) > k:
+            d = np.partition(counts, -(k + 1))[-(k + 1)]
+            toks = toks[counts > d]
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    cand = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(mg_candidates, batch_format="pyarrow")
+        .unique("token")
+    )
+    cand_ref = ray.put(np.array(sorted(cand), dtype=object))
+
+    class CountCandidates:
+        def __init__(self):
+            import pandas as pd
+
+            self.idx = pd.Index(ray.get(cand_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flat, _ = _flat_tokens(t)
+            n_tok = len(flat)
+            hits = np.zeros(len(self.idx), np.int64)
+            if n_tok:
+                pos = self.idx.get_indexer(flat)
+                np.add.at(hits, pos[pos >= 0], 1)
+            nz = np.flatnonzero(hits)
+            # the "" row (never a token: empties are dropped) rides the
+            # batch's total-token count to the same tiny groupby
+            return pa.table(
+                {
+                    "token": pa.array(
+                        np.concatenate((self.idx.values[nz], [""])),
+                        pa.string(),
+                    ),
+                    "n": pa.array(
+                        np.concatenate((hits[nz], [n_tok])), pa.int64()
+                    ),
+                }
+            )
+
+    from ray.data.aggregate import Sum
+
+    counts = pa.Table.from_pandas(
+        _read_docs(sf_dir, ["text"])
+        .map_batches(CountCandidates, batch_format="pyarrow",
+                     concurrency=2, num_cpus=1)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas(),
+        preserve_index=False,
+    )
+    total = pc.sum(
+        counts.filter(pc.equal(counts["token"], ""))["n"]
+    ).as_py() or 0
+    body = counts.filter(pc.not_equal(counts["token"], ""))
+    heavy = body.filter(
+        pc.greater(pc.multiply(body["n"], k), pa.scalar(total, pa.int64()))
+    )
+    return heavy.sort_by([("n", "descending"), ("token", "ascending")])
 
 
 def top_docs_per_lang(sf_dir: str, k: int = 3) -> rd.Dataset:

@@ -292,6 +292,34 @@ def test_bigrams_topk_planted(ray_session, tmp_path):
     assert brute["the quick"] == 4  # the planted cross-doc + repeat signal
 
 
+def test_heavy_tokens_planted_and_bruteforce(ray_session, tmp_path):
+    """Strict > N/k threshold on a planted corpus (k=3 forces the MG
+    candidate compression: 6 distinct > k), then a pandas twin at SF."""
+    from collections import Counter
+
+    from raycrawl.pipelines.textops import heavy_tokens
+
+    import pyarrow as pa
+
+    text = " ".join(["a"] * 10 + ["b"] * 5 + ["c"] * 2 + ["d", "e", "f"])
+    pq.write_table(
+        pa.table({"doc_id": [0], "text": [text]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = heavy_tokens(str(tmp_path), k=3).to_pandas()
+    # N=20, N/k=6.67: only 'a' (10) qualifies; 'b' (5*3=15 <= 20) must not
+    assert list(zip(out["token"], out["n"])) == [("a", 10)]
+
+    docs = pq.read_table(
+        os.path.join(SF, "documents.parquet"), columns=["text"]
+    ).to_pandas()
+    cnt = Counter(w for t in docs["text"] for w in t.lower().split() if w)
+    total = sum(cnt.values())
+    want = {t: n for t, n in cnt.items() if n * 200 > total}
+    got = heavy_tokens(SF, k=200).to_pandas()
+    assert dict(zip(got["token"], got["n"])) == want
+
+
 def test_repetition_stats_planted(ray_session, tmp_path):
     """Edge cases + hand-computed n-gram counts (brute-force Counter twin)."""
     from collections import Counter
