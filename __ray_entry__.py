@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_per_lang": textops.top_docs_per_lang,
         "docs_bigrams_topk": textops.bigrams_topk,
         "docs_heavy_tokens": textops.heavy_tokens,
+        "docs_stratified_sample": textops.stratified_sample,
         # ---- window / rollup / semi-anti join / pivot ----
         "events_user_running": analytics.events_user_running,
         "lineitem_rollup": analytics.lineitem_rollup,
@@ -537,6 +538,21 @@ SELECT doc_id, bucket,
             WHEN bucket < 3686 THEN 'val'
             ELSE 'test' END AS split
 FROM h
+""",
+        # independent affine hash (xxhash64 prime mixers), per-lang
+        # keep-rate in 4096ths — constants interpolated from textops
+        "docs_stratified_sample": f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(((doc_id::HUGEINT * {textops._SAMPLE_MUL}
+                + {textops._SAMPLE_ADD}) % 18446744073709551616)
+              // 4503599627370496 AS BIGINT) AS bucket
+  FROM documents
+),
+r(lang, lim) AS (VALUES {", ".join(f"('{l}', {v})" for l, v in textops.SAMPLE_RATES_4096.items())})
+SELECT h.doc_id, h.lang
+FROM h JOIN r ON h.lang = r.lang
+WHERE h.bucket < r.lim
 """,
         "docs_quality": r"""
 SELECT doc_id,

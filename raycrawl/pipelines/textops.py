@@ -29,6 +29,7 @@ __all__ = [
     "repetition_stats",
     "decontaminate",
     "hash_split",
+    "stratified_sample",
     "curation",
     "quality_stats",
     "quality_label",
@@ -398,6 +399,55 @@ def hash_split(
 
     return _read_docs(sf_dir, ["doc_id"]).map_batches(
         assign, batch_format="pyarrow"
+    )
+
+
+# independent draw from hash_split: different odd mixer constants
+# (xxhash64 primes — public), so sampling never correlates with the
+# train/val/test assignment
+_SAMPLE_MUL = 0xC2B2AE3D27D4EB4F
+_SAMPLE_ADD = 0x165667B19E3779F9
+
+# per-language keep-rates in 4096ths (the data-mixing knob: upsample the
+# scarce languages, downsample the dominant one)
+SAMPLE_RATES_4096 = {
+    "en": 1024,   # 25%
+    "zh": 3072,   # 75%
+    "es": 3072,
+    "de": 2048,   # 50%
+    "fr": 2048,
+}
+
+
+def stratified_sample(sf_dir: str) -> rd.Dataset:
+    """(doc_id, lang): deterministic per-language (stratified) sample —
+    doc kept iff the top 12 bits of an id affine hash fall under its
+    language's keep-rate. The language-rebalancing draw of a data-mixing
+    recipe, with hash_split's stability guarantees (a doc's fate never
+    changes under resharding or corpus growth) via an INDEPENDENT mixer.
+
+    Embarrassingly parallel: a stateless map_batches, one numpy uint64
+    affine op + a rate lookup per batch; no shuffle, no state. Unknown
+    languages are dropped (rate 0)."""
+    import numpy as np
+
+    langs = list(SAMPLE_RATES_4096)
+    thr = {l: SAMPLE_RATES_4096[l] for l in langs}
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ids * np.uint64(_SAMPLE_MUL) + np.uint64(_SAMPLE_ADD)
+        bucket = (h >> np.uint64(52)).astype(np.int64)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        limit = np.zeros(len(t), np.int64)
+        for l, v in thr.items():  # |langs| vectorized passes, not per-row
+            limit[lang == l] = v
+        keep = np.flatnonzero(bucket < limit)
+        return pa.table({"doc_id": t["doc_id"].take(keep),
+                         "lang": t["lang"].take(keep)})
+
+    return _read_docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        pick, batch_format="pyarrow"
     )
 
 

@@ -482,6 +482,38 @@ def test_hash_split_deterministic(ray_session, tmp_path):
     assert 0.05 < frac["val"] < 0.15
 
 
+def test_stratified_sample_deterministic(ray_session, tmp_path):
+    """Row-by-row closed-form twin; rates land near target; independent
+    of the hash_split assignment; unknown langs dropped."""
+    from raycrawl.pipelines.textops import (
+        _SAMPLE_ADD,
+        _SAMPLE_MUL,
+        SAMPLE_RATES_4096,
+        stratified_sample,
+    )
+
+    ids = list(range(4000))
+    langs = [("en", "zh", "xx")[i % 3] for i in ids]
+    pq.write_table(
+        pa.table({"doc_id": ids, "lang": langs, "text": ["w"] * len(ids)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = stratified_sample(str(tmp_path)).to_pandas()
+    h = np.array(ids, np.uint64) * np.uint64(_SAMPLE_MUL) + np.uint64(
+        _SAMPLE_ADD
+    )
+    bucket = (h >> np.uint64(52)).astype(np.int64)
+    lim = np.array(
+        [SAMPLE_RATES_4096.get(l, 0) for l in langs], np.int64
+    )
+    want = set(np.array(ids)[bucket < lim].tolist())
+    assert set(got["doc_id"]) == want
+    assert not (got["lang"] == "xx").any()
+    en = (got["lang"] == "en").sum() / (len(ids) / 3)
+    zh = (got["lang"] == "zh").sum() / (len(ids) / 3)
+    assert 0.20 < en < 0.30 and 0.70 < zh < 0.80
+
+
 def test_curation_planted(ray_session, planted_docs):
     """Every flag checked per doc on the planted corpus: doc 0 is the eval
     doc (excluded); its dups are contaminated AND non-survivors; the short
