@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- window / rollup / semi-anti join / pivot ----
         "events_user_running": analytics.events_user_running,
         "lineitem_rollup": analytics.lineitem_rollup,
+        "lineitem_cube": analytics.lineitem_cube,
         "customers_without_big_orders": analytics.customers_without_big_orders,
         "customers_with_big_orders": analytics.customers_with_big_orders,
         "events_pivot": analytics.events_pivot,
@@ -945,6 +946,14 @@ SELECT l_returnflag, l_linestatus,
          AS sum_price_cents,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+        "lineitem_cube": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """,
         "customers_without_big_orders": """
 SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers

@@ -41,6 +41,7 @@ from raycrawl.pipelines.relops import _add_upart, _cents, _DimIndex
 __all__ = [
     "events_user_running",
     "lineitem_rollup",
+    "lineitem_cube",
     "customers_without_big_orders",
     "customers_with_big_orders",
     "events_pivot",
@@ -165,6 +166,27 @@ def lineitem_rollup(sf_dir: str) -> pa.Table:
     total["l_linestatus"] = None
     cols = ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "n_items"]
     out = pd.concat([fine[cols], by_flag[cols], total[cols]], ignore_index=True)
+    for c in ("sum_qty", "sum_price_cents", "n_items"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def lineitem_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping sets —
+    rollup's three plus (NULL, status). Same distributed plan as
+    :func:`lineitem_rollup` (one corpus pass for the fine level, every
+    coarser set re-aggregated from the domain-bounded fine table); CUBE
+    only adds one more tiny driver-side re-aggregate."""
+    fine_tbl = lineitem_rollup(sf_dir).to_pandas()
+    fine = fine_tbl[fine_tbl["l_linestatus"].notna()]
+    by_status = (
+        fine.groupby("l_linestatus", as_index=False)[
+            ["sum_qty", "sum_price_cents", "n_items"]
+        ].sum().assign(l_returnflag=None)
+    )
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents",
+            "n_items"]
+    out = pd.concat([fine_tbl[cols], by_status[cols]], ignore_index=True)
     for c in ("sum_qty", "sum_price_cents", "n_items"):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -101,6 +101,21 @@ def test_rollup_levels_consistent(ray_session):
         assert per_flag[r["l_returnflag"]] == r["n_items"]
 
 
+def test_cube_levels_consistent(ray_session):
+    from raycrawl.pipelines.analytics import lineitem_cube
+
+    out = lineitem_cube(SF).to_pandas()
+    by_status = out[out["l_returnflag"].isna() & out["l_linestatus"].notna()]
+    top = out[out["l_returnflag"].isna() & out["l_linestatus"].isna()]
+    fine = out[out["l_returnflag"].notna() & out["l_linestatus"].notna()]
+    assert len(top) == 1
+    for col in ("sum_qty", "sum_price_cents", "n_items"):
+        assert by_status[col].sum() == top[col].iloc[0]
+    per_status = fine.groupby("l_linestatus")["n_items"].sum()
+    for _, r in by_status.iterrows():
+        assert per_status[r["l_linestatus"]] == r["n_items"]
+
+
 def test_semi_anti_partition_customers(ray_session):
     """semi + anti partition the customer set exactly."""
     from raycrawl.pipelines.analytics import (
