@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_postings": retrieval.docs_postings,
         # ---- vector aggregates ----
         "embeddings_label_centroids": ann.label_centroids,
+        "embeddings_kmeans": ann.kmeans_assign,
     }
 
 
@@ -1036,6 +1037,42 @@ FROM (
   FROM embeddings
 )
 GROUP BY label, dim
+""",
+        # two unrolled Lloyd rounds, exact in integers: fixed-point
+        # vectors, int squared-L2, argmin tie-break = min(dist*k+cid)%k,
+        # truncating-// centroid mean (matches sign(s)*(|s|//n))
+        "embeddings_kmeans": """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS x
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cluster, dim, x AS c FROM v WHERE vec_id < 8),
+d1 AS (
+  SELECT v.vec_id, c0.cluster,
+         SUM((v.x - c0.c) * (v.x - c0.c)) AS dist
+  FROM v JOIN c0 USING (dim)
+  GROUP BY v.vec_id, c0.cluster
+),
+a1 AS (
+  SELECT vec_id, CAST(MIN(dist * 8 + cluster) % 8 AS BIGINT) AS cluster
+  FROM d1 GROUP BY vec_id
+),
+s1 AS (
+  SELECT a1.cluster, v.dim,
+         CAST(SUM(v.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM v JOIN a1 USING (vec_id) GROUP BY a1.cluster, v.dim
+),
+c1 AS (SELECT cluster, dim, s // n AS c FROM s1),
+d2 AS (
+  SELECT v.vec_id, c1.cluster,
+         SUM((v.x - c1.c) * (v.x - c1.c)) AS dist
+  FROM v JOIN c1 USING (dim)
+  GROUP BY v.vec_id, c1.cluster
+)
+SELECT vec_id, CAST(MIN(dist * 8 + cluster) % 8 AS BIGINT) AS cluster
+FROM d2 GROUP BY vec_id
 """,
         # threshold in pure integers: qty < 0.2*avg  <=>  5*qty*n < sum
         "small_quantity_revenue": """

@@ -18,7 +18,13 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "label_centroids"]
+__all__ = [
+    "brute_force_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "label_centroids",
+    "kmeans_assign",
+]
 
 
 def label_centroids(sf_dir: str, scale: int = 1_000_000) -> rd.Dataset:
@@ -69,6 +75,118 @@ def label_centroids(sf_dir: str, scale: int = 1_000_000) -> rd.Dataset:
             Sum("n_vecs", alias_name="n_vecs"),
         )
     )
+
+
+def _scaled_batch(t: pa.Table, scale: int) -> np.ndarray:
+    """Fixed-point int64 matrix from the batch's list column (one
+    zero-copy flatten + reshape; floor(float64 * scale) is the
+    DuckDB-reproducible quantization shared with label_centroids)."""
+    emb = t["embedding"].combine_chunks()
+    m = emb.flatten().to_numpy(zero_copy_only=False)
+    d = len(m) // max(len(t), 1)
+    return np.floor(m.reshape(-1, d).astype(np.float64) * scale).astype(
+        np.int64
+    )
+
+
+def _assign(x: np.ndarray, cids: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest centroid per row in EXACT int64 squared-L2; ties go to the
+    smallest cluster id (cents rows are sorted by cid, argmin picks the
+    first minimum — the SQL twin's min(dist*k+cid) % k)."""
+    dist = (
+        (x * x).sum(1, keepdims=True)
+        - 2 * (x @ cents.T)
+        + (cents * cents).sum(1)[None, :]
+    )
+    return cids[np.argmin(dist, axis=1)]
+
+
+def kmeans_assign(
+    sf_dir: str, k: int = 8, scale: int = 1_000_000
+) -> rd.Dataset:
+    """(vec_id, cluster): two-round Lloyd k-means over the embedding
+    table, EXACT in integers end to end so a DuckDB twin reproduces every
+    assignment bit-for-bit (the PageRank unrolled-iteration trick applied
+    to an iterative ML kernel): vectors quantize to fixed-point int64,
+    distances are exact int64 squared-L2, the argmin tie-breaks to the
+    lowest cluster id, and the centroid update is the TRUNCATED integer
+    mean sign(s)*(|s|//n) — matching SQL's truncating `//`. Deterministic
+    init: the vectors with vec_id < k. Clusters that come out empty after
+    round 1 are dropped (the SQL join does the same).
+
+    Scale shape: each round is ONE streaming pass — centroids ride along
+    as a ray.put broadcast (k x d int64), each batch does a dense int64
+    matmul and emits a k x d melted partial (sums + counts), and the
+    driver folds the tiny partials; vectors never shuffle. The final
+    round emits assignments instead of partials. Rounds are fixed (2) —
+    convergence-to-fixpoint k-means just repeats the same pass.
+    """
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+    import pyarrow.parquet as pq_  # driver-side: k seed rows only
+
+    seed = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).sort_by("vec_id")
+    cids = seed["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = _scaled_batch(seed, scale)
+    cent_ref = ray.put((cids, cents))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c_ids, c = ray.get(cent_ref)
+        x = _scaled_batch(t, scale)
+        a = _assign(x, c_ids, c)
+        uniq, inv = np.unique(a, return_inverse=True)
+        d = x.shape[1]
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, inv, x)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d), len(uniq)), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    # round 1: fold the <= k x d x n_batches melted partials driver-side
+    parts = [
+        p
+        for p in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    merged = (
+        pa.concat_tables(parts)
+        .group_by(["cluster", "dim"])
+        .aggregate([("s", "sum"), ("n", "sum")])
+        .sort_by([("cluster", "ascending"), ("dim", "ascending")])
+    )
+    d = cents.shape[1]
+    new_ids = np.unique(merged["cluster"].to_numpy(zero_copy_only=False))
+    s = merged["s_sum"].to_numpy(zero_copy_only=False).reshape(len(new_ids), d)
+    n = merged["n_sum"].to_numpy(zero_copy_only=False).reshape(len(new_ids), d)
+    new_cents = np.sign(s) * (np.abs(s) // n)  # SQL-truncating int mean
+    cent2_ref = ray.put((new_ids.astype(np.int64), new_cents.astype(np.int64)))
+
+    def assign_only(t: pa.Table) -> pa.Table:
+        c_ids, c = ray.get(cent2_ref)
+        a = _assign(_scaled_batch(t, scale), c_ids, c)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(a, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign_only, batch_format="pyarrow")
 
 
 def _load_queries(sf_dir: str, n_queries: int):

@@ -232,6 +232,44 @@ def test_ann_ivf_recall(ray_session):
     assert len(a) <= len(e)
 
 
+def test_kmeans_matches_numpy_twin(ray_session):
+    """Distributed 2-round integer Lloyd == single-process numpy twin."""
+    from raycrawl.pipelines.ann import kmeans_assign
+
+    t = pq.read_table(
+        os.path.join(SF, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = np.floor(
+        np.stack(t["embedding"].to_pylist()).astype(np.float64) * 1_000_000
+    ).astype(np.int64)
+    order = np.argsort(ids)
+    ids, x = ids[order], x[order]
+    k = 8
+    cents = x[ids < k]
+
+    def assign(c_ids, c):
+        dist = (
+            (x * x).sum(1, keepdims=True)
+            - 2 * (x @ c.T)
+            + (c * c).sum(1)[None, :]
+        )
+        return c_ids[np.argmin(dist, axis=1)]
+
+    a1 = assign(np.arange(k), cents)
+    uniq = np.unique(a1)
+    new = np.stack(
+        [
+            np.sign(s) * (np.abs(s) // (a1 == u).sum())
+            for u, s in ((u, x[a1 == u].sum(0)) for u in uniq)
+        ]
+    )
+    a2 = assign(uniq, new)
+    got = kmeans_assign(SF).to_pandas().sort_values("vec_id")
+    assert (got["vec_id"].to_numpy() == ids).all()
+    assert (got["cluster"].to_numpy() == a2).all()
+
+
 def test_multimodal_stub_gate(ray_session, monkeypatch):
     from raycrawl.pipelines.multimodal import ImageDecoder
 
