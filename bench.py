@@ -120,6 +120,9 @@ def run_queries() -> dict:
         "events_user_running": lambda: analytics.events_user_running(SF_DIR),
         "docs_tfidf_topk": lambda: retrieval.docs_tfidf_topk(SF_DIR),
         "docs_dup_ngrams": lambda: retrieval.docs_dup_ngrams(SF_DIR),
+        "docs_bigrams_topk": lambda: textops.bigrams_topk(SF_DIR),
+        "docs_heavy_tokens": lambda: textops.heavy_tokens(SF_DIR),
+        "embeddings_kmeans": lambda: ann.kmeans_assign(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
         # as the headline: a burst during one 1-3 s query would otherwise

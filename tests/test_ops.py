@@ -232,6 +232,56 @@ def test_ann_ivf_recall(ray_session):
     assert len(a) <= len(e)
 
 
+def test_resumable_sink_skips_committed_shards(ray_session, tmp_path):
+    """Crash-resume semantics: only the shard whose marker is missing is
+    re-done; uncommitted shards are invisible to readers."""
+    import pyarrow.compute as pc
+
+    from raycrawl.pipelines.sink import (
+        read_partitioned,
+        resumable_transform_write,
+    )
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    log = tmp_path / "log"
+    for p in (src, log):
+        p.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table({"doc_id": [10 * i, 10 * i + 1], "text": ["a", "b"]}),
+            str(src / f"f{i}.parquet"),
+        )
+
+    logdir = str(log)
+
+    def fn(t):
+        with open(os.path.join(logdir, f"ran_{t['doc_id'][0].as_py()}"), "w"):
+            pass
+        return t.set_column(
+            t.schema.get_field_index("text"), "text",
+            pc.utf8_upper(t["text"]),
+        )
+
+    r1 = resumable_transform_write(str(src / "*.parquet"), str(out), fn)
+    assert r1 == {"shards": 3, "skipped": 0, "rows": 6}
+    assert len(os.listdir(logdir)) == 3
+    got = read_partitioned(str(out)).to_pandas()
+    assert sorted(got["doc_id"]) == [0, 1, 10, 11, 20, 21]
+    assert set(got["text"]) == {"A", "B"}
+
+    # simulate a crash on shard 1: marker gone, stale partial data left
+    os.remove(str(out / "shard=1" / "_SUCCESS"))
+    for f in os.listdir(logdir):
+        os.remove(os.path.join(logdir, f))
+    assert len(read_partitioned(str(out)).to_pandas()) == 4  # reader hides it
+
+    r2 = resumable_transform_write(str(src / "*.parquet"), str(out), fn)
+    assert r2 == {"shards": 3, "skipped": 2, "rows": 2}
+    assert os.listdir(logdir) == ["ran_10"]  # ONLY shard 1 re-ran
+    assert len(read_partitioned(str(out)).to_pandas()) == 6
+
+
 def test_kmeans_matches_numpy_twin(ray_session):
     """Distributed 2-round integer Lloyd == single-process numpy twin."""
     from raycrawl.pipelines.ann import kmeans_assign
