@@ -40,6 +40,7 @@ from raycrawl.pipelines.crawlqueries import (
     corpus_for,
     crawl_bfs,
     crawl_bfs_with_query,
+    crawl_degree_hist,
     crawl_edges,
     crawl_edges_joined,
     crawl_filter_by,
@@ -59,6 +60,25 @@ _HTML_FILTER = (
     "url NOT LIKE '%/robots.txt' AND url NOT LIKE '%.pdf' "
     "AND url NOT LIKE '%.png' AND url NOT LIKE '%.css'"
 )
+
+# the linkflow composition (extract -> trim -> join -> same-authority
+# filter) over the golden text lines — shared by the crawl_edges_joined
+# oracle and the degree-distribution oracle built on top of it
+_EDGES_JOINED_SQL = f"""
+SELECT DISTINCT url AS src_url,
+       CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+            ELSE 'http://' || host || h1 END AS cand_norm
+FROM (
+  SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+         split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                    '?', 1) AS h1
+  FROM read_parquet('{_SF001_CORPUS}')
+  WHERE {_HTML_FILTER} AND text <> ''
+)
+WHERE (CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+            ELSE 'http://' || host || h1 END)
+      LIKE 'http://' || host || '/%'
+"""
 
 
 def _pagerank_sql(iters: int = 4, k: int = 20) -> str:
@@ -123,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs_with_query": crawl_bfs_with_query,
         "crawl_edges": crawl_edges,
         "crawl_edges_joined": crawl_edges_joined,
+        "crawl_degree_hist": crawl_degree_hist,
         "crawl_text_identity": crawl_text_identity,
         "crawl_host_stats": crawl_host_stats,
         "crawl_filter_by": crawl_filter_by,
@@ -351,20 +372,16 @@ SELECT url AS src_url, unnest(string_split(text, chr(10))) AS href_norm
 FROM read_parquet('{_SF001_CORPUS}')
 WHERE {_HTML_FILTER} AND text <> ''
 """,
-        "crawl_edges_joined": f"""
-SELECT DISTINCT url AS src_url,
-       CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
-            ELSE 'http://' || host || h1 END AS cand_norm
-FROM (
-  SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
-         split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
-                    '?', 1) AS h1
-  FROM read_parquet('{_SF001_CORPUS}')
-  WHERE {_HTML_FILTER} AND text <> ''
+        "crawl_edges_joined": _EDGES_JOINED_SQL,
+        # aggregate-of-an-aggregate: per-page out-degree, then histogram
+        "crawl_degree_hist": f"""
+WITH cand AS ({_EDGES_JOINED_SQL}),
+deg AS (
+  SELECT src_url, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM cand GROUP BY src_url
 )
-WHERE (CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
-            ELSE 'http://' || host || h1 END)
-      LIKE 'http://' || host || '/%'
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM deg GROUP BY degree
 """,
         "crawl_pagerank": _pagerank_sql(),
         # undirected distinct link graph; a<b canonicalization counts each

@@ -29,7 +29,8 @@ from raycrawl.sources.synth import generate_corpus
 
 __all__ = ["corpus_for", "crawl_bfs", "crawl_edges", "crawl_text_identity",
            "crawl_host_stats", "crawl_filter_by", "crawl_pagerank",
-           "crawl_triangles", "crawl_components", "CORPUS_ROOT", "SCALES"]
+           "crawl_triangles", "crawl_components", "crawl_degree_hist",
+           "CORPUS_ROOT", "SCALES"]
 
 CORPUS_ROOT = "/tmp/raycrawl_corpus"
 
@@ -150,6 +151,39 @@ def crawl_edges_joined(sf_dir: str) -> rd.Dataset:
 
     return rd.read_parquet(info["corpus"], columns=["url", "html"]).map_batches(
         flow, batch_format="pyarrow"
+    )
+
+
+def crawl_degree_hist(sf_dir: str) -> rd.Dataset:
+    """(degree, n_pages): the out-degree distribution of the link graph —
+    the aggregate-of-an-aggregate shape (per-page degree, then a histogram
+    over degrees). Built on :func:`crawl_edges_joined`'s streaming
+    linkflow; the first groupby shuffles one row per (page, link-target)
+    — the same cost any degree computation pays — and the histogram pass
+    is a per-batch bincount partial into a degree-domain-sized groupby.
+    Pages with zero same-authority out-links don't appear (SQL GROUP BY
+    over edges has the same semantics)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    deg = (
+        crawl_edges_joined(sf_dir)
+        .groupby("src_url")
+        .aggregate(Count(alias_name="degree"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"degree": pc.cast(t["degree"], pa.int64())})
+            .group_by("degree")
+            .aggregate([("degree", "count")])
+        )
+        return g.rename_columns(["degree", "n_pages"])
+
+    return (
+        deg.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("n_pages", alias_name="n_pages"))
     )
 
 

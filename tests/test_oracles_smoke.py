@@ -16,7 +16,11 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "customers_without_big_orders", "customers_with_big_orders",
          "events_pivot", "docs_tfidf_topk", "docs_dup_ngrams",
          "small_quantity_revenue", "events_funnel", "crawl_triangles",
-         "crawl_components", "docs_postings", "embeddings_label_centroids"]
+         "crawl_components", "docs_postings", "embeddings_label_centroids",
+         "events_user_paths", "events_outliers", "events_cohort_retention",
+         "nation_customer_supplier_outer", "docs_bigrams_topk",
+         "docs_heavy_tokens", "docs_stratified_sample", "lineitem_cube",
+         "embeddings_kmeans", "crawl_degree_hist"]
 
 
 @pytest.fixture(scope="module")
