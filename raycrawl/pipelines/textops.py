@@ -693,6 +693,12 @@ def heavy_tokens(sf_dir: str, k: int = 200) -> pa.Table:
         .map_batches(mg_candidates, batch_format="pyarrow")
         .unique("token")
     )
+    # a token-free corpus yields None (Ray's unique over zero rows)
+    cand = [c for c in (cand or []) if c is not None]
+    if not cand:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
     cand_ref = ray.put(np.array(sorted(cand), dtype=object))
 
     class CountCandidates:

@@ -408,6 +408,38 @@ def test_heavy_tokens_planted_and_bruteforce(ray_session, tmp_path):
     assert dict(zip(got["token"], got["n"])) == want
 
 
+@given(
+    st.lists(
+        st.text(alphabet="abcd \n", min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=15, deadline=None)
+def test_heavy_tokens_fuzz(ray_session, texts, k):
+    """MG candidate sweep == brute-force Counter for every corpus shape
+    (docs split across the 8-block floor, so the cross-batch candidate
+    union is exercised)."""
+    from collections import Counter
+
+    from raycrawl.pipelines.textops import heavy_tokens
+
+    import pyarrow as pa
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+            os.path.join(d, "documents.parquet"),
+        )
+        got = heavy_tokens(d, k=k).to_pandas()
+    cnt = Counter(w for t in texts for w in t.lower().split() if w)
+    total = sum(cnt.values())
+    want = {t: n for t, n in cnt.items() if n * k > total}
+    assert dict(zip(got["token"], got["n"])) == want
+
+
 def test_repetition_stats_planted(ray_session, tmp_path):
     """Edge cases + hand-computed n-gram counts (brute-force Counter twin)."""
     from collections import Counter
