@@ -617,7 +617,7 @@ def vocab_topk(sf_dir: str, k: int = 50) -> rd.Dataset:
     )
 
 
-def bigrams_topk(sf_dir: str, k: int = 20) -> rd.Dataset:
+def bigrams_topk(sf_dir: str, k: int = 20) -> pa.Table:
     """(gram, n): top-k corpus bigrams — the n-gram language-model count
     table every data-mixing recipe reads off first. Tokenization is
     :func:`_flat_tokens` (lower + \\s+ split, the shared contract with the
@@ -648,7 +648,7 @@ def bigrams_topk(sf_dir: str, k: int = 20) -> rd.Dataset:
             }
         )
 
-    return (
+    ds = (
         _read_docs(sf_dir, ["text"])
         .map_batches(explode_count, batch_format="pyarrow")
         .groupby("gram")
@@ -656,6 +656,19 @@ def bigrams_topk(sf_dir: str, k: int = 20) -> rd.Dataset:
         .sort(["n", "gram"], descending=[True, False])
         .limit(k)
     )
+    # materialize the <= k result rows as a TYPED table: a gram-free
+    # corpus leaves schema-less empty blocks after the groupby, and even
+    # from_arrow(empty_table).to_pandas() drops columns (Ray 2.49 sharp
+    # edges) — collecting k rows is O(k), not a corpus materialization
+    schema = pa.schema([("gram", pa.string()), ("n", pa.int64())])
+    tbls = [
+        b.select(schema.names)
+        for b in ray.get(ds.to_arrow_refs())
+        if b.num_rows
+    ]
+    if not tbls:
+        return schema.empty_table()
+    return pa.concat_tables(tbls).combine_chunks().cast(schema)
 
 
 def heavy_tokens(sf_dir: str, k: int = 200) -> pa.Table:

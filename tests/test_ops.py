@@ -413,6 +413,37 @@ def test_heavy_tokens_planted_and_bruteforce(ray_session, tmp_path):
         st.text(alphabet="abcd \n", min_size=0, max_size=40),
         min_size=1,
         max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_bigrams_topk_fuzz(ray_session, texts):
+    """Bigram top-k == brute-force Counter under every corpus shape."""
+    from collections import Counter
+
+    from raycrawl.pipelines.textops import bigrams_topk
+
+    import pyarrow as pa
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+            os.path.join(d, "documents.parquet"),
+        )
+        got = bigrams_topk(d, k=10).to_pandas()
+    brute = Counter()
+    for t in texts:
+        ws = [w for w in t.lower().split() if w]
+        brute.update(" ".join(p) for p in zip(ws, ws[1:]))
+    want = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["gram"], got["n"])) == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd \n", min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
     ),
     st.integers(min_value=2, max_value=4),
 )
