@@ -385,6 +385,14 @@ def crawl(
         phase["io"] = round(time.perf_counter() - t1, 3)
 
         t1 = time.perf_counter()
+        if debug_timing:
+            # wave-by-wave waits (each wave is a global barrier for the
+            # next anyway, so timing them sequentially is faithful)
+            for nm, refs in (("w_split", split_refs),
+                             ("w_gate", gated_refs), ("w_enq", enq_refs)):
+                ray.get(refs)
+                phase[nm] = round(time.perf_counter() - t1, 3)
+                t1 = time.perf_counter()
         rel = ray.get(rel_refs)   # closes the whole chain
         enq = ray.get(enq_refs)   # already resolved
         phase["commit"] = round(time.perf_counter() - t1, 3)

@@ -230,12 +230,17 @@ class FrontierShard:
         of small refs; edge rows never leave plasma and the driver never
         holds a round row. Kind counts for the driver's metrics accumulate
         here (last_kind_counts)."""
+        import time
+
         import pyarrow.compute as pc
 
+        t0 = time.perf_counter()
         counts: dict = {}
         cand_parts: dict = {g: [] for g in range(num_shards)}
         done_parts: dict = {g: [] for g in range(num_shards)}
-        for t in ray.get(list(block_refs)):
+        blocks = ray.get(list(block_refs))
+        t_fetch = time.perf_counter() - t0
+        for t in blocks:
             if t is None or t.num_rows == 0:
                 continue
             kind = t["kind"]
@@ -270,6 +275,7 @@ class FrontierShard:
                         )
                     )
         self._kind_counts = counts
+        t_proc = time.perf_counter() - t0 - t_fetch
         out = {}
         for g in range(num_shards):
             cand = pa.concat_tables(cand_parts[g]) if cand_parts[g] else None
@@ -278,17 +284,36 @@ class FrontierShard:
                 ray.put(cand) if cand is not None else None,
                 ray.put(done) if done is not None else None,
             )
+        if os.environ.get("RAYCRAWL_TIMING") == "1" and self.shard_id == 0:
+            print(
+                f"[split s0] fetch {t_fetch:.2f}s proc {t_proc:.2f}s "
+                f"put {time.perf_counter() - t0 - t_fetch - t_proc:.2f}s "
+                f"blocks {len(blocks)}",
+                flush=True,
+            )
         return out
 
     def gate_pieces(self, piece_refs, num_shards: int) -> pa.Table:
         """Round-commit wave 2 (phase A): gate MY gshard's pieces gathered
         from every stripe-splitter's output (zero-copy plasma reads of
         only my rows)."""
+        import time
+
+        t0 = time.perf_counter()
         cands = [ray.get(c) for c, _ in piece_refs if c is not None]
         dones = [ray.get(d) for _, d in piece_refs if d is not None]
         cand = pa.concat_tables(cands) if cands else None
         done = pa.concat_tables(dones) if dones else None
-        return self.gate_round(cand, done, num_shards)
+        t1 = time.perf_counter()
+        out = self.gate_round(cand, done, num_shards)
+        if os.environ.get("RAYCRAWL_TIMING") == "1" and self.shard_id == 0:
+            print(
+                f"[gate s0] fetch {t1 - t0:.2f}s gate {time.perf_counter() - t1:.2f}s "
+                f"cand {cand.num_rows if cand is not None else 0} "
+                f"done {done.num_rows if done is not None else 0}",
+                flush=True,
+            )
+        return out
 
     def gate_pieces_at(self, num_shards: int, *piece_maps) -> pa.Table:
         """gate_pieces, but taking every splitter's WHOLE piece map (the
