@@ -223,8 +223,11 @@ def scaling():
     # lo,lo,hi,hi order charges whichever phase the neighbor woke up in to
     # ONE level (observed: a 30-40% hi-only penalty that read as 0.33
     # efficiency from code that measures 0.8+ when quiet).
-    # RAYCRAWL_SCALE_REPS=1 restores the quick one-pass.
-    reps = int(os.environ.get("RAYCRAWL_SCALE_REPS", "2"))
+    # RAYCRAWL_SCALE_REPS=1 restores the quick one-pass. Default 3: with
+    # 2 reps a single mid-leg burst still decides a level's best (reps=2
+    # read 0.73-0.76 on a bursty day where reps=3 read 0.859 and the
+    # quiet box 0.981 — see BASELINE.md round-3 scaling section).
+    reps = int(os.environ.get("RAYCRAWL_SCALE_REPS", "3"))
     runs_lo, runs_hi = [], []
     for _ in range(reps):
         runs_lo.append(run(lo))
