@@ -37,6 +37,15 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--debug", action="store_true",
                    help="print config and exit without crawling")
 
+    i = sub.add_parser(
+        "ingest",
+        help="normalize a JSONL/CSV/Parquet crawl archive into the "
+             "bucketed corpus layout crawl expects",
+    )
+    i.add_argument("input", help="archive file or directory")
+    i.add_argument("--out", required=True, help="output directory")
+    i.add_argument("--buckets", type=int, default=8)
+
     s = sub.add_parser("synth", help="generate a synthetic corpus")
     s.add_argument("--out", required=True)
     s.add_argument("--hosts", type=int, default=4)
@@ -68,6 +77,25 @@ def main(argv=None):
                                skew_host_frac=args.skew)
         print(f"corpus: {info['corpus']} ({info['n_rows']} rows)")
         print(f"seeds:  {info['seeds']}")
+        return 0
+
+    if args.cmd == "ingest":
+        import ray
+
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        from raycrawl.sources.ingest import ingest_corpus
+
+        info = ingest_corpus(args.input, args.out, n_buckets=args.buckets)
+        print(f"corpus: {info['corpus']} ({info['n_rows']} rows, "
+              f"{info['n_buckets']} buckets)")
+        if owns:
+            ray.shutdown()
         return 0
 
     if args.cmd == "query":

@@ -277,3 +277,63 @@ def test_output_dir_rounds_parquet_driver_clean(ray_session, corpus, tmp_path):
     assert tall.num_rows == ref.tall.num_rows
     # shard_stats counters are the scale-mode observability surface
     assert sum(s["done"] for s in res.shard_stats) == len(done)
+
+
+def test_ingest_jsonl_crawl_parity(ray_session, corpus, tmp_path):
+    """A JSONL archive ingested through sources.ingest crawls to the
+    IDENTICAL done/seen sets as the native parquet corpus — source
+    format must not change engine results."""
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+
+    from raycrawl.sources.ingest import ingest_corpus
+
+    src = pads.dataset(corpus["corpus"], partitioning="hive").to_table()
+    jl = str(tmp_path / "archive.jsonl")
+    with open(jl, "w") as f:
+        for i in range(src.num_rows):
+            f.write(json.dumps({
+                "url": src["url"][i].as_py(),
+                "warc_ts": src["warc_ts"][i].value,      # epoch us int
+                "html": bytes(src["html"][i].as_py()).decode("utf-8"),
+                "text": src["text"][i].as_py(),
+                "lang": src["lang"][i].as_py(),
+            }) + "\n")
+
+    info = ingest_corpus(jl, str(tmp_path / "ing"))
+    assert info["n_rows"] == src.num_rows
+
+    ref = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE))
+    got = crawl(info["corpus"], corpus["seeds"], CrawlConfig(**BASE))
+    assert got.done_urls() == ref.done_urls()
+    assert got.seen_urls() == ref.seen_urls()
+
+
+def test_ingest_csv_defaults(ray_session, tmp_path):
+    """CSV archives (url+text only) ingest with defaulted html/lang/ts
+    and land in the right host buckets."""
+    import csv
+
+    import pyarrow.dataset as pads
+
+    from raycrawl.sources.ingest import ingest_corpus
+    from raycrawl.sources.synth import host_bucket
+
+    p = str(tmp_path / "a.csv")
+    rows = [(f"http://h{i}.example.com/p", f"text {i}") for i in range(6)]
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["url", "text"])
+        w.writerows(rows)
+
+    info = ingest_corpus(p, str(tmp_path / "out"), n_buckets=4)
+    assert info["n_rows"] == 6
+    t = pads.dataset(info["corpus"], partitioning="hive").to_table()
+    got = dict(zip(t["url"].to_pylist(), t["bucket"].to_pylist()))
+    for u, _ in rows:
+        host = u.split("://")[1].split("/")[0]
+        assert got[u] == host_bucket(host, 4)
+    assert set(t["html"].to_pylist()) == {b""}
+    assert set(t["lang"].to_pylist()) == {""}
