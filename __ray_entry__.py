@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": analytics.events_funnel,
         "events_user_paths": analytics.events_user_paths,
         "events_outliers": analytics.events_outliers,
+        "events_close_pairs": analytics.events_close_pairs,
         "events_cohort_retention": analytics.events_cohort_retention,
         "nation_customer_supplier_outer": analytics.nation_customer_supplier_outer,
         # ---- retrieval / cross-doc duplication ----
@@ -1152,6 +1153,14 @@ WHERE st.n >= 2
   AND (st.n * e.cents - st.s) * (st.n * e.cents - st.s)
       > 4 * (st.n * st.ssq - st.s * st.s)
 GROUP BY e.user_id
+""",
+        # band self-join: unordered same-user pairs within the window
+        "events_close_pairs": """
+SELECT e1.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+ AND ABS(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 300000000
+GROUP BY e1.user_id
 """,
         # cohort = epoch-week of first event; one row per (cohort, offset)
         "events_cohort_retention": """

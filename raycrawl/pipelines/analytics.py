@@ -50,6 +50,7 @@ __all__ = [
     "events_user_paths",
     "events_outliers",
     "events_cohort_retention",
+    "events_close_pairs",
     "nation_customer_supplier_outer",
 ]
 
@@ -544,6 +545,51 @@ def events_outliers(sf_dir: str, z: int = 2) -> rd.Dataset:
         .map_batches(_add_upart, batch_format="pyarrow")
         .groupby("upart")
         .map_groups(outliers, batch_format="pandas")
+    )
+
+
+def events_close_pairs(sf_dir: str, window_s: int = 300) -> rd.Dataset:
+    """(user_id, n_pairs): band self-join — for every user, the number of
+    UNORDERED event pairs whose timestamps lie within ``window_s`` of
+    each other. The theta/interval self-join shape (co-occurrence,
+    burst detection) that a naive engine evaluates as an O(n²) join.
+
+    Scale shape: ONE shuffle on the coarse user partition, then per
+    partition a single sort + vectorized two-pointer count — for sorted
+    times t, pairs = Σ_i (searchsorted(t, t_i + W, 'right') − i − 1) —
+    O(n log n) per user instead of the join's O(n²) worst case. Users
+    with zero qualifying pairs are omitted (SQL GROUP BY over the join
+    does the same)."""
+    win_us = window_s * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "ts_us": pc.cast(t["ts"], pa.int64())}
+        )
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us"], kind="mergesort")
+        out_u, out_n = [], []
+        for u, grp in g.groupby("user_id", sort=False):
+            t = grp["ts_us"].to_numpy()
+            hi = np.searchsorted(t, t + win_us, side="right")
+            n = int((hi - np.arange(len(t)) - 1).sum())
+            if n:
+                out_u.append(u)
+                out_n.append(n)
+        return pd.DataFrame(
+            {
+                "user_id": pd.array(out_u, "int64"),
+                "n_pairs": pd.array(out_n, "int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .map_batches(_add_upart, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(count_pairs, batch_format="pandas")
     )
 
 

@@ -247,6 +247,28 @@ def test_cohort_retention_planted(ray_session, tmp_path):
     assert got == {(W, 0): 1, (W, 1): 1, (W + 1, 0): 1}
 
 
+def test_close_pairs_window_edges(ray_session, tmp_path):
+    from raycrawl.pipelines.analytics import events_close_pairs
+
+    base = 1_700_000_000_000_000
+    W = 300_000_000  # 5 min in us
+    rows = [
+        # user 1: t, t (tie), t+W (edge inclusive), t+2W+1 (isolated)
+        (1, base, 1, "click", 0.0),
+        (2, base, 1, "view", 0.0),
+        (3, base + W, 1, "click", 0.0),
+        (4, base + 2 * W + 1, 1, "click", 0.0),
+        # user 2: exactly outside the window
+        (5, base, 2, "click", 0.0),
+        (6, base + W + 1, 2, "click", 0.0),
+    ]
+    _write_events(tmp_path, rows)
+    out = events_close_pairs(str(tmp_path)).to_pandas()
+    # user 1: pairs (1,2),(1,3),(2,3) -> 3; the isolated event adds none;
+    # user 2: 0 pairs -> omitted
+    assert out.set_index("user_id")["n_pairs"].to_dict() == {1: 3}
+
+
 def test_full_outer_nation_counts(ray_session):
     """Both outer directions vs a pandas brute force at sf0.001."""
     from raycrawl.pipelines.analytics import nation_customer_supplier_outer
