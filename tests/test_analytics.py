@@ -269,6 +269,41 @@ def test_close_pairs_window_edges(ray_session, tmp_path):
     assert out.set_index("user_id")["n_pairs"].to_dict() == {1: 3}
 
 
+def test_close_pairs_fuzz(ray_session, tmp_path):
+    """Two-pointer count == O(n²) brute force over random skewed data."""
+    rng = np.random.RandomState(7)
+    base = 1_700_000_000_000_000
+    W = 300_000_000
+    rows = []
+    eid = 0
+    for _ in range(40):
+        u = int(rng.randint(1, 6))          # few users -> heavy per-user n
+        t = base + int(rng.randint(0, 4 * W))
+        rows.append((eid, t, u, "click", 0.0))
+        eid += 1
+    _write_events(tmp_path, rows)
+
+    from collections import defaultdict
+
+    from raycrawl.pipelines.analytics import events_close_pairs
+
+    per_user = defaultdict(list)
+    for _, t, u, _, _ in rows:
+        per_user[u].append(t)
+    want = {}
+    for u, ts in per_user.items():
+        n = sum(
+            1
+            for i in range(len(ts))
+            for j in range(i + 1, len(ts))
+            if abs(ts[i] - ts[j]) <= W
+        )
+        if n:
+            want[u] = n
+    out = events_close_pairs(str(tmp_path)).to_pandas()
+    assert out.set_index("user_id")["n_pairs"].to_dict() == want
+
+
 def test_full_outer_nation_counts(ray_session):
     """Both outer directions vs a pandas brute force at sf0.001."""
     from raycrawl.pipelines.analytics import nation_customer_supplier_outer
