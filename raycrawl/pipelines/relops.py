@@ -325,12 +325,22 @@ def events_sliding_agg(sf_dir: str) -> rd.Dataset:
     )
 
 
+# Coarse-partition width for the per-user ops. Size it to ~4x the
+# cluster's cores (RAYCRAWL_UPART, power of two): each partition is one
+# map_groups task holding rows/NPARTS of the events table in a pandas
+# frame, so more cores OR a bigger corpus per heap -> raise it. 64 suits
+# the 32-CPU test box; a 256-node cluster would run 4096.
+_UPART_N = int(os.environ.get("RAYCRAWL_UPART", "64"))
+if _UPART_N & (_UPART_N - 1):
+    raise ValueError(f"RAYCRAWL_UPART must be a power of two, got {_UPART_N}")
+
+
 def _add_upart(t: pa.Table) -> pa.Table:
     """Coarse user partition key: a per-DISTINCT-user map_groups UDF costs
-    ~0.15 ms of dispatch per group — ruinous at real user counts. 64
+    ~0.15 ms of dispatch per group — ruinous at real user counts. Coarse
     partitions keep the shuffle user-colocated while pandas' C groupby
     resolves users inside each partition."""
-    part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+    part = pc.cast(pc.bit_wise_and(t["user_id"], _UPART_N - 1), pa.int32())
     return t.append_column("upart", part)
 
 
