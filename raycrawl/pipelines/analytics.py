@@ -36,7 +36,13 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from raycrawl.pipelines.dedup import clean_blocks
-from raycrawl.pipelines.relops import _add_upart, _cents, _DimIndex
+from raycrawl.pipelines.relops import (
+    _add_upart,
+    _cents,
+    _DimIndex,
+    join_parts,
+    pool_size,
+)
 
 __all__ = [
     "events_user_running",
@@ -231,7 +237,7 @@ def customers_without_big_orders(
     no_orders = cust.join(
         _order_keys(sf_dir, min_price=min_price),
         join_type="left_anti",
-        num_partitions=16,
+        num_partitions=join_parts(),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -268,7 +274,7 @@ def customers_without_big_orders(
         .aggregate(Sum("n_customers", alias_name="n_customers"))
         # fractional-CPU actors: full-CPU pools deadlock against the join's
         # aggregator actors on small clusters (see raycrawl-env-quirks)
-        .map_batches(AttachName, batch_format="pyarrow", concurrency=2,
+        .map_batches(AttachName, batch_format="pyarrow", concurrency=pool_size(),
                      num_cpus=0.5)
     )
 
@@ -285,7 +291,7 @@ def customers_with_big_orders(sf_dir: str, min_price: float = 450_000.0) -> rd.D
     qualified = cust.join(
         _order_keys(sf_dir, min_price=min_price),
         join_type="left_semi",
-        num_partitions=16,
+        num_partitions=join_parts(),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -368,7 +374,7 @@ def small_quantity_revenue(sf_dir: str) -> pa.Table:
         )
 
     partials = (
-        items.join(per_part, join_type="inner", num_partitions=16,
+        items.join(per_part, join_type="inner", num_partitions=join_parts(),
                    on=("pk",), right_on=("l_partkey",))
         .map_batches(small_partial, batch_format="pyarrow")
         .to_arrow_refs()  # bounded: ONE partial row per block

@@ -22,6 +22,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from raycrawl.pipelines.relops import pool_size
+
 __all__ = [
     "payloads",
     "decode_features",
@@ -105,7 +107,7 @@ def decode_features(sf_dir: str, batch_size: int = 256) -> rd.Dataset:
         ImageDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=2,
+        concurrency=pool_size(),
         num_cpus=1,
     )
 
@@ -151,7 +153,7 @@ def frame_sample(sf_dir: str, frame_bytes: int = 64, stride: int = 4,
         fn_constructor_kwargs=dict(frame_bytes=frame_bytes, stride=stride),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=2,
+        concurrency=pool_size(),
         num_cpus=1,
     )
 

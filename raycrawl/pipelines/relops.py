@@ -181,7 +181,7 @@ def mktsegment_revenue(sf_dir: str) -> rd.Dataset:
 
     return (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(Join, batch_format="pyarrow", concurrency=2, num_cpus=1)
+        .map_batches(Join, batch_format="pyarrow", concurrency=pool_size(), num_cpus=1)
         .map_batches(partial, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(
@@ -212,7 +212,7 @@ def orders_lineitem_join(sf_dir: str) -> rd.Dataset:
     joined = orders.join(
         lineitem,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=join_parts(),
         on=("o_orderkey",),
         right_on=("l_orderkey",),
     )
@@ -323,6 +323,30 @@ def events_sliding_agg(sf_dir: str) -> rd.Dataset:
             Sum("n_events", alias_name="n_events"),
         )
     )
+
+
+def _cluster_cpus(default: int = 16) -> int:
+    """Cluster CPU count if a Ray session exists; never auto-inits."""
+    if ray.is_initialized():
+        return int(ray.cluster_resources().get("CPU", default))
+    return default
+
+
+def join_parts() -> int:
+    """Hash-join partition count: ~CPUs/2 (each partition is one
+    aggregator's working set) unless RAYCRAWL_JOIN_PARTS pins it. On a
+    256-node cluster this derives O(thousands) of partitions from the
+    session instead of a laptop-sized constant."""
+    env = os.environ.get("RAYCRAWL_JOIN_PARTS")
+    return int(env) if env else max(8, _cluster_cpus() // 2)
+
+
+def pool_size() -> int:
+    """Actor-pool width for stateful map_batches stages: ~CPUs/8 (the
+    pools share the cluster with the shuffle stages) unless RAYCRAWL_POOL
+    pins it."""
+    env = os.environ.get("RAYCRAWL_POOL")
+    return int(env) if env else max(2, _cluster_cpus() // 8)
 
 
 # Coarse-partition width for the per-user ops. Size it to ~4x the
@@ -501,7 +525,7 @@ def brand_revenue(sf_dir: str) -> rd.Dataset:
 
     return (
         _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
-        .map_batches(Join, batch_format="pyarrow", concurrency=2, num_cpus=1)
+        .map_batches(Join, batch_format="pyarrow", concurrency=pool_size(), num_cpus=1)
         .groupby("p_brand")
         .aggregate(
             Sum("revenue_cents", alias_name="revenue_cents"),
@@ -541,7 +565,7 @@ def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
 
     return (
         _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
-        .map_batches(Join, batch_format="pyarrow", concurrency=2, num_cpus=1)
+        .map_batches(Join, batch_format="pyarrow", concurrency=pool_size(), num_cpus=1)
         .groupby("n_name")
         .aggregate(
             Sum("total_bal_cents", alias_name="total_bal_cents"),
@@ -740,7 +764,7 @@ def region_nation_counts(sf_dir: str) -> rd.Dataset:
 
     return (
         _read(sf_dir, "customer", ["c_nationkey"])
-        .map_batches(Join, batch_format="pyarrow", concurrency=2, num_cpus=1)
+        .map_batches(Join, batch_format="pyarrow", concurrency=pool_size(), num_cpus=1)
         .groupby("r_name")
         .aggregate(Count(alias_name="n_customers"))
     )

@@ -33,6 +33,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from raycrawl.pipelines.relops import pool_size
 from raycrawl.pipelines.textops import _flat_tokens, _read_docs, _shingles
 
 __all__ = [
@@ -114,7 +115,7 @@ def docs_tfidf_topk(
             )
 
     return (
-        docs.map_batches(Score, batch_format="pyarrow", concurrency=2,
+        docs.map_batches(Score, batch_format="pyarrow", concurrency=pool_size(),
                          num_cpus=0.5)
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(k)

@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from raycrawl.pipelines.relops import join_parts, pool_size
+
 __all__ = [
     "vocab_topk",
     "bigrams_topk",
@@ -353,7 +355,7 @@ def decontaminate(sf_dir: str, n: int = 3, eval_mod: int = 97) -> rd.Dataset:
             )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Decontaminate, batch_format="pyarrow", concurrency=2, num_cpus=1
+        Decontaminate, batch_format="pyarrow", concurrency=pool_size(), num_cpus=1
     )
 
 
@@ -536,7 +538,7 @@ def curation(
     # join ("No match for key field reference" — the round-2 sharp edge)
     signals = clean_blocks(
         _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-            Curate, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+            Curate, batch_format="pyarrow", concurrency=pool_size(), num_cpus=0.5
         ),
         pa.schema(
             [
@@ -562,7 +564,7 @@ def curation(
     joined = signals.join(
         surv,
         join_type="left_outer",
-        num_partitions=8,
+        num_partitions=join_parts(),
         on=("doc_id",),
     )
 
@@ -747,7 +749,7 @@ def heavy_tokens(sf_dir: str, k: int = 200) -> pa.Table:
     counts = pa.Table.from_pandas(
         _read_docs(sf_dir, ["text"])
         .map_batches(CountCandidates, batch_format="pyarrow",
-                     concurrency=2, num_cpus=1)
+                     concurrency=pool_size(), num_cpus=1)
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas(),
@@ -901,7 +903,7 @@ class LangId:
 
 def langid(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=2, num_cpus=1
+        LangId, batch_format="pyarrow", concurrency=pool_size(), num_cpus=1
     )
 
 
