@@ -27,7 +27,8 @@ __all__ = [
 ]
 
 
-def label_centroids(sf_dir: str, scale: int = 1_000_000) -> rd.Dataset:
+def label_centroids(sf_dir: str, scale: int = 1_000_000,
+                    ds: rd.Dataset | None = None) -> rd.Dataset:
     """(label, dim, sum_scaled, n_vecs): per-label embedding centroid
     numerators, melted to one row per (label, dimension) — the vector
     aggregate a clustering / class-prototype stage needs (centroid =
@@ -42,7 +43,16 @@ def label_centroids(sf_dir: str, scale: int = 1_000_000) -> rd.Dataset:
     |labels| x dim partial rows per batch, never the vectors."""
     from ray.data.aggregate import Sum
 
+    _EMPTY_PARTIAL = pa.schema(
+        [("label", pa.int64()), ("dim", pa.int64()),
+         ("sum_scaled", pa.int64()), ("n_vecs", pa.int64())]
+    ).empty_table()
+
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # Ray Data can deliver empty blocks; d would come out 0 and the
+            # reshape(-1, 0) below raises — emit the typed empty partial
+            return _EMPTY_PARTIAL
         emb = t["embedding"].combine_chunks()
         m = emb.flatten().to_numpy(zero_copy_only=False)
         d = len(m) // max(len(t), 1)
@@ -63,12 +73,13 @@ def label_centroids(sf_dir: str, scale: int = 1_000_000) -> rd.Dataset:
             }
         )
 
-    return (
-        rd.read_parquet(
+    if ds is None:
+        ds = rd.read_parquet(
             os.path.join(sf_dir, "embeddings.parquet"),
             columns=["label", "embedding"],
         )
-        .map_batches(partial, batch_format="pyarrow")
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["label", "dim"])
         .aggregate(
             Sum("sum_scaled", alias_name="sum_scaled"),
@@ -102,7 +113,8 @@ def _assign(x: np.ndarray, cids: np.ndarray, cents: np.ndarray) -> np.ndarray:
 
 
 def kmeans_assign(
-    sf_dir: str, k: int = 8, scale: int = 1_000_000
+    sf_dir: str, k: int = 8, scale: int = 1_000_000,
+    ds: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """(vec_id, cluster): two-round Lloyd k-means over the embedding
     table, EXACT in integers end to end so a DuckDB twin reproduces every
@@ -121,10 +133,11 @@ def kmeans_assign(
     round emits assignments instead of partials. Rounds are fixed (2) —
     convergence-to-fixpoint k-means just repeats the same pass.
     """
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-    )
+    if ds is None:
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
 
     import pyarrow.parquet as pq_  # driver-side: k seed rows only
 
@@ -137,7 +150,14 @@ def kmeans_assign(
     cents = _scaled_batch(seed, scale)
     cent_ref = ray.put((cids, cents))
 
+    _EMPTY_PART = pa.schema(
+        [("cluster", pa.int64()), ("dim", pa.int64()),
+         ("s", pa.int64()), ("n", pa.int64())]
+    ).empty_table()
+
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty block: reshape(-1, 0) would raise
+            return _EMPTY_PART
         c_ids, c = ray.get(cent_ref)
         x = _scaled_batch(t, scale)
         a = _assign(x, c_ids, c)
@@ -177,6 +197,10 @@ def kmeans_assign(
     cent2_ref = ray.put((new_ids.astype(np.int64), new_cents.astype(np.int64)))
 
     def assign_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty block: reshape(-1, 0) would raise
+            return pa.schema(
+                [("vec_id", pa.int64()), ("cluster", pa.int64())]
+            ).empty_table()
         c_ids, c = ray.get(cent2_ref)
         a = _assign(_scaled_batch(t, scale), c_ids, c)
         return pa.table(

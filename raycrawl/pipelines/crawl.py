@@ -274,8 +274,10 @@ def crawl(
             for s in shards
         ]
 
-    # prime the first round's release (seeds / restored pending)
-    rel = ray.get(submit_release())
+    # prime the first round's release (seeds / restored pending) — unless
+    # max_rounds forbids even round start_round (same pop-without-fetch
+    # hazard as the chained release)
+    rel = ray.get(submit_release()) if round_no < config.max_rounds else []
     n_released = sum(r["released"] for r in rel)
     n_chunks = [r["chunks"] for r in rel]
 
@@ -359,7 +361,11 @@ def crawl(
                 for s in shards
             ]
             stat_refs = [s.counts.remote() for s in shards]
-        rel_refs = submit_release()
+        # the chained release pops rows from pending — never stage a round
+        # that max_rounds forbids, or a truncated crawl's final counts()/
+        # pending would under-report rows that were popped but never fetched
+        last_round = round_no + 1 >= config.max_rounds
+        rel_refs = None if last_round else submit_release()
         phase["submit"] = round(time.perf_counter() - t1, 3)
 
         # round output IO overlaps the commit chain running on the shards
@@ -393,8 +399,10 @@ def crawl(
                 ray.get(refs)
                 phase[nm] = round(time.perf_counter() - t1, 3)
                 t1 = time.perf_counter()
-        rel = ray.get(rel_refs)   # closes the whole chain
-        enq = ray.get(enq_refs)   # already resolved
+        # rel_refs (when submitted) closes the whole chain; on the final
+        # permitted round the chain closes at enqueue instead
+        rel = ray.get(rel_refs) if rel_refs is not None else []
+        enq = ray.get(enq_refs)
         phase["commit"] = round(time.perf_counter() - t1, 3)
         enqueued = sum(o["enqueued"] for o in enq)
         vc: dict = {}
@@ -424,7 +432,8 @@ def crawl(
         round_no += 1
         # termination: the chained release came back empty — queues are
         # exhausted (budgets release >=1 row per nonempty host, so zero
-        # released means zero pending)
+        # released means zero pending). On a max_rounds-truncated crawl no
+        # release was staged, so pending keeps the unfetched rows.
         n_released = sum(r["released"] for r in rel)
         n_chunks = [r["chunks"] for r in rel]
 

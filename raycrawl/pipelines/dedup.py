@@ -661,6 +661,7 @@ def embedding_near_dup(
     n_planes: int = 4,
     n_tables: int = 12,
     seed: int = 11,
+    ds: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """(id_a, id_b) pairs with cosine >= threshold, scored only within
     blocks (never all-pairs).
@@ -683,15 +684,21 @@ def embedding_near_dup(
     def block(g: pd.DataFrame) -> pd.DataFrame:
         return _cosine_block_pairs(g, threshold)
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding", "label"],
-    )
+    if ds is None:
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding", "label"],
+        )
     if blocking == "label":
         return ds.groupby("label").map_groups(block, batch_format="pandas")
 
     # --- LSH sign-bucket blocking (deterministic planes from the seed) ---
     def fan_out(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty block: np.stack([]) would raise
+            return pa.schema(
+                [("bucket", pa.int64()), ("vec_id", pa.int64()),
+                 ("embedding", t.schema.field("embedding").type)]
+            ).empty_table()
         # planes are derived from the seed per batch (64*n cheap doubles);
         # sign bits -> one bucket id per (vector, table)
         m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(

@@ -58,6 +58,14 @@ def resumable_transform_write(
     ``max_in_flight`` bounds the submitted-task window (ray.wait
     backpressure) so a million-fragment input never floods the
     scheduler. Returns {"shards", "skipped", "rows"}.
+
+    Shard indices come from the sorted file list, so a GROWN input set can
+    shift them (a new file sorting before existing ones renumbers every
+    later shard). The marker records its source path exactly for this
+    case: a shard whose committed marker names a different source than
+    files[i] is treated as uncommitted and reprocessed, so no fragment is
+    ever silently skipped and no committed shard keeps rows from the
+    wrong source.
     """
     files = sorted(glob.glob(input_glob))
     if not files:
@@ -65,9 +73,13 @@ def resumable_transform_write(
     os.makedirs(out_dir, exist_ok=True)
     pending, skipped = [], 0
     for i, path in enumerate(files):
-        if os.path.exists(os.path.join(out_dir, f"shard={i}", "_SUCCESS")):
-            skipped += 1
-            continue
+        marker = os.path.join(out_dir, f"shard={i}", "_SUCCESS")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                committed_path = f.read()
+            if committed_path == path:
+                skipped += 1
+                continue
         pending.append((i, path))
 
     rows, in_flight = 0, []

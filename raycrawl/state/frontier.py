@@ -495,13 +495,18 @@ class FrontierShard:
             return tbl
 
         budgets = budgets or {}
-        # per-host runs on the host-sorted table: value_counts preserves
-        # first-appearance order, which IS sorted order here
-        vc = pc.value_counts(tbl["host"].combine_chunks())
-        counts = vc.field("counts").to_numpy()
-        hosts = vc.field("values").to_pylist()
-        starts = np.zeros(len(counts), dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
+        # per-host runs derived directly from the host-sorted column
+        # (adjacent not_equal -> run boundaries) so correctness never
+        # depends on undocumented value_counts ordering
+        col = tbl["host"].combine_chunks()
+        n = len(col)
+        neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+        change = np.flatnonzero(
+            neq.to_numpy(zero_copy_only=False)
+        ).astype(np.int64) + 1
+        starts = np.concatenate([np.zeros(1, dtype=np.int64), change])
+        counts = np.diff(np.concatenate([starts, [n]]))
+        hosts = col.take(pa.array(starts, pa.int64())).to_pylist()
         takes = np.empty(len(counts), dtype=np.int64)
         for i, h in enumerate(hosts):
             b = budgets.get(h, default_budget)

@@ -282,6 +282,69 @@ def test_resumable_sink_skips_committed_shards(ray_session, tmp_path):
     assert len(read_partitioned(str(out)).to_pandas()) == 6
 
 
+def test_resumable_sink_grown_input_remaps_shards(ray_session, tmp_path):
+    """A new input file that sorts BEFORE committed ones shifts every
+    shard index; markers record the source path, so shifted shards are
+    re-done rather than silently masking the wrong fragment."""
+    from raycrawl.pipelines.sink import (
+        read_partitioned,
+        resumable_transform_write,
+    )
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    src.mkdir()
+    for name, ids in (("b.parquet", [10, 11]), ("c.parquet", [20, 21])):
+        pq.write_table(pa.table({"doc_id": ids}), str(src / name))
+    r1 = resumable_transform_write(str(src / "*.parquet"), str(out))
+    assert r1 == {"shards": 2, "skipped": 0, "rows": 4}
+
+    # grow the input with a file that sorts first: b->shard1, c->shard2
+    pq.write_table(pa.table({"doc_id": [0, 1]}), str(src / "a.parquet"))
+    r2 = resumable_transform_write(str(src / "*.parquet"), str(out))
+    assert r2["shards"] == 3
+    assert r2["skipped"] == 0  # every marker names a now-different source
+    got = read_partitioned(str(out)).to_pandas()
+    assert sorted(got["doc_id"]) == [0, 1, 10, 11, 20, 21]
+
+    # idempotent third run: all markers now match their sources
+    r3 = resumable_transform_write(str(src / "*.parquet"), str(out))
+    assert r3 == {"shards": 3, "skipped": 3, "rows": 0}
+
+
+def test_embedding_stages_survive_empty_blocks(ray_session):
+    """Ray Data can deliver empty blocks; the embedding kernels
+    (reshape(-1, d) / np.stack) must emit typed empty partials instead of
+    crashing, with results identical to the no-empty-block run."""
+    import ray.data as rd
+
+    from raycrawl.pipelines.ann import kmeans_assign, label_centroids
+    from raycrawl.pipelines.dedup import embedding_near_dup
+
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                      columns=["vec_id", "label", "embedding"])
+    empty = t.schema.empty_table()
+    with_empty = rd.from_arrow([t, empty])
+
+    km = kmeans_assign(SF, ds=with_empty.select_columns(
+        ["vec_id", "embedding"])).to_pandas().sort_values("vec_id")
+    km_ref = kmeans_assign(SF).to_pandas().sort_values("vec_id")
+    assert km["cluster"].tolist() == km_ref["cluster"].tolist()
+
+    lc = label_centroids(SF, ds=with_empty.select_columns(
+        ["label", "embedding"])).to_pandas().sort_values(["label", "dim"])
+    lc_ref = label_centroids(SF).to_pandas().sort_values(["label", "dim"])
+    assert lc["sum_scaled"].tolist() == lc_ref["sum_scaled"].tolist()
+
+    nd = embedding_near_dup(SF, threshold=0.3, blocking="lsh", n_planes=2,
+                            ds=with_empty).to_pandas()
+    nd_ref = embedding_near_dup(SF, threshold=0.3, blocking="lsh",
+                                n_planes=2).to_pandas()
+    pairs = {tuple(r) for r in nd[["id_a", "id_b"]].itertuples(index=False)}
+    ref = {tuple(r) for r in nd_ref[["id_a", "id_b"]].itertuples(index=False)}
+    assert pairs == ref
+
+
 def test_kmeans_matches_numpy_twin(ray_session):
     """Distributed 2-round integer Lloyd == single-process numpy twin."""
     from raycrawl.pipelines.ann import kmeans_assign

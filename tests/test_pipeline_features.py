@@ -98,6 +98,19 @@ def test_shard_stats_reported(ray_session, corpus):
     assert all("cuckoo_fp_rate" in s for s in ck.shard_stats)
 
 
+def test_truncated_crawl_keeps_unfetched_rows_pending(ray_session, corpus):
+    """A max_rounds-truncated crawl must not pop rows for the round it
+    will never run: every row counted released was fetched in some round,
+    and the un-run frontier stays visible in the pending counters."""
+    res = crawl(corpus["corpus"], corpus["seeds"],
+                CrawlConfig(**BASE, max_rounds=2))
+    assert res.rounds == 2
+    stats_released = sum(s["released"] for s in res.shard_stats)
+    metric_released = sum(m["released"] for m in res.metrics)
+    assert stats_released == metric_released
+    assert sum(s["pending"] for s in res.shard_stats) > 0
+
+
 def test_resume_rejects_config_change(ray_session, corpus, tmp_path):
     out = str(tmp_path / "run")
     crawl(corpus["corpus"], corpus["seeds"],
