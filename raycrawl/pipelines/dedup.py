@@ -59,6 +59,34 @@ def doc_blocks(sf_dir: str, floor: int = 8) -> int:
     return max(floor, -(-size // _DOC_BLOCK_BYTES))
 
 
+def coarse_parts(sf_dir: str) -> int:
+    """Coarse map_groups partition width for the dedup/retrieval family
+    (power of two, so the partition key is a cheap ``& (n-1)`` mask).
+
+    Every use site groups by ``hash & (coarse_parts-1)`` and resolves the
+    exact keys inside each partition with pandas' C groupby, so each
+    partition's in-heap frame is corpus/n — n must GROW with the corpus or
+    the frame grows linearly with it. Derived from corpus size (~2 doc
+    blocks, i.e. ~64 MB of text, per partition) and the session's CPUs
+    (>=2x cores so the reduce side keeps every core busy); floor 64 (the
+    32-CPU test-box width). RAYCRAWL_CPARTS pins it. All outputs are
+    partition-count-invariant: the mask only places rows, every
+    same-key row still colocates for any width.
+    """
+    env = os.environ.get("RAYCRAWL_CPARTS")
+    if env:
+        n = int(env)
+        if n <= 0 or n & (n - 1):
+            raise ValueError(
+                f"RAYCRAWL_CPARTS must be a positive power of two, got {n}"
+            )
+        return n
+    from raycrawl.pipelines.relops import _cluster_cpus
+
+    want = max(64, 2 * _cluster_cpus(), doc_blocks(sf_dir) // 2)
+    return 1 << (want - 1).bit_length()
+
+
 def _read_docs(sf_dir: str, columns):
     return rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -121,12 +149,16 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
     keep_id = min doc_id (first-wins), n_dups = group size.
     """
 
+    mask = coarse_parts(sf_dir) - 1
+
     def add_hash(t: pa.Table) -> pa.Table:
-        # coarse 64-way partition key derived from the content hash: the
-        # shuffle co-locates equal texts without a per-distinct-text group
-        # (pandas' C groupby resolves exact groups inside each partition)
+        # coarse partition key (width from coarse_parts) derived from the
+        # content hash: the shuffle co-locates equal texts without a
+        # per-distinct-text group (pandas' C groupby resolves exact groups
+        # inside each partition)
         hashes = np.fromiter(
-            (_hash64_bytes((x or "").encode()) & 63 for x in t["text"].to_pylist()),
+            (_hash64_bytes((x or "").encode()) & mask
+             for x in t["text"].to_pylist()),
             dtype=np.int64,
             count=t.num_rows,
         )
@@ -214,6 +246,7 @@ def minhash_lsh_pairs(
     this becomes a join back against the docs table on doc_id).
     """
     rows_per_band = n_perms // n_bands
+    mask = coarse_parts(sf_dir) - 1
 
     # plain task fns (not actor pools): the per-call state (MinHasher
     # params / a cached ray.get of the broadcast store) is microseconds to
@@ -234,13 +267,13 @@ def minhash_lsh_pairs(
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "band": pa.array(bands, pa.int32()),
                 "band_hash": pa.array(band_hashes, pa.int64()),
-                "part": pa.array([h & 63 for h in band_hashes], pa.int32()),
+                "part": pa.array([h & mask for h in band_hashes], pa.int64()),
             }
         )
 
     # LSH buckets are numerous and tiny (mostly singletons); a per-bucket
     # UDF would pay python overhead 80k+ times. Instead: coarse-partition
-    # by band_hash (64 groups -> cheap shuffle), then find same-bucket runs
+    # by band_hash (coarse_parts groups -> cheap shuffle), then find same-bucket runs
     # with pandas' C groupby inside each partition and emit pairs only for
     # the rare multi-doc buckets.
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -265,7 +298,7 @@ def minhash_lsh_pairs(
     # is materialized driver-side (at 100 TB a broadcast id->text map
     # cannot exist). Pairs MELT to two (doc_id, id_a, id_b) rows so a
     # single docs shuffle serves both sides; the joined rows reassemble
-    # per pair inside 64 coarse partitions (pandas C groupby — no
+    # per pair inside coarse_parts partitions (pandas C groupby — no
     # per-pair UDF dispatch).
     def melt(t: pa.Table) -> pa.Table:
         a = t["id_a"].combine_chunks()
@@ -310,7 +343,7 @@ def minhash_lsh_pairs(
     texts = _read_docs(sf_dir, ["doc_id", "text"])
 
     def add_ppart(t: pa.Table) -> pa.Table:
-        part = pc.bit_wise_and(t["id_a"], 63)
+        part = pc.bit_wise_and(t["id_a"], mask)
         return t.append_column("ppart", pc.cast(part, pa.int32()))
 
     joined = (
@@ -565,6 +598,11 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     Hamming<=3 shares at least one exact 16-bit band — pigeonhole), then
     exact Hamming verification inside each block."""
 
+    # partition key is derived from the 16-bit band key, so its useful
+    # granularity caps at 2^16 partitions (plenty: partitions only need to
+    # outnumber cores, the per-partition frame is bounded by key dispersion)
+    mask = np.int32(min(coarse_parts(sf_dir) - 1, 0xFFFF))
+
     def sign(t: pa.Table) -> pa.Table:
         sims = simhash64_batch(t["text"].to_pylist())
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -581,12 +619,12 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
                 "band": pa.array(out_band),
                 "key": pa.array(out_key),
                 "simhash": pa.array(np.repeat(sims, 4)),
-                "part": pa.array(out_key & np.int32(63)),
+                "part": pa.array(out_key & mask),
             }
         )
 
     # coarse-partitioned like minhash_lsh_pairs: blocks are tiny and
-    # numerous, so pandas' C groupby finds same-(band,key) runs inside 64
+    # numerous, so pandas' C groupby finds same-(band,key) runs inside coarse
     # partitions and only the rare multi-doc blocks pay python work
     def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_h = [], [], []

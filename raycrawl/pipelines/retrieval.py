@@ -33,6 +33,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from raycrawl.pipelines.dedup import coarse_parts
 from raycrawl.pipelines.relops import pool_size
 from raycrawl.pipelines.textops import _flat_tokens, _read_docs, _shingles
 
@@ -173,7 +174,8 @@ def docs_postings(sf_dir: str) -> rd.Dataset:
     )
 
 
-def docs_dup_ngrams(sf_dir: str, n: int = 5, parts: int = 64) -> rd.Dataset:
+def docs_dup_ngrams(sf_dir: str, n: int = 5,
+                    parts: int | None = None) -> rd.Dataset:
     """(doc_id, n_shared_grams, n_shared_positions): per document, the
     distinct token n-grams (and total gram positions) it shares with at
     least one OTHER document — the cross-document exact-duplication signal
@@ -186,6 +188,10 @@ def docs_dup_ngrams(sf_dir: str, n: int = 5, parts: int = 64) -> rd.Dataset:
     grams seen in >= 2 documents. A second (tiny) shuffle re-aggregates by
     doc. Documents with no shared grams are absent from the output (the
     oracle filters identically)."""
+    if parts is None:
+        # corpus-size-derived width (see dedup.coarse_parts): the
+        # per-partition pandas frame must not grow with the corpus
+        parts = coarse_parts(sf_dir)
 
     def gram_rows(t: pa.Table) -> pa.Table:
         g, grow = _shingles(*_flat_tokens(t), n)

@@ -282,6 +282,46 @@ def test_resumable_sink_skips_committed_shards(ray_session, tmp_path):
     assert len(read_partitioned(str(out)).to_pandas()) == 6
 
 
+def test_coarse_parts_sizing(tmp_path, monkeypatch):
+    """The dedup-family coarse width grows with the corpus (bounded
+    per-partition frames at 100 TB), floors at the test-box 64, and obeys
+    the env pin."""
+    from raycrawl.pipelines import dedup
+
+    monkeypatch.delenv("RAYCRAWL_CPARTS", raising=False)
+    assert dedup.coarse_parts(str(tmp_path)) == 64  # no corpus -> floor
+
+    doc = tmp_path / "documents.parquet"
+    with open(doc, "wb") as f:
+        f.truncate(16 << 30)  # sparse 16 GiB corpus -> 512 blocks
+    assert dedup.coarse_parts(str(tmp_path)) == 256
+
+    monkeypatch.setenv("RAYCRAWL_CPARTS", "128")
+    assert dedup.coarse_parts(str(tmp_path)) == 128
+    monkeypatch.setenv("RAYCRAWL_CPARTS", "100")
+    with pytest.raises(ValueError, match="power of two"):
+        dedup.coarse_parts(str(tmp_path))
+
+
+def test_dedup_outputs_invariant_to_coarse_width(ray_session, monkeypatch):
+    """The coarse mask only PLACES rows (same key always colocates), so
+    every dedup output must be identical at any partition width."""
+    from raycrawl.pipelines.dedup import exact_dedup, minhash_lsh_pairs
+
+    def pairs_set(df):
+        return {tuple(r) for r in df[["id_a", "id_b"]].itertuples(index=False)}
+
+    monkeypatch.delenv("RAYCRAWL_CPARTS", raising=False)
+    exact_ref = exact_dedup(SF).to_pandas().sort_values("keep_id")
+    mh_ref = pairs_set(minhash_lsh_pairs(SF).to_pandas())
+
+    monkeypatch.setenv("RAYCRAWL_CPARTS", "4")
+    exact_4 = exact_dedup(SF).to_pandas().sort_values("keep_id")
+    assert exact_4["keep_id"].tolist() == exact_ref["keep_id"].tolist()
+    assert exact_4["n_dups"].tolist() == exact_ref["n_dups"].tolist()
+    assert pairs_set(minhash_lsh_pairs(SF).to_pandas()) == mh_ref
+
+
 def test_resumable_sink_grown_input_remaps_shards(ray_session, tmp_path):
     """A new input file that sorts BEFORE committed ones shifts every
     shard index; markers record the source path, so shifted shards are
