@@ -13,6 +13,7 @@ are representation-fragile; see __ray_entry__.oracle_sql).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -876,29 +877,57 @@ _STOPWORDS = {
 class LangId:
     """Actor-pool language-ID stage: stopword/char-ngram heuristic.
 
-    State (compiled token regex + stopword tables) builds once per actor in
-    __init__; __call__ scores batches. Deterministic; defaults to 'en' when
-    no evidence (synthetic corpora have no real language signal — this
-    demonstrates the stage shape, scoring, and plumbing).
+    State (stopword value arrays, in scoring order) builds once per actor
+    in __init__; __call__ scores a whole batch with ONE utf8_lower +
+    split_pattern_regex pass and one index_in probe per language — no
+    per-row Python. Score = |distinct tokens ∩ stopwords(lang)|; the
+    winner is the max score with ties to the lexicographically first
+    language, 'en' when no evidence (exactly the semantics of the scalar
+    reference loop, kept as the differential-test twin in
+    tests/test_ops.py). A real fasttext-style model drops into the same
+    batched shape.
     """
 
-    def __init__(self):
-        import re
+    # tokens = maximal runs of this class, i.e. split on its complement
+    _SPLIT = r"[^a-zA-ZÀ-ɏ]+"
 
-        self.tok = re.compile(r"[a-zA-ZÀ-ɏ]+")
-        self.tables = {k: v for k, v in _STOPWORDS.items() if v}
+    def __init__(self):
+        self.langs = sorted(k for k, v in _STOPWORDS.items() if v)
+        self.tables = [pa.array(sorted(_STOPWORDS[k])) for k in self.langs]
+        self.sizes = [len(a) for a in self.tables]
+        self.lang_arr = np.array(self.langs, dtype=object)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds = []
-        for text in t["text"].to_pylist():
-            words = set(self.tok.findall((text or "").lower()))
-            best, best_n = "en", 0
-            for lang in sorted(self.tables):
-                n = len(words & self.tables[lang])
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
-        return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(preds)})
+        n = t.num_rows
+        if n == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("lang_pred", pa.string())]
+            ).empty_table()
+        low = pc.utf8_lower(pc.fill_null(t["text"], ""))
+        toks = pc.split_pattern_regex(low, self._SPLIT)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+        scores = np.zeros((n, len(self.langs)), np.int64)
+        for li, (varr, k) in enumerate(zip(self.tables, self.sizes)):
+            widx = pc.index_in(flat, value_set=varr)
+            w = widx.to_numpy(zero_copy_only=False).astype(np.float64)
+            hit = ~np.isnan(w)
+            if not hit.any():
+                continue
+            # distinct (doc, stopword) pairs -> per-doc DISTINCT-match count
+            keys = np.unique(doc_idx[hit] * k + w[hit].astype(np.int64))
+            scores[:, li] = np.bincount(keys // k, minlength=n)
+
+        best_n = scores.max(axis=1)
+        best = self.lang_arr[scores.argmax(axis=1)]  # first max == sorted tie-break
+        preds = np.where(best_n > 0, best, "en")
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang_pred": pa.array(preds, pa.string())}
+        )
 
 
 def langid(sf_dir: str) -> rd.Dataset:

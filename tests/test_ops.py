@@ -282,6 +282,69 @@ def test_resumable_sink_skips_committed_shards(ray_session, tmp_path):
     assert len(read_partitioned(str(out)).to_pandas()) == 6
 
 
+def _langid_scalar_reference(texts):
+    """The original per-row LangId loop, kept as the differential twin."""
+    import re
+
+    from raycrawl.pipelines.textops import _STOPWORDS
+
+    tok = re.compile(r"[a-zA-ZÀ-ɏ]+")
+    tables = {k: v for k, v in _STOPWORDS.items() if v}
+    preds = []
+    for text in texts:
+        words = set(tok.findall((text or "").lower()))
+        best, best_n = "en", 0
+        for lang in sorted(tables):
+            n = len(words & tables[lang])
+            if n > best_n:
+                best, best_n = lang, n
+        preds.append(best)
+    return preds
+
+
+_LANG_ALPHABET = "the und la el les einst ÀàÉéǏ .,;!19-\n\tDIE EsT un"
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet=_LANG_ALPHABET, max_size=60)),
+        min_size=0,
+        max_size=24,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_langid_batch_matches_scalar_reference(texts):
+    from raycrawl.pipelines.textops import LangId
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = LangId()(t)["lang_pred"].to_pylist()
+    assert got == _langid_scalar_reference(texts)
+
+
+def test_langid_tie_and_default_cases():
+    from raycrawl.pipelines.textops import LangId
+
+    texts = [
+        "",                       # no evidence -> en
+        "xyzzy 123",              # no stopwords -> en
+        "und der le la",          # 2-2 tie de/fr -> de (sorted first)
+        "el los es y un",         # es majority (un is also fr)
+        "the the the of and",     # distinct counting: 'the' counts once
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts)}
+    )
+    got = LangId()(t)["lang_pred"].to_pylist()
+    assert got == _langid_scalar_reference(texts)
+    assert got[2] == "de" and got[4] == "en"
+
+
 def test_coarse_parts_sizing(tmp_path, monkeypatch):
     """The dedup-family coarse width grows with the corpus (bounded
     per-partition frames at 100 TB), floors at the test-box 64, and obeys
