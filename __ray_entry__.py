@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": _multimodal_meta,
         "multimodal_decode": multimodal.decode_features_flat,
         "multimodal_frame_sample": multimodal.frame_sample,
+        "multimodal_dims": multimodal.multimodal_dims,
         # ---- relational breadth (groupby/join/sort/window/sessionize) ----
         "q1_returnflag_agg": relops.q1_returnflag_agg,
         "mktsegment_revenue": relops.mktsegment_revenue,
@@ -778,6 +779,21 @@ FROM (
         "multimodal_meta": """
 SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
        CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
+FROM documents
+""",
+        # the image corpus is synthesized in closed form from doc_id
+        # (multimodal.image_payloads), so the oracle recomputes what the
+        # REAL header parser must recover from the bytes: the round trip
+        # (build header -> parse header) must be an exact inverse
+        "multimodal_dims": """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS fmt,
+  CAST(16 + (doc_id * 7) % 1000 AS BIGINT) AS width,
+  CAST(16 + (doc_id * 13) % 800 AS BIGINT) AS height,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 135 END AS BIGINT)
+    AS color,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 13 END
+       + octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
 FROM documents
 """,
         # frame arithmetic + md5 over the kept 64-byte frames (stride 4);

@@ -2,11 +2,17 @@
 
 Treats image/audio/video as opaque ``binary`` columns with metadata,
 processed by actor-pool map_batches stages with SMALL batch sizes (large
-binary rows: batch_size is the memory knob). The decode kernels themselves
-are STUBBED — the real image/audio libraries are not in this environment —
-behind ``RAYCRAWL_FAKE_DECODE``: the Ray-side plumbing (schema, actor
-signature, batch sizing, output layout) is real and tested; the stub is a
-deterministic byte-level feature extractor standing in for a decoder.
+binary rows: batch_size is the memory knob). Two decode depths:
+
+* ``parse_image_dims`` / ``HeaderDims`` / ``multimodal_dims`` — a REAL
+  pure-Python container parse (PNG IHDR, GIF screen descriptor, JPEG SOF
+  marker scan) needing no codec libraries: fmt/width/height/color from the
+  leading bytes, garbage-safe.
+* full pixel decode — gated behind ``RAYCRAWL_FAKE_DECODE`` (pillow/ffmpeg
+  are not in this environment): ``=1`` uses a deterministic byte-histogram
+  feature (SQL-reproducible, oracle-exact); ``=0`` routes through the
+  header parse. The Ray-side plumbing (schema, actor signature, batch
+  sizing, output layout) is identical either way and fully tested.
 
 To make this runnable against the driver-provided tables, ``payloads()``
 manufactures the binary column from documents.text utf-8 bytes — the shape
@@ -29,8 +35,15 @@ __all__ = [
     "decode_features",
     "decode_features_flat",
     "frame_sample",
+    "parse_image_dims",
+    "png_header",
+    "gif_header",
+    "jpeg_header",
+    "image_payloads",
+    "multimodal_dims",
     "ImageDecoder",
     "FrameSampler",
+    "HeaderDims",
 ]
 
 
@@ -53,26 +66,218 @@ def payloads(sf_dir: str) -> rd.Dataset:
     ).map_batches(to_payload, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# real header decode (no codec libraries needed): PNG / GIF / JPEG
+# dimensions + color info from the container's leading bytes
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# every JPEG start-of-frame marker (C0-CF minus the non-SOF C4/C8/CC)
+_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_dims(payload: bytes) -> tuple:
+    """(fmt, width, height, color): pure-Python image header parse.
+
+    PNG: IHDR width/height (big-endian u32) + color type byte. GIF
+    (87a/89a): logical-screen width/height (little-endian u16) + packed
+    screen-descriptor field. JPEG: scans marker segments from SOI to the
+    first start-of-frame and reads height/width (big-endian u16) +
+    component count. Anything unrecognized or truncated is
+    ("unknown", 0, 0, 0) — a 100-TB crawl corpus always contains garbage
+    rows, so the kernel must classify, never raise.
+    """
+    b = bytes(payload or b"")
+    if b[:8] == _PNG_SIG:
+        if len(b) >= 26 and b[12:16] == b"IHDR":
+            return (
+                "png",
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+                b[25],  # color type (0 gray, 2 rgb, 3 palette, 4/6 +alpha)
+            )
+        return ("unknown", 0, 0, 0)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 13:
+            return (
+                "gif",
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+                b[10],  # packed screen-descriptor field
+            )
+        return ("unknown", 0, 0, 0)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if marker in _SOF_MARKERS and i + 10 <= len(b):
+                return (
+                    "jpeg",
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                    b[i + 9],  # component count (1 gray, 3 YCbCr, 4 CMYK)
+                )
+            if seglen < 2:
+                break
+            i += 2 + seglen
+        return ("unknown", 0, 0, 0)
+    return ("unknown", 0, 0, 0)
+
+
+def png_header(width: int, height: int, color_type: int = 2,
+               bit_depth: int = 8) -> bytes:
+    """Signature + complete IHDR chunk (length, type, 13-byte data, CRC)."""
+    import zlib
+
+    data = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([bit_depth, color_type, 0, 0, 0])
+    )
+    chunk = b"IHDR" + data
+    return (
+        _PNG_SIG
+        + len(data).to_bytes(4, "big")
+        + chunk
+        + zlib.crc32(chunk).to_bytes(4, "big")
+    )
+
+
+def gif_header(width: int, height: int, packed: int = 0x87) -> bytes:
+    """GIF89a magic + 7-byte logical screen descriptor."""
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([packed, 0, 0])
+    )
+
+
+def jpeg_header(width: int, height: int, n_components: int = 3) -> bytes:
+    """SOI + JFIF APP0 + a baseline SOF0 segment (39 bytes for 3
+    components) — enough container for any dimensions parser."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(
+        [1, 1, 0, 0, 1, 0, 1, 0, 0]
+    )
+    sof_data = (
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([n_components])
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(n_components))
+    )
+    sof = b"\xff\xc0" + (2 + len(sof_data)).to_bytes(2, "big") + sof_data
+    return b"\xff\xd8" + app0 + sof
+
+
+def image_payloads(sf_dir: str) -> rd.Dataset:
+    """documents -> (doc_id, payload) where payload is a REAL image header
+    (PNG / JPEG / GIF cycling by doc_id) with dimensions derived from
+    doc_id and the document text as body bytes — the deterministic
+    synthetic stand-in for a WARC image-payload column, reproducible in
+    closed form by the multimodal_dims SQL oracle."""
+
+    def build(t: pa.Table) -> pa.Table:
+        payloads_, ids = [], t["doc_id"].to_pylist()
+        for doc_id, text in zip(ids, t["text"].to_pylist()):
+            w = 16 + (doc_id * 7) % 1000
+            h = 16 + (doc_id * 13) % 800
+            kind = doc_id % 3
+            if kind == 0:
+                head = png_header(w, h)
+            elif kind == 1:
+                head = jpeg_header(w, h)
+            else:
+                head = gif_header(w, h)
+            payloads_.append(head + (text or "").encode("utf-8"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads_, pa.binary()),
+            }
+        )
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(build, batch_format="pyarrow")
+
+
+class HeaderDims:
+    """Actor-pool stage: parse_image_dims over binary payload batches.
+    Stateless today; __init__ is where a full decoder would load codecs —
+    the signature and batch sizing match ImageDecoder's."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        fmts, ws, hs, colors, sizes = [], [], [], [], []
+        for payload in t["payload"].to_pylist():
+            b = bytes(payload or b"")
+            fmt, w, h, c = parse_image_dims(b)
+            fmts.append(fmt)
+            ws.append(w)
+            hs.append(h)
+            colors.append(c)
+            sizes.append(len(b))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fmt": pa.array(fmts, pa.string()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "color": pa.array(colors, pa.int64()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+            }
+        )
+
+
+def multimodal_dims(sf_dir: str, batch_size: int = 256) -> rd.Dataset:
+    """image_payloads -> (doc_id, fmt, width, height, color, n_bytes) via
+    the REAL pure-Python header parser (small batches: binary rows are the
+    memory unit)."""
+    return image_payloads(sf_dir).map_batches(
+        HeaderDims,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+
+
 class ImageDecoder:
     """Actor-pool decode/feature-extract stage over binary payloads.
 
     __init__ is where a real deployment loads the codec/model once per
-    actor. Without the real library the decode path raises
-    NotImplementedError unless RAYCRAWL_FAKE_DECODE=1 (the default used by
-    tests/pipelines), in which case a deterministic byte-histogram feature
-    stands in for the decoded representation.
+    actor. Two decode paths behind the RAYCRAWL_FAKE_DECODE seam:
+
+    * ``=1`` (default, used by the multimodal_decode oracle): a
+      deterministic byte-histogram feature stands in for a full pixel
+      decode — SQL-reproducible, so the oracle stays exact.
+    * ``=0``: the REAL pure-Python container parse (parse_image_dims) —
+      fmt/width/height/color from PNG/GIF/JPEG headers, no codec
+      libraries needed. Full pixel decoding (pillow/ffmpeg) would load
+      here per actor; the header parse is the honest codec-free subset.
     """
+
+    _FMT_CODE = {"unknown": 0, "png": 1, "jpeg": 2, "gif": 3}
 
     def __init__(self, feature_dim: int = 8):
         self.feature_dim = feature_dim
         self.fake = os.environ.get("RAYCRAWL_FAKE_DECODE", "1") == "1"
-        if not self.fake:
-            raise NotImplementedError(
-                "real image decode requires pillow/ffmpeg — not available in "
-                "this environment; set RAYCRAWL_FAKE_DECODE=1"
-            )
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            fmt, w, h, c = parse_image_dims(payload)
+            out = np.zeros(self.feature_dim, np.int64)
+            out[: 5] = (self._FMT_CODE[fmt], w, h, c, len(payload))[: self.feature_dim]
+            return out
         # deterministic stand-in: byte histogram folded to feature_dim
         counts = np.bincount(
             np.frombuffer(payload, dtype=np.uint8), minlength=256

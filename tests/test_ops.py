@@ -486,25 +486,103 @@ def test_kmeans_matches_numpy_twin(ray_session):
     assert (got["cluster"].to_numpy() == a2).all()
 
 
-def test_multimodal_stub_gate(ray_session, monkeypatch):
-    from raycrawl.pipelines.multimodal import ImageDecoder
+def test_multimodal_decode_paths(ray_session, monkeypatch):
+    from raycrawl.pipelines.multimodal import ImageDecoder, png_header
 
-    monkeypatch.setenv("RAYCRAWL_FAKE_DECODE", "0")
-    with pytest.raises(NotImplementedError):
-        ImageDecoder()
+    # fake path: deterministic byte-histogram feature (the oracle twin)
     monkeypatch.setenv("RAYCRAWL_FAKE_DECODE", "1")
     dec = ImageDecoder()
-    out = dec(
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"abc"], pa.binary()),
+            "n_bytes": pa.array([3], pa.int64()),
+        }
+    )
+    out = dec(batch)
+    assert out["first_byte"].to_pylist() == [97]
+    assert len(out["feature"][0]) == 8
+    # real path: header parse feeds (fmt_code, w, h, color, len)
+    monkeypatch.setenv("RAYCRAWL_FAKE_DECODE", "0")
+    real = ImageDecoder()
+    head = png_header(640, 480, color_type=6)
+    out = real(
         pa.table(
             {
                 "doc_id": pa.array([1], pa.int64()),
-                "payload": pa.array([b"abc"], pa.binary()),
-                "n_bytes": pa.array([3], pa.int64()),
+                "payload": pa.array([head + b"body"], pa.binary()),
+                "n_bytes": pa.array([len(head) + 4], pa.int64()),
             }
         )
     )
-    assert out["first_byte"].to_pylist() == [97]
-    assert len(out["feature"][0]) == 8
+    assert out["feature"][0].as_py() == [1, 640, 480, 6, len(head) + 4, 0, 0, 0]
+
+
+def test_parse_image_dims_roundtrip():
+    from raycrawl.pipelines.multimodal import (
+        gif_header,
+        jpeg_header,
+        parse_image_dims,
+        png_header,
+    )
+
+    for w, h in [(1, 1), (16, 16), (1015, 815), (65535, 65535)]:
+        assert parse_image_dims(png_header(w, h, color_type=2) + b"x" * 9) == (
+            "png", w, h, 2,
+        )
+        assert parse_image_dims(jpeg_header(w, h, 3) + b"\xff\xd9") == (
+            "jpeg", w, h, 3,
+        )
+        assert parse_image_dims(gif_header(w, h, packed=0x87)) == (
+            "gif", w, h, 0x87,
+        )
+    # PNG allows 31-bit dims; JPEG/GIF are u16 — PNG only for the big case
+    assert parse_image_dims(png_header(2**31 - 1, 3)) == ("png", 2**31 - 1, 3, 2)
+    # grayscale JPEG (1 component), palette GIF packed byte
+    assert parse_image_dims(jpeg_header(10, 20, 1)) == ("jpeg", 10, 20, 1)
+
+
+def test_parse_image_dims_never_raises():
+    """A 100-TB corpus contains garbage; the kernel classifies, never raises."""
+    from raycrawl.pipelines.multimodal import (
+        _PNG_SIG,
+        jpeg_header,
+        parse_image_dims,
+        png_header,
+    )
+
+    cases = [
+        b"",
+        None,
+        b"\x00" * 64,
+        b"not an image at all",
+        _PNG_SIG,                      # signature only, no IHDR
+        _PNG_SIG + b"\x00\x00\x00\x0dIHDR",  # truncated IHDR
+        b"GIF89a\x10",                 # truncated screen descriptor
+        b"\xff\xd8",                   # bare SOI
+        b"\xff\xd8\xff\xe0\x00\x02",   # APP0 with no payload
+        b"\xff\xd8\xff\xe0\x00\x00",   # seglen < 2 (would loop forever if unguarded)
+        b"\xff\xd8\x00\x01\x02\x03",   # non-marker byte after SOI
+        png_header(5, 5)[:20],         # truncated mid-IHDR
+        jpeg_header(5, 5)[:8],         # truncated mid-APP0
+    ]
+    for b in cases:
+        fmt, w, h, c = parse_image_dims(b)
+        assert fmt == "unknown" and (w, h, c) == (0, 0, 0), (b, fmt)
+    # fill bytes and restart markers before SOF are skipped, not fatal
+    padded = b"\xff\xd8" + b"\xff\xff" + b"\xff\x01" + jpeg_header(7, 9, 3)[2:]
+    assert parse_image_dims(padded) == ("jpeg", 7, 9, 3)
+
+
+def test_multimodal_dims_pipeline(ray_session):
+    from raycrawl.pipelines.multimodal import multimodal_dims
+
+    got = multimodal_dims(SF).to_pandas().sort_values("doc_id")
+    ids = got["doc_id"].to_numpy()
+    assert (got["width"].to_numpy() == 16 + (ids * 7) % 1000).all()
+    assert (got["height"].to_numpy() == 16 + (ids * 13) % 800).all()
+    fmt_by_mod = np.array(["png", "jpeg", "gif"])
+    assert (got["fmt"].to_numpy() == fmt_by_mod[ids % 3]).all()
 
 
 def test_token_stats_values(ray_session):
