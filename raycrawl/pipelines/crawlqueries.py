@@ -446,7 +446,8 @@ def crawl_triangles(sf_dir: str) -> pa.Table:
     )
 
 
-def crawl_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
+def crawl_components(sf_dir: str, max_iters: int = 64,
+                     graph: tuple | None = None) -> rd.Dataset:
     """(url, component): weakly-connected components of the link graph —
     every corpus page labeled with the lexicographically smallest url of
     its component (isolated pages label themselves).
@@ -462,15 +463,21 @@ def crawl_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
     rows through); phase B re-partitions by receiving node and takes the
     per-node min over {own label} ∪ messages, emitting the changed-count
     partials alongside (string labels have no monotone sum, so the exact
-    fixpoint test is this count reaching zero). Rounds are bounded by the
-    component diameter (4 on the sf0.1 graph; 37 s -> ~31 s vs the
+    fixpoint test is this count reaching zero). Rounds >= 2 also send
+    POINTER-DOUBLING requests (key=L(x), src=x rides the same shuffle as
+    the edge rows, delivering L(L(x)) — monotone since L(y) <= y), so deep
+    graphs converge in O(log diameter) rounds and the max_iters raise is a
+    pure safety net. The sf0.1 graph's diameter is 4 (37 s -> ~31 s vs the
     join-based variant at sf0.1 — the remaining wall time is Ray Data's
     fixed per-shuffle floor x 2 shuffles x rounds, which amortizes at
     real data scale where shuffle time is data-bound)."""
     from raycrawl.pipelines.dedup import clean_blocks
 
     P = 64
-    edges, nodes, n_parts = _link_edges(sf_dir)
+    if graph is None:
+        edges, nodes, _ = _link_edges(sf_dir)
+    else:  # injectable (edges, nodes) for synthetic-graph tests
+        edges, nodes = graph
 
     def _part(vals: np.ndarray) -> np.ndarray:
         return (pd.util.hash_array(vals.astype(object)) % P).astype(np.int64)
@@ -516,6 +523,18 @@ def crawl_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
             }
         )
 
+    def as_pointer_rows(t: pa.Table) -> pa.Table:
+        # pointer-doubling requests: deliver L(L(x)) back to x — same row
+        # shape as the edge rows, riding the same two-shuffle chain
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "kpart": pa.array(_part(lab), pa.int64()),
+                "key": t["label"],
+                "src": t["node"],
+            }
+        )
+
     def deliver(g: pd.DataFrame) -> pd.DataFrame:
         # label rows (src null) hold THE label of every key in this
         # partition; edge rows pick it up for their src — one C merge
@@ -542,9 +561,15 @@ def crawl_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
             out.loc[0, "changed"] = changed
         return out[["node", "label", "changed"]]
 
-    for _ in range(max_iters):
+    for it in range(max_iters):
+        req = sym_edges
+        if it >= 2:  # deep graph: add the doubling hop (label values are
+            # node urls, so every request finds its label row)
+            req = req.union(
+                labels.map_batches(as_pointer_rows, batch_format="pyarrow")
+            )
         merged = clean_blocks(
-            sym_edges.union(
+            req.union(
                 labels.map_batches(as_label_rows, batch_format="pyarrow")
             )
             .groupby("kpart")

@@ -379,9 +379,12 @@ def dedup_clusters(sf_dir: str, pairs_ds=None, mode: str = "auto",
     * ``distributed`` — iterated min-label propagation: L(x) <-
       min(L(x), min over neighbors L(n)) via join + groupby-min per
       round until the label sum stops changing (it is monotone
-      non-increasing, so equal sums == fixpoint). Rounds are bounded by
-      the component diameter; near-dup components are clique-ish, so
-      this converges in a few rounds at scale.
+      non-increasing, so equal sums == fixpoint). Near-dup components
+      are clique-ish and converge in a few rounds; for DEEP graphs,
+      rounds >= 2 also take a pointer-doubling hop L(L(x)) (one extra
+      self-join — L(y) <= y, so it is monotone too), which doubles the
+      propagated distance per round: total rounds are O(log diameter),
+      so the ``max_iters`` guard is unreachable for any real graph.
 
     The final labeling of ALL docs is a union + groupby-min (no driver
     map): docs start as their own label and the propagated labels win.
@@ -472,7 +475,7 @@ def dedup_clusters(sf_dir: str, pairs_ds=None, mode: str = "auto",
     )
     prev_sum = labels.sum("label")
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # neighbor labels: edges ⋈ labels on dst, then take the min over
         # {self} ∪ neighbors per node
         neigh = (
@@ -484,10 +487,29 @@ def dedup_clusters(sf_dir: str, pairs_ds=None, mode: str = "auto",
                 batch_format="pyarrow",
             )
         )
+        cand = labels.union(neigh)
+        if it >= 2:
+            # pointer doubling: also hop L(L(x)). Label values are always
+            # node ids present in the table (each starts as some node's
+            # min over {self} ∪ neighbors), so the self-join is total; the
+            # happy clique-ish path (fixpoint in <= 2 rounds) never pays
+            # for the extra join.
+            tgt = labels.map_batches(
+                lambda t: t.rename_columns(["tnode", "tlabel"]),
+                batch_format="pyarrow",
+            )
+            hop = (
+                labels.join(tgt, join_type="inner", num_partitions=n_parts,
+                            on=("label",), right_on=("tnode",))
+                .select_columns(["node", "tlabel"])
+                .map_batches(
+                    lambda t: t.rename_columns(["node", "label"]),
+                    batch_format="pyarrow",
+                )
+            )
+            cand = cand.union(hop)
         labels = clean_blocks(
-            labels.union(neigh)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label")),
+            cand.groupby("node").aggregate(Min("label", alias_name="label")),
             label_schema,
         )
         cur_sum = labels.sum("label")
@@ -496,14 +518,12 @@ def dedup_clusters(sf_dir: str, pairs_ds=None, mode: str = "auto",
             break
         prev_sum = cur_sum
     if not converged:
-        # a component whose diameter exceeds max_iters would silently get
-        # WRONG (split) cluster ids — refuse rather than mislabel; callers
-        # can raise max_iters (or switch to pointer-doubling) for graphs
-        # this deep
+        # non-convergence would mean silently WRONG (split) cluster ids —
+        # refuse rather than mislabel. With pointer doubling this needs a
+        # component diameter ~2^(max_iters-2): unreachable, pure safety net.
         raise RuntimeError(
             f"cluster label propagation did not reach a fixpoint in "
-            f"{max_iters} iterations (a component's diameter exceeds it); "
-            f"rerun with a larger max_iters"
+            f"{max_iters} iterations; rerun with a larger max_iters"
         )
 
     def own_label(t: pa.Table) -> pa.Table:

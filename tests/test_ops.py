@@ -131,6 +131,51 @@ def test_dedup_clusters_modes_agree_on_chain(ray_session, tmp_path):
     assert all(drv[i] == i for i in range(30, 40))
 
 
+def test_dedup_clusters_pointer_doubling_deep_path(ray_session, tmp_path):
+    """Path graph with diameter 39: per-hop propagation alone needs ~40
+    rounds, so an 8-round budget proves the pointer-doubling hop is doing
+    the O(log d) work (round-3 code raises RuntimeError here)."""
+    import ray.data as rd
+
+    from raycrawl.pipelines.dedup import dedup_clusters
+
+    n = 40
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(n)]),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([6] * n, pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    pairs_ds = rd.from_items([{"id_a": i, "id_b": i + 1} for i in range(n - 1)])
+    out = dedup_clusters(
+        str(tmp_path), pairs_ds=pairs_ds, mode="distributed", max_iters=8
+    )
+    lab = out.to_pandas().set_index("doc_id")["cluster_id"].sort_index()
+    assert (lab == 0).all()
+
+
+def test_crawl_components_pointer_doubling_deep_chain(ray_session):
+    """Same diameter-39 path through the message-passing components op:
+    the doubling requests must converge it within 8 rounds."""
+    import ray.data as rd
+
+    from raycrawl.pipelines.crawlqueries import crawl_components
+
+    n = 40
+    urls = [f"https://deep.example.com/p{i:03d}" for i in range(n)]
+    edges = rd.from_items(
+        [{"src": urls[i], "dst": urls[i + 1]} for i in range(n - 1)]
+    )
+    nodes = rd.from_items([{"url": u} for u in urls])
+    out = crawl_components("/unused", max_iters=8, graph=(edges, nodes))
+    got = out.to_pandas().set_index("url")["component"]
+    assert len(got) == n and (got == urls[0]).all()
+
+
 def test_embedding_near_dup_matches_numpy(ray_session):
     from raycrawl.pipelines.dedup import embedding_near_dup
 
