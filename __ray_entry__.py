@@ -186,6 +186,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_users": relops.events_topk_users,
         "events_asof_join": relops.events_asof_join,
         "events_range_join": relops.events_range_join,
+        # skew-safe (user, ts-slice)-salted twins: identical output rows,
+        # built for a hot key owning most of the table
+        "events_asof_join_salted": lambda sf: relops.events_asof_join(
+            sf, salt_slices=8
+        ),
+        "events_range_join_salted": lambda sf: relops.events_range_join(
+            sf, salt_slices=8
+        ),
         "events_distinct_users": relops.events_distinct_users,
         "events_hll_users": _hll_checked,
         "docs_bpe_token_counts": textops.bpe_token_counts,
@@ -1331,4 +1339,8 @@ LEFT JOIN hit ht USING (doc_id)
 LEFT JOIN surv s USING (doc_id)
 WHERE d.doc_id % 97 <> 0
 """
+    # the salted join paths must emit byte-identical rows to the unsalted
+    # ones — same oracle proves it at the gate
+    sql["events_asof_join_salted"] = sql["events_asof_join"]
+    sql["events_range_join_salted"] = sql["events_range_join"]
     return sql

@@ -417,7 +417,36 @@ def events_topk_users(sf_dir: str, k: int = 10) -> rd.Dataset:
     )
 
 
-def events_asof_join(sf_dir: str) -> rd.Dataset:
+def _ts_bounds(sf_dir: str) -> tuple:
+    """(min_us, max_us) of events.ts from Parquet row-group statistics
+    (O(row-groups), no scan); falls back to a distributed min/max scan when
+    a writer left no stats."""
+    import pyarrow.parquet as pq_
+
+    f = pq_.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    idx = f.schema_arrow.get_field_index("ts")
+    mins, maxs = [], []
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            mins = []
+            break
+        mins.append(st.min)
+        maxs.append(st.max)
+    if mins:
+        lo, hi = min(mins), max(maxs)
+    else:
+        ds = _read(sf_dir, "events", ["ts"])
+        lo, hi = ds.min("ts"), ds.max("ts")
+    to_us = (
+        lambda v: int(v)
+        if isinstance(v, (int, np.integer))
+        else pd.Timestamp(v).value // 1000
+    )
+    return to_us(lo), to_us(hi)
+
+
+def events_asof_join(sf_dir: str, salt_slices: int | None = None) -> rd.Dataset:
     """AS-OF join (backward): each click event matched to the same user's
     most recent purchase at-or-before it.
 
@@ -427,9 +456,18 @@ def events_asof_join(sf_dir: str) -> rd.Dataset:
     merge inside each group (numpy searchsorted — vectorized, O(n log n)
     per group). Purchases are pre-deduped per (user, ts) with MAX(cents) so
     ties resolve deterministically on both engines. Partitioning
-    assumption: one user's events fit one group (true for event data; a
-    pathological single-user table would need ts-range salting plus a
-    boundary-purchase broadcast).
+    assumption: one user's events fit one group — true for event data.
+
+    ``salt_slices=S`` is the SKEW-SAFE path for pathological key
+    distributions (one user owning most of the table): each partition key
+    becomes (user, ts-range slice of S), so a hot user's rows spread over S
+    tasks. Correctness across slice boundaries comes from a small
+    purchases-only pre-pass that replicates each (user, slice)'s LAST
+    purchase into every later slice as a carry candidate (<= S-1 rows per
+    user-slice — the candidate max over carries equals the true latest
+    earlier purchase). Both paths emit identical rows (oracle-checked);
+    leave salting off when keys are well-spread — the boundary pre-pass is
+    an extra purchases shuffle.
     """
 
     def prep(t: pa.Table) -> pa.Table:
@@ -484,11 +522,82 @@ def events_asof_join(sf_dir: str) -> rd.Dataset:
             )
         return pd.concat(outs, ignore_index=True)
 
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    if not salt_slices or salt_slices <= 1:
+        return (
+            ev.map_batches(_add_upart, batch_format="pyarrow")
+            .groupby("upart")
+            .map_groups(asof, batch_format="pandas")
+        )
+
+    # ---- ts-range-salted path ----
+    from raycrawl.pipelines.dedup import clean_blocks
+
+    S = int(salt_slices)
+    lo, hi = _ts_bounds(sf_dir)
+    span = max(hi - lo + 1, 1)
+    part_schema = pa.schema(
+        [("user_id", pa.int64()), ("ts_us", pa.int64()),
+         ("is_purchase", pa.bool_()), ("value_cents", pa.int64()),
+         ("kpart", pa.int64())]
+    )
+
+    def add_kpart(t: pa.Table) -> pa.Table:
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        sl = (ts - lo) * S // span  # in [0, S-1] by construction
+        up = t["user_id"].to_numpy(zero_copy_only=False) & (_UPART_N - 1)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts_us"],
+                "is_purchase": t["is_purchase"],
+                "value_cents": t["value_cents"],
+                "kpart": pa.array(up * S + sl, pa.int64()),
+            }
+        )
+
+    keyed = ev.map_batches(add_kpart, batch_format="pyarrow")
+
+    _B_EMPTY = {
+        "user_id": pd.array([], "int64"),
+        "ts_us": pd.array([], "int64"),
+        "is_purchase": pd.array([], "boolean"),
+        "value_cents": pd.array([], "int64"),
+        "kpart": pd.array([], "int64"),
+    }
+
+    def boundaries(g: pd.DataFrame) -> pd.DataFrame:
+        # one (upart, slice) partition of PURCHASES: per user, the last
+        # purchase (max ts; MAX cents at that ts — the asof dedup rule),
+        # replicated into every later slice as a carry candidate
+        sl = int(g["kpart"].iloc[0]) % S
+        if sl >= S - 1:
+            return pd.DataFrame(_B_EMPTY)
+        dd = g.groupby(["user_id", "ts_us"], as_index=False)["value_cents"].max()
+        last = dd.sort_values("ts_us").groupby("user_id", as_index=False).tail(1)
+        reps = []
+        for k in range(sl + 1, S):
+            r = last.copy()
+            r["kpart"] = (r["user_id"].to_numpy() & (_UPART_N - 1)) * S + k
+            reps.append(r)
+        out = pd.concat(reps, ignore_index=True)
+        out["is_purchase"] = True
+        return out[["user_id", "ts_us", "is_purchase", "value_cents", "kpart"]]
+
+    carries = clean_blocks(
+        keyed.map_batches(
+            lambda t: t.filter(t["is_purchase"]), batch_format="pyarrow"
+        )
+        .groupby("kpart")
+        .map_groups(boundaries, batch_format="pandas"),
+        part_schema,
+    )
     return (
-        _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
-        .map_batches(prep, batch_format="pyarrow")
-        .map_batches(_add_upart, batch_format="pyarrow")
-        .groupby("upart")
+        clean_blocks(keyed, part_schema)
+        .union(carries)
+        .groupby("kpart")
         .map_groups(asof, batch_format="pandas")
     )
 
@@ -668,7 +777,8 @@ def events_hll_users(sf_dir: str, p: int = 14) -> pa.Table:
     return pa.table({"n_users_hll": pa.array([int(round(est))], pa.int64())})
 
 
-def events_range_join(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
+def events_range_join(sf_dir: str, window_s: int = 3600,
+                      salt_slices: int | None = None) -> rd.Dataset:
     """RANGE join: each distinct click matched to the same user's purchases
     inside the preceding hour (ts in (click-1h, click]); emits count + sum.
 
@@ -677,7 +787,16 @@ def events_range_join(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
     (user_id), then a sorted interval sweep per group — numpy searchsorted
     for both window edges + a prefix-sum for the windowed aggregate, so the
     per-group cost is O(n log n) regardless of window width (never the
-    O(n*w) nested loop a naive range join degrades to)."""
+    O(n*w) nested loop a naive range join degrades to).
+
+    ``salt_slices=S`` is the skew-safe path (hot user): partition by
+    (user, ts-range slice). The slice count is capped so every slice is at
+    least one window wide, which makes boundary handling a pure stateless
+    replication — a purchase within ``window_s`` of its slice's end is
+    ALSO sent to the next slice (classic interval-fragment replication, no
+    pre-pass shuffle at all). Each click lives in exactly one slice, so
+    nothing double-counts; both paths emit identical rows (oracle-checked).
+    """
     win_us = window_s * 1_000_000
 
     def prep(t: pa.Table) -> pa.Table:
@@ -725,11 +844,54 @@ def events_range_join(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
             )
         return pd.concat(outs, ignore_index=True)
 
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    if not salt_slices or salt_slices <= 1:
+        return (
+            ev.map_batches(_add_upart, batch_format="pyarrow")
+            .groupby("upart")
+            .map_groups(sweep, batch_format="pandas")
+        )
+
+    # ---- ts-range-salted path ----
+    lo, hi = _ts_bounds(sf_dir)
+    span = max(hi - lo + 1, 1)
+    # every slice must be >= one window wide so a click's window reaches at
+    # most one slice back (S=1 degrades gracefully to the unsalted layout)
+    S = max(1, min(int(salt_slices), span // max(win_us, 1)))
+
+    def add_kpart_replicate(t: pa.Table) -> pa.Table:
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        isp = t["is_purchase"].to_numpy(zero_copy_only=False)
+        cents = t["value_cents"].to_numpy(zero_copy_only=False)
+        sl = (ts - lo) * S // span
+        up = uid & (_UPART_N - 1)
+        # replicate a purchase into the next slice when a click there could
+        # still see it: ts + win reaches past the next slice's start
+        nxt_start = lo + ((sl + 1) * span + S - 1) // S
+        rep = isp & (sl < S - 1) & (ts + win_us > nxt_start)
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([uid, uid[rep]]), pa.int64()),
+                "ts_us": pa.array(np.concatenate([ts, ts[rep]]), pa.int64()),
+                "is_purchase": pa.array(
+                    np.concatenate([isp, isp[rep]]), pa.bool_()
+                ),
+                "value_cents": pa.array(
+                    np.concatenate([cents, cents[rep]]), pa.int64()
+                ),
+                "kpart": pa.array(
+                    np.concatenate([up * S + sl, (up * S + sl + 1)[rep]]),
+                    pa.int64(),
+                ),
+            }
+        )
+
     return (
-        _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
-        .map_batches(prep, batch_format="pyarrow")
-        .map_batches(_add_upart, batch_format="pyarrow")
-        .groupby("upart")
+        ev.map_batches(add_kpart_replicate, batch_format="pyarrow")
+        .groupby("kpart")
         .map_groups(sweep, batch_format="pandas")
     )
 

@@ -393,3 +393,133 @@ def test_tfidf_scores_match_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"score": "int64"}), brute.astype({"score": "int64"})
     )
+
+
+@pytest.fixture(scope="module")
+def skewed_events(tmp_path_factory):
+    """events.parquet where ONE user owns ~95% of the rows — the regime
+    the ts-range-salted as-of/range joins exist for. Seeded, with
+    duplicate click timestamps, purchase-ts ties (different values), and
+    empty stretches so slice boundaries land in every configuration."""
+    d = tmp_path_factory.mktemp("skewed_events")
+    rng = np.random.RandomState(17)
+    base = 1_700_000_000_000_000
+    n_hot = 4000
+    ts = base + np.sort(rng.randint(0, 3_000_000_000_000, n_hot))
+    kinds = rng.choice(["click", "purchase", "view"], n_hot, p=[0.5, 0.3, 0.2])
+    rows = {
+        "event_id": np.arange(n_hot, dtype=np.int64),
+        "ts": ts,
+        "user_id": np.full(n_hot, 7, dtype=np.int64),
+        "event_type": kinds,
+        "value": np.round(rng.uniform(0.5, 99.5, n_hot), 2),
+    }
+    # a handful of normal users + duplicate-ts rows for the tie paths
+    extra_n = 200
+    extra = {
+        "event_id": np.arange(n_hot, n_hot + extra_n, dtype=np.int64),
+        "ts": base + rng.randint(0, 3_000_000_000_000, extra_n),
+        "user_id": rng.randint(1, 6, extra_n).astype(np.int64),
+        "event_type": rng.choice(["click", "purchase"], extra_n),
+        "value": np.round(rng.uniform(0.5, 99.5, extra_n), 2),
+    }
+    ties = {
+        "event_id": np.array([9001, 9002, 9003, 9004], dtype=np.int64),
+        "ts": np.array([ts[10], ts[10], ts[20], ts[20]]),
+        "user_id": np.array([7, 7, 7, 7], dtype=np.int64),
+        "event_type": np.array(["purchase", "purchase", "click", "click"]),
+        "value": np.array([10.00, 20.00, 1.00, 1.00]),
+    }
+    cols = {k: np.concatenate([rows[k], extra[k], ties[k]]) for k in rows}
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols["event_id"], pa.int64()),
+                "ts": pa.array(cols["ts"].astype("datetime64[us]")),
+                "user_id": pa.array(cols["user_id"], pa.int64()),
+                "event_type": pa.array(cols["event_type"].astype(object)),
+                "value": pa.array(cols["value"], pa.float64()),
+                "props": pa.array(["{}"] * len(cols["ts"])),
+            }
+        ),
+        os.path.join(str(d), "events.parquet"),
+    )
+    return str(d)
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_asof_join_salted_matches_unsalted_and_brute(ray_session, skewed_events):
+    from raycrawl.pipelines.relops import events_asof_join
+
+    plain = _norm(events_asof_join(skewed_events).to_pandas())
+    for s in (4, 8):
+        salted = _norm(
+            events_asof_join(skewed_events, salt_slices=s).to_pandas()
+        )
+        pd.testing.assert_frame_equal(plain, salted, check_dtype=False)
+
+    # brute-force twin straight off the parquet
+    ev = pq.read_table(os.path.join(skewed_events, "events.parquet")).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("int64")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    p = (
+        ev[ev.event_type == "purchase"]
+        .groupby(["user_id", "ts_us"], as_index=False)["cents"].max()
+    )
+    rows = []
+    for _, c in ev[ev.event_type == "click"].iterrows():
+        cand = p[(p.user_id == c.user_id) & (p.ts_us <= c.ts_us)]
+        if len(cand):
+            best = cand.loc[cand.ts_us.idxmax()]
+            rows.append((c.user_id, c.ts_us, best.ts_us, best.cents))
+    brute = _norm(
+        pd.DataFrame(
+            rows,
+            columns=["user_id", "click_ts_us", "purchase_ts_us",
+                     "purchase_cents"],
+        )
+    )
+    pd.testing.assert_frame_equal(plain, brute, check_dtype=False)
+
+
+def test_range_join_salted_matches_unsalted_and_brute(ray_session, skewed_events):
+    from raycrawl.pipelines.relops import events_range_join
+
+    win_s = 200_000  # ~7% of the ts span: several slices per window config
+    plain = _norm(
+        events_range_join(skewed_events, window_s=win_s).to_pandas()
+    )
+    for s in (4, 8, 1024):  # 1024 exercises the width>=window cap
+        salted = _norm(
+            events_range_join(
+                skewed_events, window_s=win_s, salt_slices=s
+            ).to_pandas()
+        )
+        pd.testing.assert_frame_equal(plain, salted, check_dtype=False)
+
+    ev = pq.read_table(os.path.join(skewed_events, "events.parquet")).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("int64")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    win_us = win_s * 1_000_000
+    p = ev[ev.event_type == "purchase"]
+    rows = []
+    clicks = ev[ev.event_type == "click"][["user_id", "ts_us"]].drop_duplicates()
+    for _, c in clicks.iterrows():
+        cand = p[
+            (p.user_id == c.user_id)
+            & (p.ts_us > c.ts_us - win_us)
+            & (p.ts_us <= c.ts_us)
+        ]
+        if len(cand):
+            rows.append((c.user_id, c.ts_us, len(cand), cand.cents.sum()))
+    brute = _norm(
+        pd.DataFrame(
+            rows,
+            columns=["user_id", "click_ts_us", "n_purchases",
+                     "purchase_cents_sum"],
+        )
+    )
+    pd.testing.assert_frame_equal(plain, brute, check_dtype=False)
