@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- dedup ----
         "docs_exact_dedup": dedup.exact_dedup,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding_cosine": lambda sf: dedup.embedding_near_dup(sf, threshold=0.3),
         "dedup_clusters": dedup.dedup_clusters,
@@ -179,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_returnflag_agg": relops.q1_returnflag_agg,
         "mktsegment_revenue": relops.mktsegment_revenue,
         "orders_lineitem_join": relops.orders_lineitem_join,
+        "urgent_order_revenue": relops.urgent_order_revenue,
         "lineitem_topk": relops.lineitem_topk,
         "events_window_agg": relops.events_window_agg,
         "events_sliding_agg": relops.events_sliding_agg,
@@ -837,6 +839,15 @@ SELECT o.o_orderpriority,
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """,
+        # the bloom prefilter is transparent (false positives die in the
+        # exact join behind it), so the plain join IS the oracle
+        "urgent_order_revenue": """
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+""",
         "orders_price_quantiles": """
 SELECT o_orderpriority,
        quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents,
@@ -1343,4 +1354,8 @@ WHERE d.doc_id % 97 <> 0
     # ones — same oracle proves it at the gate
     sql["events_asof_join_salted"] = sql["events_asof_join"]
     sql["events_range_join_salted"] = sql["events_range_join"]
+    # prefix filtering has recall 1 BY CONSTRUCTION (the prefix lemma), so
+    # the brute-force Jaccard oracle is exact for it with no empirical
+    # banding-recall caveat — the same SQL the minhash query matches
+    sql["dedup_ngram_jaccard"] = sql["dedup_minhash_lsh"]
     return sql

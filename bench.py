@@ -94,7 +94,8 @@ def run_headline() -> dict:
 
 def run_queries() -> dict:
     """Representative operator timings over $GRAFT_SF_DIR."""
-    from raycrawl.pipelines import analytics, ann, dedup, relops, retrieval, textops
+    from raycrawl.pipelines import (analytics, ann, dedup, multimodal,
+                                    relops, retrieval, textops)
 
     def consume(x):
         import pyarrow as pa
@@ -123,6 +124,11 @@ def run_queries() -> dict:
         "docs_bigrams_topk": lambda: textops.bigrams_topk(SF_DIR),
         "docs_heavy_tokens": lambda: textops.heavy_tokens(SF_DIR),
         "embeddings_kmeans": lambda: ann.kmeans_assign(SF_DIR),
+        "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(SF_DIR),
+        "events_asof_join_salted": lambda: relops.events_asof_join(
+            SF_DIR, salt_slices=8
+        ),
+        "multimodal_dims": lambda: multimodal.multimodal_dims(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
         # as the headline: a burst during one 1-3 s query would otherwise

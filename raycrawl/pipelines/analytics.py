@@ -151,7 +151,7 @@ def lineitem_rollup(sf_dir: str) -> pa.Table:
              "one_sum": "n_items"},
         )
 
-    fine = (
+    fine_ds = (
         _read(sf_dir, "lineitem",
               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
         .map_batches(prep, batch_format="pyarrow")
@@ -161,8 +161,19 @@ def lineitem_rollup(sf_dir: str) -> pa.Table:
             Sum("sum_price_cents", alias_name="sum_price_cents"),
             Sum("n_items", alias_name="n_items"),
         )
-        .to_pandas()  # bounded by the group domain, not the row count
+        .materialize()
     )
+    # the driver-side re-aggregation below is bounded by the GROUPING-KEY
+    # domain (flag x status: a handful of rows), never the row count —
+    # guard it so a high-cardinality key misuse fails loudly, not as a
+    # driver OOM (count() is metadata-only after materialize)
+    if fine_ds.count() > 100_000:
+        raise ValueError(
+            "lineitem_rollup: grouping-key domain too large for driver-side "
+            "grouping-set re-aggregation; aggregate each grouping set "
+            "distributedly instead"
+        )
+    fine = fine_ds.to_pandas()
     by_flag = (
         fine.groupby("l_returnflag", as_index=False)[
             ["sum_qty", "sum_price_cents", "n_items"]

@@ -61,6 +61,17 @@ from raycrawl.state.robots import RobotsCache
 __all__ = ["crawl", "CrawlResult"]
 
 
+@ray.remote(num_cpus=1)
+def _run_round_chunk(round_fn, chunk: pa.Table) -> pa.Table:
+    """One staged frontier chunk through the fused round stage ("tasks"
+    mode). Plain tasks reuse worker processes, so round_fn's per-process
+    stage cache stays warm across rounds; empty chunks are normalized here
+    because — unlike map_batches — nothing filters them out upstream."""
+    if chunk is None or chunk.num_rows == 0:
+        return empty_tall()
+    return round_fn(chunk)
+
+
 @dataclass
 class CrawlResult:
     """Crawl outputs. Tables are driver-side Arrow only when collect=True
@@ -281,6 +292,22 @@ def crawl(
     n_released = sum(r["released"] for r in rel)
     n_chunks = [r["chunks"] for r in rel]
 
+    stage_kwargs = dict(
+        corpus_path=corpus_path,
+        n_buckets=n_buckets,
+        config=config,
+        robots_actor=robots_actor,
+        bucket_store=bucket_store,
+    )
+    # "tasks" mode round fn, built + plasma-put once: its heavy state is
+    # cached per worker PROCESS, so it stays warm across every round of
+    # the crawl (the ref avoids re-pickling the closure per task)
+    round_fn_ref = (
+        ray.put(make_round_task_fn(**stage_kwargs))
+        if config.stage_mode != "actors"
+        else None
+    )
+
     while round_no < config.max_rounds and n_released > 0:
         t0 = time.perf_counter()
         phase = {}
@@ -289,16 +316,11 @@ def crawl(
             for si, n in enumerate(n_chunks)
             for i in range(n)
         ]
-        frontier = rd.from_arrow_refs(ref_tables)
 
-        stage_kwargs = dict(
-            corpus_path=corpus_path,
-            n_buckets=n_buckets,
-            config=config,
-            robots_actor=robots_actor,
-            bucket_store=bucket_store,
-        )
+        t1 = time.perf_counter()
+        mat = None
         if config.stage_mode == "actors":
+            frontier = rd.from_arrow_refs(ref_tables)
             tall = frontier.map_batches(
                 CrawlRoundStage,
                 fn_constructor_kwargs=stage_kwargs,
@@ -307,20 +329,27 @@ def crawl(
                 concurrency=(1, config.fetch_concurrency),
                 num_cpus=1,
             )
+            # round barrier: the stage is a pure transform, so materializing
+            # it IS the barrier — no in-flight actor calls to wait for
+            mat = tall.materialize()
+            block_refs = mat.to_arrow_refs()
+            if debug_timing and time.perf_counter() - t1 > 5:
+                print(f"--- round {round_no} stats ---\n{mat.stats()}",
+                      flush=True)
         else:
-            tall = frontier.map_batches(
-                make_round_task_fn(**stage_kwargs),
-                batch_format="pyarrow",
-                batch_size=config.batch_size,
-            )
-
-        # round barrier: the stage is a pure transform, so materializing it
-        # IS the barrier — no in-flight actor calls to wait for
-        t1 = time.perf_counter()
-        mat = tall.materialize()
+            # raw task wave: the chunks were already sized (<= batch_size,
+            # ~3 per fetch worker) by the shards' release, so a Dataset adds
+            # only per-round costs here — streaming-executor launch plus a
+            # driver-side materialize barrier, the measured small-corpus
+            # serial floor (BASELINE.md round-3/4 scaling sections). The
+            # task wave has neither: its OUTPUT REFS feed the shard commit
+            # chain below unresolved, so the whole round is one
+            # submission-ordered chain and the driver never waits on fetch.
+            block_refs = [
+                _run_round_chunk.remote(round_fn_ref, ref)
+                for ref in ref_tables
+            ]
         phase["exec"] = round(time.perf_counter() - t1, 3)
-        if debug_timing and phase["exec"] > 5:
-            print(f"--- round {round_no} stats ---\n{mat.stats()}", flush=True)
 
         # route + commit, SHARD-side, as ONE submission-ordered actor
         # chain with no driver round trip in the middle: split -> gate ->
@@ -336,7 +365,6 @@ def crawl(
         #   release: NEXT round's chunks staged while the driver is still
         #            writing THIS round's output (overlap)
         t1 = time.perf_counter()
-        block_refs = mat.to_arrow_refs()
         split_refs = [
             s.split_stripe.remote(block_refs[i::num_shards], num_shards)
             for i, s in enumerate(shards)
@@ -379,7 +407,8 @@ def crawl(
             shutil.rmtree(rdir, ignore_errors=True)
             # distributed write: blocks stream from the workers, the
             # driver never serializes the round (the at-scale path)
-            mat.write_parquet(rdir)
+            (mat if mat is not None else rd.from_arrow_refs(block_refs)) \
+                .write_parquet(rdir)
         if collect:
             # driver-side round table only on request (tests / small crawls)
             tbls = ray.get(block_refs)

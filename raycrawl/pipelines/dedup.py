@@ -33,6 +33,7 @@ import ray.data as rd
 __all__ = [
     "exact_dedup",
     "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
     "simhash_pairs",
     "embedding_near_dup",
     "dedup_clusters",
@@ -292,14 +293,35 @@ def minhash_lsh_pairs(
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
-    # exact-Jaccard verification fetches the two texts of each candidate
-    # pair with ONE hash join back against the docs table on doc_id — the
-    # pair set is sparse, the docs side streams hash-partitioned; nothing
-    # is materialized driver-side (at 100 TB a broadcast id->text map
-    # cannot exist). Pairs MELT to two (doc_id, id_a, id_b) rows so a
-    # single docs shuffle serves both sides; the joined rows reassemble
-    # per pair inside coarse_parts partitions (pandas C groupby — no
-    # per-pair UDF dispatch).
+    from ray.data.aggregate import Count
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    cands = clean_blocks(
+        docs.map_batches(signer, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        # global pair dedup via native hash aggregation (no per-group UDF)
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n")),
+        pair_schema,
+    )
+    return _verify_jaccard_pairs(cands, sf_dir, k, threshold, mask)
+
+
+def _verify_jaccard_pairs(cands: rd.Dataset, sf_dir: str, k: int,
+                          threshold: float, mask: int) -> rd.Dataset:
+    """Exact-Jaccard verification of candidate pairs, shared by the
+    minhash and prefix-filter candidate generators.
+
+    Fetches the two texts of each candidate pair with ONE hash join back
+    against the docs table on doc_id — the pair set is sparse, the docs
+    side streams hash-partitioned; nothing is materialized driver-side
+    (at 100 TB a broadcast id->text map cannot exist). Pairs MELT to two
+    (doc_id, id_a, id_b) rows so a single docs shuffle serves both sides;
+    the joined rows reassemble per pair inside coarse_parts partitions
+    (pandas C groupby — no per-pair UDF dispatch)."""
+
     def melt(t: pa.Table) -> pa.Table:
         a = t["id_a"].combine_chunks()
         b = t["id_b"].combine_chunks()
@@ -326,20 +348,8 @@ def minhash_lsh_pairs(
             {"id_a": pd.array(out_a, "int64"), "id_b": pd.array(out_b, "int64")}
         )
 
-    from ray.data.aggregate import Count
-
     pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
-
     n_parts = doc_blocks(sf_dir)
-    cands = clean_blocks(
-        docs.map_batches(signer, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        # global pair dedup via native hash aggregation (no per-group UDF)
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n")),
-        pair_schema,
-    )
     texts = _read_docs(sf_dir, ["doc_id", "text"])
 
     def add_ppart(t: pa.Table) -> pa.Table:
@@ -357,6 +367,86 @@ def minhash_lsh_pairs(
         .map_groups(verify_part, batch_format="pandas")
     )
     return clean_blocks(pairs, pair_schema)
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, k: int = 3, threshold: float = 0.5
+) -> rd.Dataset:
+    """Near-duplicate pairs (id_a, id_b) with Jaccard >= threshold, via
+    LENGTH + PREFIX FILTERING (AllPairs-style set-similarity join) instead
+    of minhash banding.
+
+    Per doc: sort the k-shingle hash set under the global (hash-value)
+    order and emit only the first ``n - ceil(t*n) + 1`` shingles — the
+    prefix. The standard prefix lemma (the smallest common element of any
+    pair with overlap >= a sits within both prefixes of length |x|-a+1;
+    J >= t implies overlap >= ceil(t*max(|x|,|y|)) >= ceil(t*|x|)) makes
+    recall EXACT by construction — unlike LSH banding there is no
+    probabilistic miss to measure. Candidates then pass the length filter
+    (min >= t*max) and the same melted single-join exact-Jaccard verify as
+    minhash. One shuffle keyed by shingle hash (coarse partitions), pair
+    volume bounded by prefix collisions rather than all-pairs."""
+    import math
+
+    mask = coarse_parts(sf_dir) - 1
+
+    def prefixes(t: pa.Table) -> pa.Table:
+        doc_ids, grams, sizes = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ss = sorted(shingles(text, k))
+            n = len(ss)
+            if n == 0:
+                continue
+            p = n - math.ceil(threshold * n) + 1
+            for g in ss[:p]:
+                doc_ids.append(doc_id)
+                grams.append(g)
+                sizes.append(n)
+        part = [g & mask for g in grams]
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n": pa.array(sizes, pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        ids_all = g["doc_id"].to_numpy()
+        ns_all = g["n"].to_numpy()
+        for pos in g.groupby("gram", sort=False).indices.values():
+            if len(pos) < 2:
+                continue
+            order = np.argsort(ids_all[pos])
+            ids = ids_all[pos][order]
+            ns = ns_all[pos][order]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    lo, hi = sorted((ns[i], ns[j]))
+                    if lo >= threshold * hi:  # length filter
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+        return pd.DataFrame(
+            {"id_a": pd.array(out_a, "int64"), "id_b": pd.array(out_b, "int64")}
+        )
+
+    from ray.data.aggregate import Count
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    cands = clean_blocks(
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(prefixes, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gram_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n")),
+        pair_schema,
+    )
+    return _verify_jaccard_pairs(cands, sf_dir, k, threshold, mask)
 
 
 # ---------------------------------------------------------------------------

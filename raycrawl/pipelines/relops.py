@@ -233,6 +233,163 @@ def orders_lineitem_join(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (wrapping uint64 arithmetic)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_positions(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing h1 + i*h2 (Kirsch-
+    Mitzenmacher); m is a power of two."""
+    x = keys.astype(np.uint64)
+    h1 = _splitmix64(x)
+    h2 = _splitmix64(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return (h1[None, :] + i * h2[None, :]) & np.uint64(m - 1)
+
+
+def urgent_order_revenue(sf_dir: str, bloom_log2: int = 23,
+                         k_hashes: int = 4) -> rd.Dataset:
+    """Revenue + item count of lineitems on URGENT orders: a BLOOM-
+    PREFILTERED hash join.
+
+    The selective side (urgent orderkeys, ~20% of orders) is summarized as
+    a Bloom filter and broadcast; the probe side (lineitem, the huge fact
+    table) drops non-members BEFORE the shuffle join, so ~80% of its rows
+    never enter the all-to-all exchange. This is the at-scale middle
+    ground between mktsegment_revenue's exact broadcast index (needs the
+    keys to fit worker heaps) and orders_lineitem_join's full two-sided
+    shuffle: the bloom is bits/key, not bytes/key. False positives are
+    harmless — the exact (now tiny) Dataset.join behind the filter drops
+    them, so the result is exact and the shared SQL oracle proves it.
+
+    Bloom construction is distributed: per-batch partial bit arrays, OR-
+    reduced through a 64-way grouped shuffle (the HLL-register pattern),
+    driver ORs <= 64 rows of 2^bloom_log2 bits. Size bloom_log2 to ~10
+    bits per expected key for <1% FP at k=4."""
+    m = 1 << bloom_log2
+    words = m >> 6
+
+    from raycrawl.pipelines.dedup import clean_blocks
+
+    urgent_schema = pa.schema([("o_orderkey", pa.int64())])
+    urgent = clean_blocks(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+            lambda t: pa.table(
+                {"o_orderkey": t.filter(
+                    pc.equal(t["o_orderpriority"], "1-URGENT")
+                )["o_orderkey"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        urgent_schema,
+    )
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        bits = np.zeros(words, np.uint64)
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            pos = _bloom_positions(keys, m, k_hashes).ravel()
+            np.bitwise_or.at(bits, pos >> np.uint64(6),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        part = int(keys[0]) & 63 if len(keys) else 0
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "bits": pa.array([bits.tobytes()], pa.binary()),
+            }
+        )
+
+    def or_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(words, np.uint64)
+        for b in g["bits"]:
+            acc |= np.frombuffer(b, np.uint64)
+        return pd.DataFrame({"part": [g["part"].iloc[0]],
+                             "bits": [acc.tobytes()]})
+
+    reduced = (
+        urgent.map_batches(partial_bloom, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(or_group, batch_format="pandas")
+        .to_pandas()  # <= 64 rows of 2^bloom_log2 bits
+    )
+    bits = np.zeros(words, np.uint64)
+    for b in reduced["bits"]:
+        acc = np.frombuffer(memoryview(b), np.uint64)
+        bits |= acc
+    bits_ref = ray.put(bits)
+
+    class Probe:
+        """Prefilter stage: the bloom loads once per actor."""
+
+        def __init__(self):
+            self.bits = ray.get(bits_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            if not len(keys):
+                return pa.table(
+                    {"l_orderkey": pa.array([], pa.int64()),
+                     "price_cents": pa.array([], pa.int64())}
+                )
+            pos = _bloom_positions(keys, m, k_hashes)
+            hit = np.ones(len(keys), bool)
+            for i in range(k_hashes):
+                hit &= (
+                    (self.bits[pos[i] >> np.uint64(6)]
+                     >> (pos[i] & np.uint64(63))) & np.uint64(1)
+                ).astype(bool)
+            kept = t.filter(pa.array(hit))
+            return pa.table(
+                {
+                    "l_orderkey": kept["l_orderkey"],
+                    "price_cents": _cents(kept["l_extendedprice"]),
+                }
+            )
+
+    li_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("price_cents", pa.int64())])
+    prefiltered = clean_blocks(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+            Probe, batch_format="pyarrow", concurrency=pool_size(),
+            num_cpus=0.5,
+        ),
+        li_schema,
+    )
+
+    joined = prefiltered.join(
+        urgent,
+        join_type="inner",
+        num_partitions=join_parts(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "one": pa.array([0], pa.int64()),
+                "revenue_cents": pa.array(
+                    [pc.sum(t["price_cents"]).as_py() or 0], pa.int64()
+                ),
+                "n_items": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("one")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+        .select_columns(["revenue_cents", "n_items"])
+    )
+
+
 def lineitem_topk(sf_dir: str, k: int = 20) -> rd.Dataset:
     """Top-k by extended price; deterministic tie-break on the key columns."""
     def prep(t: pa.Table) -> pa.Table:

@@ -523,3 +523,46 @@ def test_range_join_salted_matches_unsalted_and_brute(ray_session, skewed_events
         )
     )
     pd.testing.assert_frame_equal(plain, brute, check_dtype=False)
+
+
+def test_urgent_order_revenue_bloom(ray_session, tmp_path):
+    """Bloom prefilter must be transparent: planted orders/lineitem where
+    most lineitems do NOT belong to urgent orders (the prune case) plus a
+    tiny bloom (forced false positives) — the exact join behind the filter
+    must still produce the exact answer."""
+    from raycrawl.pipelines.relops import urgent_order_revenue
+
+    rng = np.random.RandomState(3)
+    n_orders = 400
+    prio = np.where(rng.rand(n_orders) < 0.2, "1-URGENT", "3-MEDIUM")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64)),
+                "o_orderpriority": pa.array(prio.astype(object)),
+            }
+        ),
+        os.path.join(str(tmp_path), "orders.parquet"),
+    )
+    n_li = 3000
+    lkeys = rng.randint(0, n_orders, n_li).astype(np.int64)
+    price = np.round(rng.uniform(1, 500, n_li), 2)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(lkeys),
+                "l_extendedprice": pa.array(price, pa.float64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "lineitem.parquet"),
+    )
+    urgent = set(np.where(prio == "1-URGENT")[0])
+    mask = np.isin(lkeys, list(urgent))
+    want_rev = int(np.round(price * 100)[mask].sum())
+    want_n = int(mask.sum())
+    # bloom_log2=8 (256 bits for ~80 keys * 4 hashes): false positives
+    # certain; result must be exact anyway
+    for log2 in (8, 20):
+        got = urgent_order_revenue(str(tmp_path), bloom_log2=log2).to_pandas()
+        assert got["revenue_cents"].tolist() == [want_rev]
+        assert got["n_items"].tolist() == [want_n]

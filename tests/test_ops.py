@@ -65,6 +65,50 @@ def test_minhash_lsh_planted(ray_session, planted_docs):
     assert jaccard(shingles("a b c d"), shingles("a b c d")) == 1.0
 
 
+def test_ngram_jaccard_planted(ray_session, planted_docs):
+    from raycrawl.pipelines.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(planted_docs, threshold=0.5).to_pandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    # prefix filtering must find exactly what minhash+verify finds here
+    assert got == {(0, 1), (0, 2), (0, 5), (1, 2), (1, 5), (2, 5)}
+
+
+def test_ngram_jaccard_matches_bruteforce(ray_session, tmp_path):
+    """Recall is exact BY CONSTRUCTION (prefix lemma): every J>=t pair of a
+    high-collision random corpus must come back, nothing else."""
+    from raycrawl.pipelines.dedup import jaccard, ngram_jaccard_pairs, shingles
+
+    rng = np.random.RandomState(5)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    texts = [
+        " ".join(rng.choice(vocab, rng.randint(0, 12))) for _ in range(60)
+    ]
+    texts += [texts[0], "", texts[3], "one two"]  # dups, empty, short doc
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    got = ngram_jaccard_pairs(str(tmp_path), threshold=0.5).to_pandas()
+    got_pairs = {tuple(r) for r in got[["id_a", "id_b"]].itertuples(index=False)}
+    sets = [shingles(t, 3) for t in texts]
+    brute = {
+        (i, j)
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if sets[i] and sets[j] and jaccard(sets[i], sets[j]) >= 0.5
+    }
+    assert got_pairs == brute
+
+
 def test_simhash_planted(ray_session, planted_docs):
     from raycrawl.pipelines.dedup import simhash64, simhash_pairs
 

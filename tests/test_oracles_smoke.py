@@ -20,7 +20,9 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "events_user_paths", "events_outliers", "events_cohort_retention",
          "nation_customer_supplier_outer", "docs_bigrams_topk",
          "docs_heavy_tokens", "docs_stratified_sample", "lineitem_cube",
-         "embeddings_kmeans", "crawl_degree_hist", "events_close_pairs"]
+         "embeddings_kmeans", "crawl_degree_hist", "events_close_pairs",
+         "dedup_ngram_jaccard", "multimodal_dims", "urgent_order_revenue",
+         "events_asof_join_salted", "events_range_join_salted"]
 
 
 @pytest.fixture(scope="module")
