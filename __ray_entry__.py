@@ -233,6 +233,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- vector aggregates ----
         "embeddings_label_centroids": ann.label_centroids,
         "embeddings_kmeans": ann.kmeans_assign,
+        # ---- round 4: span dedup, corpus-relative signals, Q13/Q18 ----
+        "docs_segment_dedup": textops.segment_dedup,
+        "docs_common_token_ratio": textops.common_token_ratio,
+        "docs_length_pctile": textops.length_pctile,
+        "orders_count_distribution": analytics.orders_count_distribution,
+        "top_customer_orders": analytics.top_customer_orders,
     }
 
 
@@ -1349,6 +1355,106 @@ LEFT JOIN bs USING (doc_id)
 LEFT JOIN hit ht USING (doc_id)
 LEFT JOIN surv s USING (doc_id)
 WHERE d.doc_id % 97 <> 0
+"""
+    # ---- round 4 ----
+    # fixed-width token-segment global dedup: first occurrence of every
+    # 10-token segment wins (min (doc_id, seg_no)); docs reassembled from
+    # surviving segments in order. string_split(text,' ') mirrors the
+    # pipeline's literal single-space split (rejoin reproduces bytes).
+    sql["docs_segment_dedup"] = r"""
+WITH segs AS (
+  SELECT doc_id, seg_no,
+         array_to_string(ts[seg_no*10+1 : (seg_no+1)*10], ' ') AS seg
+  FROM (
+    SELECT doc_id, ts, unnest(range(0, (len(ts)+9)//10)) AS seg_no
+    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+  )
+),
+winners AS (
+  SELECT doc_id, seg_no, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       string_agg(seg, ' ' ORDER BY seg_no) AS text_dedup,
+       count(*) AS n_kept
+FROM winners WHERE rn = 1
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+    # heavy-hitter membership ratio: the "common" set is freq >= total/32,
+    # which is <= 32 tokens at ANY corpus size (heavy-hitters bound) —
+    # the broadcast side never grows. Same lower+\s+ tokenization as the
+    # pipeline; empty-doc rows survive via the LEFT JOIN.
+    sql["docs_common_token_ratio"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT sum(n) AS s FROM vocab),
+hh AS (SELECT tok FROM vocab, tot WHERE n * 32 >= s),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(*) FILTER (tok IN (SELECT tok FROM hh)) AS n_common
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
+       CAST(CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0
+                 ELSE (p.n_common * 4096) // p.n_tokens END AS BIGINT)
+         AS common_ratio_4096
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+    # exact corpus length-percentile: rank()-1 = count of strictly
+    # shorter docs (ties share the min rank), same \S+ token count as
+    # the pipeline's histogram passes
+    sql["docs_length_pctile"] = r"""
+WITH per AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         rank() OVER (ORDER BY n_tokens) - 1 AS n_less,
+         count(*) OVER () AS tot
+  FROM per
+)
+SELECT doc_id, n_tokens, CAST(n_less AS BIGINT) AS n_less,
+       CAST((n_less * 4096) // tot AS BIGINT) AS pctile_4096
+FROM r ORDER BY doc_id
+"""
+    # TPC-H Q13 shape: order-count distribution incl. the zero bucket
+    sql["orders_count_distribution"] = r"""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY n_orders ORDER BY n_orders
+"""
+    # TPC-H Q18 shape: HAVING on the fact aggregate, joins up the chain,
+    # deterministic top-k (price desc, orderkey asc); integer quantities
+    sql["top_customer_orders"] = r"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+       total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice_cents DESC, o_orderkey
+LIMIT 10
 """
     # the salted join paths must emit byte-identical rows to the unsalted
     # ones — same oracle proves it at the gate

@@ -58,6 +58,8 @@ __all__ = [
     "events_cohort_retention",
     "events_close_pairs",
     "nation_customer_supplier_outer",
+    "orders_count_distribution",
+    "top_customer_orders",
 ]
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -771,4 +773,166 @@ def events_pivot(sf_dir: str) -> rd.Dataset:
         .map_batches(prep, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(*aggs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 4: customer-order distribution (Q13 shape), large-volume customers
+# (Q18 shape)
+# ---------------------------------------------------------------------------
+
+_BIG_SCHEMA = pa.schema([("l_orderkey", pa.int64()), ("total_qty", pa.int64())])
+_ORD_SCHEMA = pa.schema(
+    [
+        ("o_orderkey", pa.int64()),
+        ("o_custkey", pa.int64()),
+        ("o_totalprice_cents", pa.int64()),
+    ]
+)
+_CNAME_SCHEMA = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
+
+
+def orders_count_distribution(sf_dir: str) -> pa.Table:
+    """(n_orders, n_customers): how many customers placed exactly N orders
+    — the TPC-H Q13 shape (outer-join count distribution), including the
+    zero-order bucket.
+
+    Scale shape: the per-customer count is a distributed
+    aggregate-of-an-aggregate (per-batch partial counts before the one
+    custkey shuffle); the histogram over counts is a second
+    domain-bounded aggregate (one row per DISTINCT order count). The
+    zero bucket needs no outer join at all: it is ``|customer| -
+    |customers with >=1 order|``, the first a metadata count, the second
+    the histogram's own mass — so the customer table is never shuffled.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return _rename(g, {"o_custkey_count": "n"})
+
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["n_orders"])
+            .group_by("n_orders")
+            .aggregate([("n_orders", "count")])
+        )
+        return _rename(g, {"n_orders_count": "n_customers"})
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .take_all()  # bounded by the max-orders-per-customer domain
+    )
+    rows = sorted((int(r["n_orders"]), int(r["n_customers"])) for r in hist)
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_zero = n_cust - sum(c for _, c in rows)
+    if n_zero > 0:
+        rows.insert(0, (0, n_zero))
+    return pa.table(
+        {
+            "n_orders": pa.array([a for a, _ in rows], pa.int64()),
+            "n_customers": pa.array([b for _, b in rows], pa.int64()),
+        }
+    )
+
+
+def top_customer_orders(
+    sf_dir: str, min_qty: int = 300, k: int = 10
+) -> rd.Dataset:
+    """(c_custkey, c_name, o_orderkey, o_totalprice_cents, total_qty): the
+    k most expensive orders among those whose total line quantity exceeds
+    ``min_qty`` — the TPC-H Q18 shape (HAVING filter on a fact aggregate,
+    then two joins up the dimension chain, then top-k).
+
+    Scale shape: the quantity aggregate is partial per batch before its
+    one orderkey shuffle, and the HAVING filter runs on the AGGREGATED
+    table, so only qualifying orderkeys (a tiny fraction) enter the join
+    graph. Both joins are Ray-native hash joins (orders and customer are
+    fact-sized at 100 TB — neither broadcasts); the final sort/limit runs
+    on the filtered join output, bounded by the qualifier count.
+    """
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "qty": pc.cast(t["l_quantity"], pa.int64()),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("qty", "sum")])
+        )
+        return _rename(g, {"qty_sum": "total_qty"})
+
+    def keep_big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["total_qty"], min_qty))
+
+    big = clean_blocks(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("total_qty", alias_name="total_qty"))
+        .map_batches(keep_big, batch_format="pyarrow"),
+        _BIG_SCHEMA,
+    )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_totalprice_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    orders = clean_blocks(
+        _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+        ).map_batches(prep_orders, batch_format="pyarrow"),
+        _ORD_SCHEMA,
+    )
+    cust = clean_blocks(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]), _CNAME_SCHEMA
+    )
+
+    joined = orders.join(
+        big,
+        join_type="inner",
+        num_partitions=join_parts(),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    ).join(
+        cust,
+        join_type="inner",
+        num_partitions=join_parts(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        # Dataset.join drops the RIGHT key column; the surviving left key
+        # carries the same value (inner equi-join), so alias it back
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "c_name": t["c_name"],
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice_cents": t["o_totalprice_cents"],
+                "total_qty": t["total_qty"],
+            }
+        )
+
+    return (
+        joined.map_batches(project, batch_format="pyarrow")
+        .sort(["o_totalprice_cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
     )

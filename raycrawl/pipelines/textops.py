@@ -41,6 +41,9 @@ __all__ = [
     "langid",
     "fingerprints",
     "LangId",
+    "segment_dedup",
+    "common_token_ratio",
+    "length_pctile",
 ]
 
 
@@ -971,4 +974,245 @@ def fingerprints(sf_dir: str) -> rd.Dataset:
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 4: segment-level global dedup, corpus-relative quality signals
+# ---------------------------------------------------------------------------
+
+
+def segment_dedup(sf_dir: str, width: int = 10) -> rd.Dataset:
+    """(doc_id, text_dedup, n_kept): C4-style duplicate-span removal at
+    fixed ``width``-token segment granularity (the Lee et al. 2022
+    exact-substring-dedup signal discretized to non-overlapping windows,
+    which is what makes a global first-wins rule well-defined).
+
+    Every document is cut into consecutive ``width``-token segments; a
+    segment string that occurs anywhere else in the corpus survives only
+    at its globally-first occurrence (min ``(doc_id, seg_no)``), and each
+    document is reassembled from its surviving segments in order. Docs
+    whose every segment lost disappear (same inner semantics as the SQL
+    twin).
+
+    Scale shape: segment emit is one vectorized pass (one split kernel,
+    segment strings built by ``pc.binary_join`` over a re-offset view of
+    the SAME token buffer — zero copies of text bytes); the global
+    first-wins rule is ONE shuffle on a ``hash(seg) & (coarse_parts-1)``
+    key (every occurrence of a segment colocates; pandas' C groupby
+    resolves exact winners inside the partition, collision-proof because
+    the key only places rows); reassembly is a second shuffle on
+    ``doc_id & mask``. Both partition widths grow with the corpus via
+    ``dedup.coarse_parts`` — no partition holds more than ~corpus/n.
+    """
+    import pandas as pd
+
+    from raycrawl.pipelines.dedup import coarse_parts
+
+    mask = coarse_parts(sf_dir) - 1
+
+    def emit(t: pa.Table) -> pa.Table:
+        # split on literal ' ' (NOT \s+/lower) so that rejoining surviving
+        # segments with ' ' reproduces the original bytes exactly when
+        # nothing is dropped — the SQL twin uses string_split(text, ' ')
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)  # >= 1 per doc: ''.split(' ') == ['']
+        n_segs = -(-counts // width)
+        total = int(n_segs.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "seg_no": pa.array([], pa.int64()),
+                    "seg": pa.array([], pa.string()),
+                    "seg_part": pa.array([], pa.int64()),
+                }
+            )
+        doc_rep = np.repeat(np.arange(len(t)), n_segs)
+        first = np.cumsum(n_segs) - n_segs
+        seg_no = np.arange(total) - first[doc_rep]
+        starts = offs[doc_rep] + seg_no * width
+        # each doc's last segment ends exactly where the next doc starts,
+        # so starts + the final sentinel ARE the new list offsets over the
+        # same token values buffer
+        bounds = np.append(starts, offs[-1])
+        segs = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(bounds, pa.int32()), toks.values
+            ),
+            " ",
+        )
+        # placement-only partition key (exact winners resolved in-group)
+        part = (
+            pd.util.hash_array(
+                segs.to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            & mask
+        )
+        return pa.table(
+            {
+                "doc_id": pc.take(t["doc_id"], pa.array(doc_rep)),
+                "seg_no": pa.array(seg_no, pa.int64()),
+                "seg": segs,
+                "seg_part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.sort_values(["seg", "doc_id", "seg_no"]).drop_duplicates("seg")
+        return w[["doc_id", "seg_no", "seg"]]
+
+    def add_doc_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "doc_part",
+            pc.bit_wise_and(pc.cast(t["doc_id"], pa.int64()), mask),
+        )
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "seg_no"])
+        out = g.groupby("doc_id", as_index=False).agg(
+            text_dedup=("seg", " ".join), n_kept=("seg", "size")
+        )
+        out["n_kept"] = out["n_kept"].astype("int64")
+        return out[["doc_id", "text_dedup", "n_kept"]]
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("seg_part")
+        .map_groups(winners, batch_format="pandas")
+        .map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("doc_part")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
+def common_token_ratio(sf_dir: str, k_hh: int = 32) -> rd.Dataset:
+    """(doc_id, n_tokens, n_common, common_ratio_4096): fraction of each
+    document's tokens that are corpus-level heavy hitters — a
+    corpus-RELATIVE quality signal (a doc made of globally-rare tokens is
+    likely junk/boilerplate-free; one made only of the corpus's most
+    common tokens is likely templated).
+
+    The "common" set is tokens with corpus frequency >= total/k_hh, which
+    is AT MOST k_hh tokens at any corpus size (the classic heavy-hitters
+    bound) — so the broadcast side is O(k_hh) forever, never
+    O(vocabulary). Two passes: (1) distributed vocab count (partial
+    per-batch counts before the one shuffle, same shape as vocab_topk),
+    total + filter on the aggregated vocab (materialized once — bounded
+    by vocab size, not corpus size); (2) stateless per-batch ``is_in``
+    probe against the broadcast set. Integer ratio in 4096ths.
+    """
+    from ray.data.aggregate import Sum
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(lists)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [("token", "count")]
+        )
+        return g.rename_columns(["token", "n"])
+
+    vocab = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(explode_count, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # aggregated vocab, read twice (total + filter)
+    )
+    total = int(vocab.sum("n"))
+
+    def hh_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(pc.multiply(t["n"], k_hh), total))
+
+    hh = vocab.map_batches(hh_only, batch_format="pyarrow").take_all()
+    hh_ref = ray.put(pa.array([r["token"] for r in hh], pa.string()))
+
+    def score(t: pa.Table) -> pa.Table:
+        hh_arr = ray.get(hh_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), r"\s+"
+        ).combine_chunks()
+        flat = toks.values
+        trow = np.repeat(
+            np.arange(len(t)), np.diff(toks.offsets.to_numpy())
+        )
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        member = pc.is_in(flat, value_set=hh_arr).to_numpy(
+            zero_copy_only=False
+        )
+        n_tok = np.bincount(trow[nonempty], minlength=len(t)).astype(np.int64)
+        n_com = np.bincount(
+            trow[nonempty & member], minlength=len(t)
+        ).astype(np.int64)
+        ratio = np.where(n_tok > 0, (n_com * 4096) // np.maximum(n_tok, 1), 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "n_common": pa.array(n_com),
+                "common_ratio_4096": pa.array(ratio, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def length_pctile(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, n_less, pctile_4096): each document's exact
+    corpus length-percentile (count of strictly shorter docs, and its
+    4096ths fraction) — the corpus-relative length filter of a curation
+    pipeline ("drop the shortest 5%") computed exactly in two passes.
+
+    Pass 1 reduces the corpus to a LENGTH HISTOGRAM (distributed partial
+    bincounts, then one groupby-sum; the driver collect is bounded by the
+    number of DISTINCT lengths, never the doc count). Pass 2 broadcasts
+    the sorted lengths + exclusive prefix sums and ranks every doc with
+    one vectorized searchsorted — no global sort of the corpus.
+    """
+    from ray.data.aggregate import Sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        g = pa.table({"n_tokens": n}).group_by("n_tokens").aggregate(
+            [("n_tokens", "count")]
+        )
+        return g.rename_columns(["n_tokens", "c"])
+
+    hist = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # one row per DISTINCT length — domain-bounded
+    )
+    lens = np.array(sorted(r["n_tokens"] for r in hist), np.int64)
+    cnts = np.array(
+        [c for _, c in sorted((r["n_tokens"], r["c"]) for r in hist)],
+        np.int64,
+    )
+    cum_less = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    total = int(cnts.sum())
+
+    def rank(t: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(t["text"], r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lens, n, side="left")
+        n_less = cum_less[idx]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n),
+                "n_less": pa.array(n_less),
+                "pctile_4096": pa.array((n_less * 4096) // max(total, 1)),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rank, batch_format="pyarrow"
     )

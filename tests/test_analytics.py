@@ -566,3 +566,66 @@ def test_urgent_order_revenue_bloom(ray_session, tmp_path):
         got = urgent_order_revenue(str(tmp_path), bloom_log2=log2).to_pandas()
         assert got["revenue_cents"].tolist() == [want_rev]
         assert got["n_items"].tolist() == [want_n]
+
+
+# ---------------------------------------------------------------------------
+# round 4: Q13 / Q18 shapes vs DuckDB brute force at sf0.001
+# ---------------------------------------------------------------------------
+
+
+def test_orders_count_distribution_bruteforce(ray_session):
+    import duckdb
+
+    from raycrawl.pipelines.analytics import orders_count_distribution
+
+    got = orders_count_distribution(SF).to_pandas()
+    want = duckdb.sql(
+        f"""
+        SELECT CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS n_orders
+          FROM read_parquet('{SF}/customer.parquet') c
+          LEFT JOIN read_parquet('{SF}/orders.parquet') o
+            ON o_custkey = c_custkey
+          GROUP BY c_custkey
+        ) GROUP BY n_orders ORDER BY n_orders
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    # the distribution covers every customer exactly once
+    n_cust = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/customer.parquet')"
+    ).fetchone()[0]
+    assert got["n_customers"].sum() == n_cust
+
+
+def test_top_customer_orders_bruteforce(ray_session):
+    import duckdb
+
+    from raycrawl.pipelines.analytics import top_customer_orders
+
+    got = (
+        top_customer_orders(SF, min_qty=150, k=5)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+          FROM read_parquet('{SF}/lineitem.parquet')
+          GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+               total_qty
+        FROM big
+        JOIN read_parquet('{SF}/orders.parquet') o ON o_orderkey = l_orderkey
+        JOIN read_parquet('{SF}/customer.parquet') c ON c_custkey = o_custkey
+        ORDER BY o_totalprice_cents DESC, o_orderkey LIMIT 5
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)

@@ -1147,3 +1147,108 @@ def test_quantile_disc_pick_matches_duckdb(vals, q):
         "SELECT quantile_disc(x, ?) FROM (SELECT unnest(?) AS x)", [q, vals]
     ).fetchone()[0]
     assert ours == theirs, (vals, q)
+
+
+# ---------------------------------------------------------------------------
+# round 4: segment dedup, corpus-relative signals
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(dirpath, texts):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(list(texts)),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(dirpath), "documents.parquet"),
+    )
+    return str(dirpath)
+
+
+def _ref_segment_dedup(texts, width):
+    """Pure-python first-wins segment dedup (the global-order semantics)."""
+    seen = set()
+    out = {}
+    for doc_id, text in enumerate(texts):
+        toks = text.split(" ")
+        kept = []
+        for i in range(0, len(toks), width):
+            seg = " ".join(toks[i : i + width])
+            if seg not in seen:
+                seen.add(seg)
+                kept.append(seg)
+        if kept:
+            out[doc_id] = (" ".join(kept), len(kept))
+    return out
+
+
+def test_segment_dedup_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import segment_dedup
+
+    texts = [
+        "a b c d e f",    # both segments novel
+        "a b c x y z",    # first segment already seen -> only "x y z"
+        "a b c d e f",    # every segment seen -> doc disappears
+        "q w",            # short doc = one sub-width segment
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"])
+        for r in segment_dedup(sf, width=3).take_all()
+    }
+    assert got == {
+        0: ("a b c d e f", 2),
+        1: ("x y z", 1),
+        3: ("q w", 1),
+    }
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=8
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_segment_dedup_fuzz(ray_session, tmp_path_factory, texts):
+    from raycrawl.pipelines.textops import segment_dedup
+
+    sf = _write_docs(tmp_path_factory.mktemp("segfuzz"), texts)
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"])
+        for r in segment_dedup(sf, width=2).take_all()
+    }
+    assert got == _ref_segment_dedup(texts, 2)
+
+
+def test_common_token_ratio_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import common_token_ratio
+
+    # total = 8 tokens; with k_hh=2 only tokens with freq*2 >= 8 (i.e. >=4)
+    # are "common": 'a' (5 occurrences). 'b','c' are not.
+    texts = ["a a a b c", "a a b"]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r["doc_id"]: r for r in common_token_ratio(sf, k_hh=2).take_all()}
+    assert rows[0]["n_tokens"] == 5 and rows[0]["n_common"] == 3
+    assert rows[0]["common_ratio_4096"] == (3 * 4096) // 5
+    assert rows[1]["n_tokens"] == 3 and rows[1]["n_common"] == 2
+    assert rows[1]["common_ratio_4096"] == (2 * 4096) // 3
+
+
+def test_length_pctile_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import length_pctile
+
+    texts = ["x", "x y", "p q", "a b c d e"]  # lengths 1, 2, 2, 5
+    sf = _write_docs(tmp_path, texts)
+    rows = {r["doc_id"]: r for r in length_pctile(sf).take_all()}
+    assert [rows[i]["n_less"] for i in range(4)] == [0, 1, 1, 3]
+    assert [rows[i]["pctile_4096"] for i in range(4)] == [
+        0,
+        4096 // 4,
+        4096 // 4,
+        (3 * 4096) // 4,
+    ]
