@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_customer_supplier_outer": analytics.nation_customer_supplier_outer,
         # ---- retrieval / cross-doc duplication ----
         "docs_tfidf_topk": retrieval.docs_tfidf_topk,
+        "docs_bm25_topk": retrieval.docs_bm25_topk,
         "docs_dup_ngrams": retrieval.docs_dup_ngrams,
         "docs_postings": retrieval.docs_postings,
         # ---- vector aggregates ----
@@ -1357,6 +1358,41 @@ LEFT JOIN surv s USING (doc_id)
 WHERE d.doc_id % 97 <> 0
 """
     # ---- round 4 ----
+    # integer-exact BM25 (k1=1.2, b=0.75 multiplied through by common
+    # denominators — see retrieval.docs_bm25_topk): idf_int =
+    # ((N-df+1)*4096)//(df+1), tfn_int = (44*T*tf*4096)//(20*T*tf+6*T+
+    # 18*dl*N); same lower+\s+ tokenization as the pipeline
+    sql["docs_bm25_topk"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+s AS (SELECT count(*) AS t_total FROM toks),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+qterms(term) AS (VALUES ('hash'), ('join'), ('sort'), ('vector')),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks JOIN qterms ON tok = term GROUP BY term
+),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM toks JOIN qterms ON tok = term GROUP BY doc_id, tok
+),
+scored AS (
+  SELECT tf.doc_id,
+         (((nd.n_docs - df.df + 1) * 4096) // (df.df + 1))
+         * ((44 * s.t_total * tf.tf * 4096)
+            // (20 * s.t_total * tf.tf + 6 * s.t_total
+                + 18 * dl.dl * nd.n_docs)) AS term_score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, s, nd
+)
+SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20
+"""
     # fixed-width token-segment global dedup: first occurrence of every
     # 10-token segment wins (min (doc_id, seg_no)); docs reassembled from
     # surviving segments in order. string_split(text,' ') mirrors the

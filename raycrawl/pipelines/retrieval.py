@@ -39,6 +39,7 @@ from raycrawl.pipelines.textops import _flat_tokens, _read_docs, _shingles
 
 __all__ = [
     "docs_tfidf_topk",
+    "docs_bm25_topk",
     "docs_dup_ngrams",
     "docs_postings",
     "TFIDF_TERMS",
@@ -252,4 +253,112 @@ def docs_dup_ngrams(sf_dir: str, n: int = 5,
             Sum("n_shared_grams", alias_name="n_shared_grams"),
             Sum("n_shared_positions", alias_name="n_shared_positions"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 4: integer-exact BM25 top-k
+# ---------------------------------------------------------------------------
+
+# BM25 constants k1=1.2, b=0.75 multiplied through by their common
+# denominators so every operation is integer floor division (exactly
+# reproducible in BIGINT SQL):
+#   tfn = tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl),  avgdl = T/N
+#       = 44*T*tf / (20*T*tf + 6*T + 18*dl*N)
+# idf is the Robertson rational form (N-df+1)/(df+1), floor-scaled.
+BM25_SCALE = 4096
+
+
+def docs_bm25_topk(
+    sf_dir: str, k: int = 20, terms: tuple = TFIDF_TERMS
+) -> rd.Dataset:
+    """(doc_id, score): top-k documents by integer-exact BM25 against
+    ``terms``.
+
+    score(doc) = sum over query terms of idf_int(term) * tfn_int(term,doc)
+    with idf_int = ((N - df + 1) * 4096) // (df + 1) and tfn_int =
+    (44*T*tf*4096) // (20*T*tf + 6*T + 18*dl*N) — the k1=1.2/b=0.75 BM25
+    saturation multiplied through by common denominators, so both factors
+    are single floor divisions over positive integers (numpy ``//`` ==
+    DuckDB ``//``; tfn_int is bounded by 44*4096/20 ≈ 9011, so the final
+    product stays far inside int64 at any gate scale — a true-100-TB
+    deployment would run the SAME two-pass plan with int128/float
+    scoring).
+
+    Plan (identical shape to :func:`docs_tfidf_topk`): pass 1 reduces the
+    corpus to |terms| document frequencies plus the corpus token total
+    (per-batch partials, driver sum bounded by batches x terms); the
+    integer weights broadcast via ``ray.put``; pass 2 scores each batch
+    vectorized (one tokenization, per-term bincounts, one fused integer
+    expression) and a distributed sort+limit picks the top k.
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, trow = _flat_tokens(t)
+        dfs = []
+        for term in terms:
+            hit = flat == term
+            dfs.append(
+                int((np.bincount(trow[hit], minlength=len(t)) > 0).sum())
+                if hit.any()
+                else 0
+            )
+        return pa.table(
+            {
+                "term": pa.array(list(terms) + ["\x00ntok"], pa.string()),
+                "df": pa.array(dfs + [len(flat)], pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .to_pandas()  # bounded: (|terms|+1) rows per batch
+        .groupby("term")["df"].sum()
+    )
+    t_total = int(agg["\x00ntok"])
+    idf = {
+        term: ((n_docs - int(agg[term]) + 1) * BM25_SCALE)
+        // (int(agg[term]) + 1)
+        for term in terms
+        if agg.get(term, 0)
+    }
+    w_ref = ray.put((idf, t_total, n_docs))
+
+    class Score:
+        def __init__(self):
+            self.idf, self.t_total, self.n_docs = ray.get(w_ref)
+            self.terms = list(self.idf)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flat, trow = _flat_tokens(t)
+            dl = np.bincount(trow, minlength=len(t)).astype(np.int64)
+            T, N = self.t_total, self.n_docs
+            score = np.zeros(len(t), np.int64)
+            denom_base = 6 * T + 18 * dl * N
+            for term in self.terms:
+                hit = flat == term
+                tf = (
+                    np.bincount(trow[hit], minlength=len(t)).astype(np.int64)
+                    if hit.any()
+                    else np.zeros(len(t), np.int64)
+                )
+                tfn = (44 * T * tf * BM25_SCALE) // np.maximum(
+                    20 * T * tf + denom_base, 1
+                )
+                score += self.idf[term] * tfn
+            keep = np.flatnonzero(score > 0)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].take(pa.array(keep)),
+                    "score": pa.array(score[keep], pa.int64()),
+                }
+            )
+
+    return (
+        docs.map_batches(Score, batch_format="pyarrow", concurrency=pool_size(),
+                         num_cpus=0.5)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
     )

@@ -629,3 +629,43 @@ def test_top_customer_orders_bruteforce(ray_session):
         """
     ).df()
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_bm25_scores_match_bruteforce(ray_session):
+    import re
+
+    import pyarrow.parquet as pq_
+
+    from raycrawl.pipelines.retrieval import (
+        BM25_SCALE,
+        TFIDF_TERMS,
+        docs_bm25_topk,
+    )
+
+    docs = pq_.read_table(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    toks = {
+        d: re.findall(r"\S+", (t or "").lower())
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    n = len(toks)
+    t_total = sum(len(v) for v in toks.values())
+    score: dict = {}
+    for term in TFIDF_TERMS:
+        df = sum(1 for v in toks.values() if term in v)
+        if not df:
+            continue
+        idf = ((n - df + 1) * BM25_SCALE) // (df + 1)
+        for d, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                tfn = (44 * t_total * tf * BM25_SCALE) // (
+                    20 * t_total * tf + 6 * t_total + 18 * len(v) * n
+                )
+                score[d] = score.get(d, 0) + idf * tfn
+    want = sorted(score.items(), key=lambda x: (-x[1], x[0]))[:20]
+    got = [
+        (r["doc_id"], r["score"]) for r in docs_bm25_topk(SF).take_all()
+    ]
+    assert got == want
