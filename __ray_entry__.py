@@ -44,6 +44,7 @@ from raycrawl.pipelines.crawlqueries import (
     crawl_edges,
     crawl_edges_joined,
     crawl_filter_by,
+    crawl_host_matrix,
     crawl_host_stats,
     crawl_pagerank,
     crawl_components,
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": crawl_host_stats,
         "crawl_filter_by": crawl_filter_by,
         "crawl_pagerank": crawl_pagerank,
+        "crawl_host_matrix": crawl_host_matrix,
         "crawl_triangles": crawl_triangles,
         "crawl_components": crawl_components,
         # ---- text analysis ----
@@ -403,6 +405,34 @@ SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_pages
 FROM deg GROUP BY degree
 """,
         "crawl_pagerank": _pagerank_sql(),
+        # domain-level link matrix over the SAME distinct resolved edge
+        # set as pagerank/triangles (closed over corpus pages)
+        "crawl_host_matrix": f"""
+WITH pages AS (
+  SELECT url FROM read_parquet('{_SF001_CORPUS}')
+),
+cand AS (
+  SELECT DISTINCT url AS src,
+         CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+              ELSE 'http://' || host || h1 END AS dst
+  FROM (
+    SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+           split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                      '?', 1) AS h1
+    FROM read_parquet('{_SF001_CORPUS}')
+    WHERE {_HTML_FILTER} AND text <> ''
+  )
+),
+edges AS (
+  SELECT src, dst FROM cand
+  WHERE dst IN (SELECT url FROM pages) AND src <> dst
+)
+SELECT regexp_extract(src, '^http://([^/]+)', 1) AS src_host,
+       regexp_extract(dst, '^http://([^/]+)', 1) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM edges GROUP BY src_host, dst_host
+ORDER BY src_host, dst_host
+""",
         # undirected distinct link graph; a<b canonicalization counts each
         # triangle exactly once on both engines
         "crawl_triangles": f"""

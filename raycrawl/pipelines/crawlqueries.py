@@ -693,3 +693,43 @@ def crawl_pagerank(sf_dir: str, iters: int = 4, k: int = 20) -> rd.Dataset:
         ).materialize()
 
     return ranks.sort(["rank_scaled", "url"], descending=[True, False]).limit(k)
+
+
+def crawl_host_matrix(sf_dir: str) -> rd.Dataset:
+    """(src_host, dst_host, n_links): the domain-level link matrix over
+    the distinct resolved link graph — the host-graph aggregation behind
+    domain ranking and link-farm detection at web scale.
+
+    Shares :func:`_link_edges` (distinct edges closed over corpus pages
+    by a partitioned hash join, cross-host links kept). Hosts come from
+    one RE2 kernel per side; per-batch PARTIAL counts run before the one
+    (src_host, dst_host) shuffle, so the exchange is bounded by the
+    host-pair domain per batch, never the edge count.
+    """
+    from ray.data.aggregate import Sum
+
+    edges, _nodes, _n_parts = _link_edges(sf_dir)
+    pat = r"^http://(?P<h>[^/]+)"
+
+    def hosts_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "src_host": pc.struct_field(
+                        pc.extract_regex(t["src"], pat), "h"
+                    ),
+                    "dst_host": pc.struct_field(
+                        pc.extract_regex(t["dst"], pat), "h"
+                    ),
+                }
+            )
+            .group_by(["src_host", "dst_host"])
+            .aggregate([("src_host", "count")])
+        )
+        return g.rename_columns(["src_host", "dst_host", "n"])
+
+    return (
+        edges.map_batches(hosts_partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n", alias_name="n_links"))
+    )

@@ -22,7 +22,10 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "docs_heavy_tokens", "docs_stratified_sample", "lineitem_cube",
          "embeddings_kmeans", "crawl_degree_hist", "events_close_pairs",
          "dedup_ngram_jaccard", "multimodal_dims", "urgent_order_revenue",
-         "events_asof_join_salted", "events_range_join_salted"]
+         "events_asof_join_salted", "events_range_join_salted",
+         "docs_segment_dedup", "docs_common_token_ratio",
+         "docs_length_pctile", "orders_count_distribution",
+         "top_customer_orders", "docs_bm25_topk", "crawl_host_matrix"]
 
 
 @pytest.fixture(scope="module")
