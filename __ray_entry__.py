@@ -44,6 +44,7 @@ from raycrawl.pipelines.crawlqueries import (
     crawl_edges,
     crawl_edges_joined,
     crawl_filter_by,
+    crawl_hits,
     crawl_host_matrix,
     crawl_host_stats,
     crawl_pagerank,
@@ -129,6 +130,60 @@ r0 AS (SELECT url, CAST({scale} AS BIGINT) AS r FROM pages),
 {levels}
 SELECT url, CAST(r AS BIGINT) AS rank_scaled FROM r{iters}
 ORDER BY rank_scaled DESC, url LIMIT {k}
+"""
+
+
+def _hits_sql(iters: int = 2, k: int = 20) -> str:
+    """Unrolled exact-integer HITS oracle (crawl_hits twin).
+
+    Each Ray half-iteration (grouped sum over one edge direction, then
+    integer max-normalization) is one pair of CTE levels; BIGINT floor
+    division matches the pipeline's int64 pyarrow kernels bit for bit."""
+    scale = 10**6
+    half = """
+{out}r AS (
+  SELECT p.url, COALESCE(SUM(x.v), 0) AS v
+  FROM pages p LEFT JOIN (
+    SELECT e.{okey} AS u, s.v FROM edges e JOIN {src} s ON e.{jkey} = s.url
+  ) x ON x.u = p.url
+  GROUP BY p.url
+),
+{out} AS (
+  SELECT url, v * {scale} // (SELECT MAX(v) FROM {out}r) AS v FROM {out}r
+)"""
+    levels, prev_auth = [], "a0"
+    for i in range(1, iters + 1):
+        levels.append(half.format(out=f"h{i}", okey="src", jkey="dst",
+                                  src=prev_auth, scale=scale))
+        levels.append(half.format(out=f"a{i}", okey="dst", jkey="src",
+                                  src=f"h{i}", scale=scale))
+        prev_auth = f"a{i}"
+    return f"""
+WITH pages AS (
+  SELECT url FROM read_parquet('{_SF001_CORPUS}')
+),
+cand AS (
+  SELECT DISTINCT url AS src,
+         CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+              ELSE 'http://' || host || h1 END AS dst
+  FROM (
+    SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+           split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                      '?', 1) AS h1
+    FROM read_parquet('{_SF001_CORPUS}')
+    WHERE {_HTML_FILTER} AND text <> ''
+  )
+),
+edges AS (
+  SELECT src, dst FROM cand
+  WHERE dst IN (SELECT url FROM pages) AND src <> dst
+),
+a0 AS (SELECT url, CAST({scale} AS BIGINT) AS v FROM pages),
+{",".join(levels)}
+SELECT a.url, CAST(a.v AS BIGINT) AS auth_scaled,
+       CAST(h.v AS BIGINT) AS hub_scaled
+FROM a{iters} a JOIN h{iters} h ON a.url = h.url
+ORDER BY auth_scaled DESC, a.url LIMIT {k}
 """
 
 
@@ -242,6 +297,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_pctile": textops.length_pctile,
         "orders_count_distribution": analytics.orders_count_distribution,
         "top_customer_orders": analytics.top_customer_orders,
+        # ---- round 4: HITS, collocations, CDC compaction, incremental
+        # dedup ----
+        "crawl_hits": crawl_hits,
+        "docs_cooccur_topk": textops.cooccur_topk,
+        "docs_pmi_topk": textops.pmi_topk,
+        "events_latest_state": analytics.events_latest_state,
+        "docs_incremental_dedup": dedup.incremental_dedup,
     }
 
 
@@ -1530,4 +1592,75 @@ LIMIT 10
     # the brute-force Jaccard oracle is exact for it with no empirical
     # banding-recall caveat — the same SQL the minhash query matches
     sql["dedup_ngram_jaccard"] = sql["dedup_minhash_lsh"]
+    sql["crawl_hits"] = _hits_sql()
+    # shared tokenization/pair CTEs for the collocation twins (window=2,
+    # sorted pair key so (a,b)/(b,a) collapse on both engines)
+    _PAIRS_CTE = r"""
+toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     w -> w <> '') AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(ts) - d.d),
+        i -> CASE WHEN ts[i] <= ts[i + d.d]
+                  THEN ts[i] || ' ' || ts[i + d.d]
+                  ELSE ts[i + d.d] || ' ' || ts[i] END)) AS pair
+  FROM toks, (VALUES (1), (2)) d(d) WHERE len(ts) > d.d
+)"""
+    sql["docs_cooccur_topk"] = f"""
+WITH {_PAIRS_CTE}
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+    sql["docs_pmi_topk"] = f"""
+WITH {_PAIRS_CTE},
+cp AS (
+  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+uni AS (SELECT unnest(ts) AS token FROM toks),
+uc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_tok FROM uni GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM uni)
+SELECT cp.a || ' ' || cp.b AS pair, cp.n_xy, ua.n_tok AS n_x, ub.n_tok AS n_y,
+       CAST((cp.n_xy * n.total * 1000000) // (ua.n_tok * ub.n_tok) AS BIGINT)
+         AS pmi_scaled
+FROM cp CROSS JOIN n
+JOIN uc ua ON ua.token = cp.a
+JOIN uc ub ON ub.token = cp.b
+ORDER BY pmi_scaled DESC, pair
+LIMIT 20
+"""
+    # CDC latest-wins compaction: latest row per key by (ts, event_id),
+    # latest-is-'error' rows are tombstones that delete the key
+    sql["events_latest_state"] = """
+WITH ranked AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_type, ts_us AS last_ts_us,
+       cents AS last_cents
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+    # incremental exact dedup: hash_split's affine kernel decides the
+    # already-ingested (train) vs new slice; a new doc survives iff its
+    # exact text is absent from the old slice
+    sql["docs_incremental_dedup"] = f"""
+WITH h AS (
+  SELECT doc_id, text,
+         CAST(((doc_id::HUGEINT * {textops._SPLIT_MUL}
+                + {textops._SPLIT_ADD}) % 18446744073709551616)
+              // 4503599627370496 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id FROM h
+WHERE bucket >= 3276
+  AND text NOT IN (SELECT text FROM h WHERE bucket < 3276)
+"""
     return sql

@@ -60,6 +60,7 @@ __all__ = [
     "nation_customer_supplier_outer",
     "orders_count_distribution",
     "top_customer_orders",
+    "events_latest_state",
 ]
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -935,4 +936,56 @@ def top_customer_orders(
         joined.map_batches(project, batch_format="pyarrow")
         .sort(["o_totalprice_cents", "o_orderkey"], descending=[True, False])
         .limit(k)
+    )
+
+
+def events_latest_state(sf_dir: str) -> rd.Dataset:
+    """(user_id, last_type, last_ts_us, last_cents): CDC latest-wins
+    compaction — collapse the event changelog to each key's current row
+    (ordered by ts then event_id, so ties are deterministic), treating a
+    latest row of type 'error' as a tombstone that DELETES the key. This
+    is the streaming upsert/compaction primitive behind every
+    changelog-to-table materialization (Delta/Hudi MERGE, Kafka compacted
+    topics).
+
+    Scale shape: latest-per-key is associative, so each batch is first
+    compacted to one row per key it contains (a vectorized pandas
+    sort+tail per batch) — the shuffle then moves at most one row per
+    (batch, user), never the changelog. The final per-partition pass
+    re-compacts across batches inside a coarse user partition
+    (``_add_upart``) and applies the tombstone filter.
+    """
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "ts_us": pc.cast(t["ts"], pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pandas(),
+                "cents": _cents(t["value"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        return g.groupby("user_id", sort=False).tail(1)
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        last = g.groupby("user_id", sort=False).tail(1)
+        live = last[last["event_type"] != "error"]
+        out = live.rename(
+            columns={"event_type": "last_type", "ts_us": "last_ts_us",
+                     "cents": "last_cents"}
+        )
+        return out[["user_id", "last_type", "last_ts_us", "last_cents"]]
+
+    return (
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .map_batches(_add_upart, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(latest, batch_format="pandas")
     )

@@ -733,3 +733,104 @@ def crawl_host_matrix(sf_dir: str) -> rd.Dataset:
         .groupby(["src_host", "dst_host"])
         .aggregate(Sum("n", alias_name="n_links"))
     )
+
+
+def crawl_hits(sf_dir: str, iters: int = 2, k: int = 20) -> rd.Dataset:
+    """(url, auth_scaled, hub_scaled): top-k pages by HITS authority over
+    the FULL resolved link graph (same shared edge set as pagerank /
+    triangles), in pure int64 arithmetic so a DuckDB twin reproduces every
+    bit.
+
+    One iteration: hub_raw(u) = sum of auth over u's out-links, then
+    max-normalize to hub = hub_raw * 10^6 // max(hub_raw); auth_raw(v) =
+    sum of hub over v's in-links, max-normalized the same way (integer
+    max-normalization replaces the usual L2 norm — deterministic, and the
+    division is the SQL ``//``). ``iters`` is FIXED (the unrolled-CTE
+    oracle mirrors each level), not run to convergence.
+
+    Scale shape: the same iterated hash-join + grouped-sum skeleton as
+    pagerank — per half-iteration one edges-to-scores join and one
+    groupby-sum, both partitioned; the max is a scalar Dataset aggregate
+    over in-plasma blocks; edges materialize ONCE (loop-invariant) and the
+    driver holds only loop control."""
+    from ray.data.aggregate import Sum
+
+    from raycrawl.pipelines.dedup import clean_blocks
+
+    scale = 10**6
+    edges, nodes, n_parts = _link_edges(sf_dir)
+    edges = edges.materialize()
+    vs = pa.schema([("url", pa.string()), ("v", pa.int64())])
+
+    def const_rows(val: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"url": t["url"],
+                 "v": pa.array([val] * len(t), pa.int64())}
+            )
+        return f
+
+    zeros = clean_blocks(
+        nodes.map_batches(const_rows(0), batch_format="pyarrow"), vs
+    ).materialize()
+    auth = clean_blocks(
+        nodes.map_batches(const_rows(scale), batch_format="pyarrow"), vs
+    ).materialize()
+    hub = zeros
+
+    def half_step(scores: rd.Dataset, edge_key: str, out_key: str):
+        """sum ``scores`` across edges grouped by ``out_key``'s endpoint,
+        then integer max-normalize; returns a materialized (url, v)."""
+        contrib = (
+            edges.join(scores, join_type="inner", num_partitions=n_parts,
+                       on=(edge_key,), right_on=("url",))
+            .map_batches(
+                lambda t, _ok=out_key: pa.table(
+                    {"url": t[_ok], "v": t["v"]}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        summed = clean_blocks(
+            zeros.union(contrib)
+            .groupby("url")
+            .aggregate(Sum("v", alias_name="v")),
+            vs,
+        ).materialize()
+        m = summed.max("v")
+        if not m:
+            return summed
+
+        def norm(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"url": t["url"],
+                 "v": pc.divide(pc.multiply(t["v"], scale), m)}
+            )
+
+        return clean_blocks(
+            summed.map_batches(norm, batch_format="pyarrow"), vs
+        ).materialize()
+
+    for _ in range(iters):
+        # hub from auth over OUT-links (join on dst, emit src), then auth
+        # from hub over IN-links (join on src, emit dst)
+        hub = half_step(auth, "dst", "src")
+        auth = half_step(hub, "src", "dst")
+
+    def ren(new: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["url", new])
+        return f
+
+    return (
+        auth.map_batches(ren("auth_scaled"), batch_format="pyarrow")
+        .join(
+            hub.map_batches(ren("hub_scaled"), batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("url",),
+            right_on=("url",),
+        )
+        .sort(["auth_scaled", "url"], descending=[True, False])
+        .limit(k)
+    )

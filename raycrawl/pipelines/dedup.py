@@ -38,6 +38,7 @@ __all__ = [
     "embedding_near_dup",
     "dedup_clusters",
     "dedup_survivors",
+    "incremental_dedup",
     "shingles",
     "jaccard",
     "MinHasher",
@@ -884,3 +885,49 @@ def embedding_near_dup(
         .aggregate(Count(alias_name="_tables"))
         .select_columns(["id_a", "id_b"])
     )
+
+
+def incremental_dedup(sf_dir: str) -> rd.Dataset:
+    """(doc_id): exact incremental dedup — the docs in the NEW slice of
+    the corpus (hash_split's val/test buckets, a stand-in for "today's
+    ingest batch") that survive exact-content dedup against the
+    ALREADY-INGESTED slice (the train buckets). The production shape:
+    each ingest wave is anti-joined against the existing corpus before it
+    is admitted, instead of re-deduplicating the whole corpus per wave.
+
+    Scale shape: the old/new split is the stateless affine-hash kernel
+    (no shuffle), and the membership test is Ray Data's native
+    hash-partitioned ``join(..., "left_anti")`` on the content — each
+    side ships each text exactly once into its hash bucket, old-side
+    duplicates need no pre-distinct (anti-join semantics absorb them),
+    and nothing is broadcast or driver-collected. (At petabyte scale the
+    join key would be a 128-bit content digest probed the same way; the
+    raw text key here keeps the op collision-proof, matching
+    ``exact_dedup``'s guarantee.)
+    """
+    from raycrawl.pipelines.relops import join_parts
+    from raycrawl.pipelines.textops import _SPLIT_ADD, _SPLIT_MUL
+
+    thr_t = 4096 * 80 // 100
+
+    def split(t: pa.Table, keep_old: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ids * np.uint64(_SPLIT_MUL) + np.uint64(_SPLIT_ADD)
+        bucket = (h >> np.uint64(52)).astype(np.int64)
+        mask = bucket < thr_t if keep_old else bucket >= thr_t
+        return t.filter(pa.array(mask))
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    old = docs.map_batches(
+        lambda t: split(t, True).select(["text"]), batch_format="pyarrow"
+    )
+    new = docs.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow"
+    )
+    return new.join(
+        old,
+        join_type="left_anti",
+        num_partitions=join_parts(),
+        on=("text",),
+        right_on=("text",),
+    ).select_columns(["doc_id"])

@@ -44,6 +44,8 @@ __all__ = [
     "segment_dedup",
     "common_token_ratio",
     "length_pctile",
+    "cooccur_topk",
+    "pmi_topk",
 ]
 
 
@@ -1216,3 +1218,216 @@ def length_pctile(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         rank, batch_format="pyarrow"
     )
+
+
+def cooccur_topk(sf_dir: str, window: int = 2, k: int = 20) -> pa.Table:
+    """(pair, n): top-k unordered token co-occurrence pairs within a
+    ±``window`` token distance (never crossing a document boundary) — the
+    count table GloVe-style embedding training and collocation mining
+    read off first. Pair key is the lexicographically sorted token pair
+    joined by one space, so (a,b) and (b,a) occurrences accumulate into
+    one row on both engines.
+
+    Scale shape: the pair explode is ``window`` shifted-slice passes over
+    :func:`_flat_tokens` output (numpy + one pyarrow binary_join per
+    distance — no Python loop over positions), counts are PARTIAL per
+    batch (np.unique) before the one (a, b) shuffle, and the exchange
+    moves one row per distinct (batch, pair), never one per occurrence.
+    Deterministic (n desc, pair asc) tie-break.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = (
+        _cooccur_counts(_read_docs(sf_dir, ["text"]), window)
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(k)
+    )
+    schema = pa.schema([("pair", pa.string()), ("n", pa.int64())])
+    tbls = [
+        b.select(schema.names)
+        for b in ray.get(ds.to_arrow_refs())
+        if b.num_rows
+    ]
+    if not tbls:
+        return schema.empty_table()
+    return pa.concat_tables(tbls).combine_chunks().cast(schema)
+
+
+def _cooccur_counts(ds, window: int):
+    """Per-batch partial (pair, n) counts of sorted within-window token
+    pairs — the shared explode kernel for cooccur_topk and pmi_topk."""
+    import numpy as np
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, trow = _flat_tokens(t)
+        keys = []
+        for d in range(1, window + 1):
+            m = len(flat) - d
+            if m <= 0:
+                continue
+            a, b = flat[:m], flat[d:]
+            ok = trow[:m] == trow[d:]
+            a, b = a[ok], b[ok]
+            if not len(a):
+                continue
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            keys.append(
+                pc.binary_join_element_wise(
+                    pa.array(lo, pa.string()), pa.array(hi, pa.string()), " "
+                ).to_numpy(zero_copy_only=False)
+            )
+        if not keys:
+            return pa.table(
+                {"pair": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        pairs, counts = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def pmi_topk(
+    sf_dir: str, window: int = 2, k: int = 20, min_count: int = 5
+) -> pa.Table:
+    """(pair, n_xy, n_x, n_y, pmi_scaled): top-k collocations by an
+    exact-integer PMI proxy — ``pmi_scaled = (n_xy * N * 10^6) //
+    (n_x * n_y)`` where N is the corpus token count, a monotone transform
+    of pointwise mutual information with the normalizing constant folded
+    in. Integer end to end so the DuckDB twin reproduces every bit (the
+    product needs n_xy * N * 10^6 < 2^63: fine through ~10^5-token-scale
+    test corpora; the web-scale path drops the 10^6 premultiplier or
+    moves to 128-bit like the oracle's HUGEINT).
+
+    Scale shape: pair counts and unigram counts are both partial-per-batch
+    before their shuffles; the per-token frequencies reach the pairs via
+    TWO hash-partitioned joins on the token (never a broadcast of the
+    vocabulary and never a driver-side dict), and only pairs with
+    ``n_xy >= min_count`` enter the joins. Deterministic
+    (pmi_scaled desc, pair asc) tie-break.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from raycrawl.pipelines.dedup import clean_blocks
+    from raycrawl.pipelines.relops import join_parts
+
+    docs = _read_docs(sf_dir, ["text"])
+    n_parts = join_parts()
+
+    # corpus unigram counts (one row per distinct (batch, token) into the
+    # shuffle) + the scalar total
+    def uni_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t)
+        if not len(flat):
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "n_tok": pa.array([], pa.int64())}
+            )
+        toks, counts = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "n_tok": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    uni_schema = pa.schema([("token", pa.string()), ("n_tok", pa.int64())])
+    uni = clean_blocks(
+        docs.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_tok", alias_name="n_tok")),
+        uni_schema,
+    ).materialize()  # joined twice below; blocks stay in plasma
+    total = int(uni.sum("n_tok") or 0)
+
+    pair_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("n_xy", pa.int64())]
+    )
+
+    def split_pair(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], min_count))
+        parts = pc.split_pattern(t["pair"], " ", max_splits=1)
+        return pa.table(
+            {
+                "a": pc.list_element(parts, 0),
+                "b": pc.list_element(parts, 1),
+                "n_xy": t["n"],
+            }
+        )
+
+    pairs = clean_blocks(
+        _cooccur_counts(docs, window)
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(split_pair, batch_format="pyarrow"),
+        pair_schema,
+    )
+
+    def ren(old: str, new: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [new if c == old else c for c in t.column_names]
+            )
+        return f
+
+    ua = uni.map_batches(ren("n_tok", "n_x"), batch_format="pyarrow")
+    ub = uni.map_batches(ren("n_tok", "n_y"), batch_format="pyarrow")
+
+    def score(t: pa.Table) -> pa.Table:
+        n_xy = t["n_xy"].to_numpy(zero_copy_only=False)
+        n_x = t["n_x"].to_numpy(zero_copy_only=False)
+        n_y = t["n_y"].to_numpy(zero_copy_only=False)
+        num = n_xy.astype(np.int64) * total * 1_000_000
+        if len(num) and (num // max(total, 1) // 1_000_000 != n_xy).any():
+            raise OverflowError(
+                "pmi_topk int64 premultiplier overflow — drop the 10^6 "
+                "scale or use the 128-bit path at this corpus size"
+            )
+        return pa.table(
+            {
+                "pair": pc.binary_join_element_wise(t["a"], t["b"], " "),
+                "n_xy": t["n_xy"],
+                "n_x": t["n_x"],
+                "n_y": t["n_y"],
+                "pmi_scaled": pa.array(num // (n_x * n_y), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("pair", pa.string()), ("n_xy", pa.int64()), ("n_x", pa.int64()),
+         ("n_y", pa.int64()), ("pmi_scaled", pa.int64())]
+    )
+    # clean_blocks between the joins: a tiny corpus leaves schema-less
+    # empty blocks after the first hash join, and the second join's key
+    # resolution rejects them (the Ray 2.49 empty-block sharp edge)
+    half = clean_blocks(
+        pairs.join(ua, join_type="inner", num_partitions=n_parts,
+                   on=("a",), right_on=("token",)),
+        pa.schema([("a", pa.string()), ("b", pa.string()),
+                   ("n_xy", pa.int64()), ("n_x", pa.int64())]),
+    )
+    ds = (
+        half.join(ub, join_type="inner", num_partitions=n_parts,
+                  on=("b",), right_on=("token",))
+        .map_batches(score, batch_format="pyarrow")
+        .sort(["pmi_scaled", "pair"], descending=[True, False])
+        .limit(k)
+    )
+    tbls = [
+        b.select(out_schema.names)
+        for b in ray.get(ds.to_arrow_refs())
+        if b.num_rows
+    ]
+    if not tbls:
+        return out_schema.empty_table()
+    return pa.concat_tables(tbls).combine_chunks().cast(out_schema)

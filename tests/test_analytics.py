@@ -669,3 +669,65 @@ def test_bm25_scores_match_bruteforce(ray_session):
         (r["doc_id"], r["score"]) for r in docs_bm25_topk(SF).take_all()
     ]
     assert got == want
+
+
+def test_latest_state_planted(ray_session, tmp_path):
+    """CDC compaction: latest row wins per user (ts then event_id ties),
+    a latest 'error' row tombstones the key."""
+    from raycrawl.pipelines.analytics import events_latest_state
+
+    base = 1_700_000_000_000_000
+    rows = [
+        (1, base + 10, 1, "click", 1.00),
+        (2, base + 20, 1, "purchase", 2.50),   # user 1 current row
+        (3, base + 5, 2, "view", 9.00),
+        (4, base + 6, 2, "error", 0.00),       # user 2 tombstoned
+        (5, base + 7, 3, "signup", 4.00),      # same ts as 6 ...
+        (6, base + 7, 3, "view", 5.00),        # ... higher event_id wins
+    ]
+    _write_events(tmp_path, rows)
+    out = events_latest_state(str(tmp_path)).to_pandas()
+    got = {
+        r.user_id: (r.last_type, r.last_ts_us, r.last_cents)
+        for r in out.itertuples()
+    }
+    assert got == {
+        1: ("purchase", base + 20, 250),
+        3: ("view", base + 7, 500),
+    }
+
+
+def test_latest_state_batch_partial_associative(ray_session, tmp_path):
+    """The per-batch pre-compaction must not change results when a user's
+    rows span blocks: force tiny blocks and compare against pandas."""
+    import numpy as np
+
+    from raycrawl.pipelines.analytics import events_latest_state
+
+    rng = np.random.RandomState(7)
+    base = 1_700_000_000_000_000
+    rows = []
+    for i in range(200):
+        rows.append(
+            (i, base + int(rng.randint(0, 50)), int(rng.randint(0, 8)),
+             ["click", "view", "error"][int(rng.randint(0, 3))],
+             float(rng.randint(0, 100)) / 10)
+        )
+    _write_events(tmp_path, rows)
+    out = events_latest_state(str(tmp_path)).to_pandas()
+
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts_us", "user_id", "event_type", "v"]
+    )
+    df = df.sort_values(["user_id", "ts_us", "event_id"])
+    last = df.groupby("user_id").tail(1)
+    want = {
+        r.user_id: (r.event_type, r.ts_us, int(round(r.v * 100)))
+        for r in last.itertuples()
+        if r.event_type != "error"
+    }
+    got = {
+        r.user_id: (r.last_type, r.last_ts_us, r.last_cents)
+        for r in out.itertuples()
+    }
+    assert got == want

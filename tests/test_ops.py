@@ -1252,3 +1252,145 @@ def test_length_pctile_planted(ray_session, tmp_path):
         4096 // 4,
         (3 * 4096) // 4,
     ]
+
+
+def _ref_cooccur(texts, window=2):
+    from collections import Counter
+
+    c = Counter()
+    for text in texts:
+        toks = [w for w in text.lower().split() if w]
+        for i, a in enumerate(toks):
+            for d in range(1, window + 1):
+                if i + d < len(toks):
+                    b = toks[i + d]
+                    c[" ".join(sorted((a, b)))] += 1
+    return c
+
+
+def test_cooccur_topk_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import cooccur_topk
+
+    sf = _write_docs(tmp_path, ["a b a"])
+    t = cooccur_topk(sf)
+    # window 2 over [a, b, a]: distance-1 pairs (a,b),(b,a) both sort to
+    # "a b"; distance-2 pair (a,a)
+    assert list(zip(t["pair"].to_pylist(), t["n"].to_pylist())) == [
+        ("a b", 2),
+        ("a a", 1),
+    ]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_cooccur_topk_fuzz(ray_session, tmp_path_factory, texts):
+    from raycrawl.pipelines.textops import cooccur_topk
+
+    sf = _write_docs(tmp_path_factory.mktemp("cofuzz"), texts)
+    t = cooccur_topk(sf, k=1000)
+    got = dict(zip(t["pair"].to_pylist(), t["n"].to_pylist()))
+    assert got == dict(_ref_cooccur(texts))
+
+
+def test_pmi_topk_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import pmi_topk
+
+    # "x y" repeated: pair counts well over min_count, exact integers
+    # reproducible by hand
+    texts = ["x y " * 6]  # tokens: x y x y x y x y x y x y  (12 tokens)
+    sf = _write_docs(tmp_path, texts)
+    t = pmi_topk(sf, min_count=5)
+    rows = {
+        p: (nxy, nx, ny, s)
+        for p, nxy, nx, ny, s in zip(
+            t["pair"].to_pylist(), t["n_xy"].to_pylist(),
+            t["n_x"].to_pylist(), t["n_y"].to_pylist(),
+            t["pmi_scaled"].to_pylist(),
+        )
+    }
+    # distance-1: (x,y) x11, distance-2: (x,x) x5, (y,y) x5; total N=12,
+    # n_x = n_y = 6
+    assert rows == {
+        "x y": (11, 6, 6, 11 * 12 * 1_000_000 // 36),
+        "x x": (5, 6, 6, 5 * 12 * 1_000_000 // 36),
+        "y y": (5, 6, 6, 5 * 12 * 1_000_000 // 36),
+    }
+
+
+def test_incremental_dedup_planted(ray_session, tmp_path):
+    import numpy as np
+
+    from raycrawl.pipelines.dedup import incremental_dedup
+    from raycrawl.pipelines.textops import _SPLIT_ADD, _SPLIT_MUL
+
+    def bucket(doc_id):
+        with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+            h = (np.uint64(doc_id) * np.uint64(_SPLIT_MUL)
+                 + np.uint64(_SPLIT_ADD))
+        return int(h >> np.uint64(52))
+
+    thr = 4096 * 80 // 100
+    ids = list(range(64))
+    old_ids = [i for i in ids if bucket(i) < thr]
+    new_ids = [i for i in ids if bucket(i) >= thr]
+    assert old_ids and len(new_ids) >= 3  # the planted layout is meaningful
+
+    # give two of the new docs texts that already exist in the old slice,
+    # the rest unique texts
+    dup_new = set(new_ids[:2])
+    texts = []
+    for i in ids:
+        if i in dup_new:
+            texts.append(f"old text {old_ids[0]}")
+        elif i in set(old_ids):
+            texts.append(f"old text {i}")
+        else:
+            texts.append(f"new text {i}")
+    sf = _write_docs(tmp_path, texts)
+    got = sorted(
+        r["doc_id"] for r in incremental_dedup(sf).take_all()
+    )
+    assert got == sorted(set(new_ids) - dup_new)
+
+
+def test_crawl_hits_matches_numpy_reference(ray_session):
+    """Differential: the distributed integer HITS vs a dense numpy
+    replay of the same fixed-point arithmetic on the same edge set."""
+    import numpy as np
+
+    from raycrawl.pipelines.crawlqueries import _link_edges, crawl_hits
+
+    edges_ds, nodes_ds, _ = _link_edges(SF)
+    edges = edges_ds.to_pandas()
+    nodes = sorted(nodes_ds.to_pandas()["url"])
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    src = edges["src"].map(idx).to_numpy()
+    dst = edges["dst"].map(idx).to_numpy()
+
+    scale = 10**6
+    auth = np.full(n, scale, np.int64)
+    hub = np.zeros(n, np.int64)
+    for _ in range(2):
+        hub = np.zeros(n, np.int64)
+        np.add.at(hub, src, auth[dst])
+        if hub.max():
+            hub = hub * scale // hub.max()
+        auth = np.zeros(n, np.int64)
+        np.add.at(auth, dst, hub[src])
+        if auth.max():
+            auth = auth * scale // auth.max()
+
+    order = sorted(range(n), key=lambda i: (-auth[i], nodes[i]))[:20]
+    want = [(nodes[i], int(auth[i]), int(hub[i])) for i in order]
+    got = [
+        (r["url"], r["auth_scaled"], r["hub_scaled"])
+        for r in crawl_hits(SF).take_all()
+    ]
+    assert got == want

@@ -25,7 +25,9 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "events_asof_join_salted", "events_range_join_salted",
          "docs_segment_dedup", "docs_common_token_ratio",
          "docs_length_pctile", "orders_count_distribution",
-         "top_customer_orders", "docs_bm25_topk", "crawl_host_matrix"]
+         "top_customer_orders", "docs_bm25_topk", "crawl_host_matrix",
+         "docs_cooccur_topk", "docs_pmi_topk", "events_latest_state",
+         "docs_incremental_dedup"]
 
 
 @pytest.fixture(scope="module")
