@@ -304,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pmi_topk": textops.pmi_topk,
         "events_latest_state": analytics.events_latest_state,
         "docs_incremental_dedup": dedup.incremental_dedup,
+        "orders_merge_upsert": analytics.orders_merge_upsert,
+        "dedup_containment": dedup.containment_pairs,
     }
 
 
@@ -1662,5 +1664,58 @@ WITH h AS (
 SELECT doc_id FROM h
 WHERE bucket >= 3276
   AND text NOT IN (SELECT text FROM h WHERE bucket < 3276)
+"""
+    # Delta-style MERGE: change set derived deterministically from the
+    # base (k%13 delete, else k%7 reprice +1000.00, k%11 spawns an insert
+    # under k + 10^9)
+    sql["orders_merge_upsert"] = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+chg AS (
+  SELECT k, CASE WHEN k % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+         cents + 100000 AS new_cents
+  FROM base WHERE k % 7 = 0 OR k % 13 = 0
+),
+merged AS (
+  SELECT b.k,
+         CASE WHEN c.op = 'U' THEN c.new_cents ELSE b.cents END AS cents,
+         CASE WHEN c.op = 'U' THEN 'updated' ELSE 'base' END AS status
+  FROM base b LEFT JOIN chg c ON b.k = c.k
+  WHERE c.op IS NULL OR c.op <> 'D'
+)
+SELECT k AS o_orderkey, CAST(cents AS BIGINT) AS price_cents, status
+FROM merged
+UNION ALL
+SELECT k + 1000000000 AS o_orderkey, cents AS price_cents,
+       'inserted' AS status
+FROM base WHERE k % 11 = 0
+"""
+    # brute-force containment twin of the minhash/prefix Jaccard oracle:
+    # |A∩B| / min(|A|,|B|) over the same distinct 3-shingle sets
+    sql["dedup_containment"] = r"""
+WITH words AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE
+      WHEN len(w) = 0 THEN []
+      WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      ELSE list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    END) AS sset
+  FROM words),
+e AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+counts AS (SELECT doc_id, len(sset) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.9
 """
     return sql

@@ -61,6 +61,7 @@ __all__ = [
     "orders_count_distribution",
     "top_customer_orders",
     "events_latest_state",
+    "orders_merge_upsert",
 ]
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -989,3 +990,97 @@ def events_latest_state(sf_dir: str) -> rd.Dataset:
         .groupby("upart")
         .map_groups(latest, batch_format="pandas")
     )
+
+
+def orders_merge_upsert(sf_dir: str) -> rd.Dataset:
+    """(o_orderkey, price_cents, status): Delta-style MERGE of a change
+    set into the orders base table — the lakehouse upsert primitive
+    (MERGE INTO base USING changes: update matched, delete matched
+    tombstones, insert unmatched). The change set is derived
+    deterministically from the base so both engines see identical bytes:
+    keys % 13 == 0 are deletes, other keys % 7 == 0 are re-priced
+    +1000.00, and keys % 11 == 0 spawn an insert under key + 10^9.
+
+    Scale shape: the MERGE is ONE hash-partitioned left_outer join of
+    base against the (much smaller) keyed change set — deletes drop,
+    updates coalesce, untouched rows pass through — plus a shuffle-free
+    union of the inserts. Never a full rewrite of unmatched partitions:
+    at petabyte scale the join keys would carry the partition id so only
+    touched partitions rewrite, which this single-join shape preserves.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["o_orderkey"],
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+
+    def make_changes(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        sel = (k % 7 == 0) | (k % 13 == 0)
+        k, cents = k[sel], cents[sel]
+        is_del = k % 13 == 0
+        return pa.table(
+            {
+                "ck": pa.array(k, pa.int64()),
+                "op": pa.array(np.where(is_del, "D", "U"), pa.string()),
+                "new_cents": pa.array(cents + 100_000, pa.int64()),
+            }
+        )
+
+    def make_inserts(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        sel = k % 11 == 0
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[sel] + 1_000_000_000, pa.int64()),
+                "price_cents": pa.array(cents[sel], pa.int64()),
+                "status": pa.array(["inserted"] * int(sel.sum()), pa.string()),
+            }
+        )
+
+    # clean_blocks: a small base can leave the change set with schema-less
+    # empty blocks, which the join's key resolution rejects
+    changes = clean_blocks(
+        base.map_batches(make_changes, batch_format="pyarrow"),
+        pa.schema([("ck", pa.int64()), ("op", pa.string()),
+                   ("new_cents", pa.int64())]),
+    )
+    inserts = base.map_batches(make_inserts, batch_format="pyarrow")
+
+    def apply_merge(t: pa.Table) -> pa.Table:
+        op = t["op"].to_numpy(zero_copy_only=False)
+        keep = op != "D"  # None (unmatched) != 'D' -> kept
+        t = t.filter(pa.array(keep))
+        upd = pc.equal(t["op"], "U")
+        return pa.table(
+            {
+                "o_orderkey": t["k"],
+                "price_cents": pc.if_else(
+                    pc.fill_null(upd, False), t["new_cents"], t["cents"]
+                ),
+                "status": pc.if_else(
+                    pc.fill_null(upd, False), "updated", "base"
+                ),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("price_cents", pa.int64()),
+         ("status", pa.string())]
+    )
+    merged = clean_blocks(
+        base.join(changes, join_type="left_outer",
+                  num_partitions=join_parts(), on=("k",), right_on=("ck",))
+        .map_batches(apply_merge, batch_format="pyarrow"),
+        out_schema,
+    )
+    return merged.union(clean_blocks(inserts, out_schema))

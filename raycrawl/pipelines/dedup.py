@@ -39,6 +39,7 @@ __all__ = [
     "dedup_clusters",
     "dedup_survivors",
     "incremental_dedup",
+    "containment_pairs",
     "shingles",
     "jaccard",
     "MinHasher",
@@ -311,7 +312,8 @@ def minhash_lsh_pairs(
 
 
 def _verify_jaccard_pairs(cands: rd.Dataset, sf_dir: str, k: int,
-                          threshold: float, mask: int) -> rd.Dataset:
+                          threshold: float, mask: int,
+                          accept=None) -> rd.Dataset:
     """Exact-Jaccard verification of candidate pairs, shared by the
     minhash and prefix-filter candidate generators.
 
@@ -321,7 +323,14 @@ def _verify_jaccard_pairs(cands: rd.Dataset, sf_dir: str, k: int,
     (at 100 TB a broadcast id->text map cannot exist). Pairs MELT to two
     (doc_id, id_a, id_b) rows so a single docs shuffle serves both sides;
     the joined rows reassemble per pair inside coarse_parts partitions
-    (pandas C groupby — no per-pair UDF dispatch)."""
+    (pandas C groupby — no per-pair UDF dispatch).
+
+    ``accept(shingles_a, shingles_b) -> bool`` overrides the similarity
+    predicate (default: exact Jaccard >= threshold) so containment-style
+    joins share the whole plan."""
+    if accept is None:
+        def accept(sa, sb):
+            return jaccard(sa, sb) >= threshold
 
     def melt(t: pa.Table) -> pa.Table:
         a = t["id_a"].combine_chunks()
@@ -342,7 +351,7 @@ def _verify_jaccard_pairs(cands: rd.Dataset, sf_dir: str, k: int,
             if (a, b) in seen or a not in texts or b not in texts:
                 continue
             seen.add((a, b))
-            if jaccard(shingles(texts[a], k), shingles(texts[b], k)) >= threshold:
+            if accept(shingles(texts[a], k), shingles(texts[b], k)):
                 out_a.append(a)
                 out_b.append(b)
         return pd.DataFrame(
@@ -931,3 +940,71 @@ def incremental_dedup(sf_dir: str) -> rd.Dataset:
         on=("text",),
         right_on=("text",),
     ).select_columns(["doc_id"])
+
+
+def containment_pairs(
+    sf_dir: str, k: int = 3, threshold: float = 0.9
+) -> rd.Dataset:
+    """(id_a, id_b): pairs whose k-shingle CONTAINMENT
+    ``|A ∩ B| / min(|A|, |B|)`` is >= threshold — the asymmetric near-dup
+    detector Jaccard misses: a short doc embedded verbatim inside a much
+    longer one has tiny Jaccard but containment ~1 (the "doc quoted in a
+    roundup page" case Lee et al. 2022 call out).
+
+    Candidates come from ONE shuffle keyed by shingle hash (any shared
+    shingle makes a candidate — Jaccard's prefix-filter lemma does NOT
+    transfer to containment, because the larger set would need a prefix
+    sized by its partner's UNKNOWN size; the production refinement is
+    size-bucketed partner-aware prefixes). Verification reuses the
+    melted single-join exact plan shared with minhash/prefix dedup, with
+    the containment predicate."""
+    from ray.data.aggregate import Count
+
+    mask = coarse_parts(sf_dir) - 1
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids, grams = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for g in shingles(text, k):
+                doc_ids.append(doc_id)
+                grams.append(g)
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "part": pa.array([g & mask for g in grams], pa.int64()),
+            }
+        )
+
+    def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        ids_all = g["doc_id"].to_numpy()
+        for pos in g.groupby("gram", sort=False).indices.values():
+            if len(pos) < 2:
+                continue
+            ids = np.unique(ids_all[pos])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame(
+            {"id_a": pd.array(out_a, "int64"), "id_b": pd.array(out_b, "int64")}
+        )
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    cands = clean_blocks(
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gram_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n")),
+        pair_schema,
+    )
+
+    def accept(sa: set, sb: set) -> bool:
+        lo = min(len(sa), len(sb))
+        return bool(lo) and len(sa & sb) / lo >= threshold
+
+    return _verify_jaccard_pairs(cands, sf_dir, k, threshold, mask,
+                                 accept=accept)

@@ -1394,3 +1394,46 @@ def test_crawl_hits_matches_numpy_reference(ray_session):
         for r in crawl_hits(SF).take_all()
     ]
     assert got == want
+
+
+def test_containment_pairs_planted(ray_session, tmp_path):
+    """A short doc fully embedded in a long one: containment ~1 while
+    Jaccard is far below any dedup threshold."""
+    from raycrawl.pipelines.dedup import containment_pairs, jaccard, shingles
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(200))
+    long_doc = filler + " " + short + " trailing words here"
+    texts = [short, long_doc, "totally unrelated content about arrows"]
+    sf = _write_docs(tmp_path, texts)
+    sa, sb = shingles(short, 3), shingles(long_doc, 3)
+    assert jaccard(sa, sb) < 0.5          # jaccard dedup would miss it
+    assert len(sa & sb) / min(len(sa), len(sb)) >= 0.9
+    got = {(r["id_a"], r["id_b"]) for r in containment_pairs(sf).take_all()}
+    assert got == {(0, 1)}
+
+
+def test_merge_upsert_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.analytics import orders_merge_upsert
+
+    keys = list(range(1, 16))  # 7,14 update; 13 delete; 11 insert
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_totalprice": pa.array([k * 10.0 for k in keys]),
+            }
+        ),
+        os.path.join(str(tmp_path), "orders.parquet"),
+    )
+    out = orders_merge_upsert(str(tmp_path)).to_pandas()
+    got = {
+        r.o_orderkey: (r.price_cents, r.status) for r in out.itertuples()
+    }
+    assert 13 not in got                              # deleted
+    assert got[7] == (7 * 1000 + 100_000, "updated")
+    assert got[14] == (14 * 1000 + 100_000, "updated")
+    assert got[11] == (11 * 1000, "base")             # insert copies, base stays
+    assert got[11 + 1_000_000_000] == (11 * 1000, "inserted")
+    assert got[1] == (1000, "base")
+    assert len(got) == len(keys) - 1 + 1              # -delete +insert

@@ -27,7 +27,8 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "docs_length_pctile", "orders_count_distribution",
          "top_customer_orders", "docs_bm25_topk", "crawl_host_matrix",
          "docs_cooccur_topk", "docs_pmi_topk", "events_latest_state",
-         "docs_incremental_dedup"]
+         "docs_incremental_dedup", "orders_merge_upsert",
+         "dedup_containment"]
 
 
 @pytest.fixture(scope="module")
