@@ -43,6 +43,7 @@ from raycrawl.pipelines.crawlqueries import (
     crawl_degree_hist,
     crawl_edges,
     crawl_edges_joined,
+    crawl_dead_links,
     crawl_filter_by,
     crawl_hits,
     crawl_host_matrix,
@@ -306,6 +307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_incremental_dedup": dedup.incremental_dedup,
         "orders_merge_upsert": analytics.orders_merge_upsert,
         "dedup_containment": dedup.containment_pairs,
+        "crawl_dead_links": crawl_dead_links,
+        "docs_bpe_train": textops.bpe_train,
     }
 
 
@@ -1717,5 +1720,27 @@ FROM inter
 JOIN counts ca ON ca.doc_id = id_a
 JOIN counts cb ON cb.doc_id = id_b
 WHERE CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.9
+"""
+    # link targets that are not corpus pages, with distinct-referrer counts
+    sql["crawl_dead_links"] = f"""
+WITH pages AS (
+  SELECT url FROM read_parquet('{_SF001_CORPUS}')
+),
+cand AS (
+  SELECT DISTINCT url AS src,
+         CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+              ELSE 'http://' || host || h1 END AS dst
+  FROM (
+    SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+           split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                      '?', 1) AS h1
+    FROM read_parquet('{_SF001_CORPUS}')
+    WHERE {_HTML_FILTER} AND text <> ''
+  )
+)
+SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_refs
+FROM cand
+WHERE dst NOT IN (SELECT url FROM pages) AND src <> dst
+GROUP BY dst
 """
     return sql

@@ -313,12 +313,11 @@ def crawl_text_identity(sf_dir: str) -> pa.Table:
     )
 
 
-def _link_edges(sf_dir: str):
-    """(edges, nodes, n_parts): the distinct resolved link graph shared by
-    the graph-analytics queries (pagerank, triangles) — cross-host edges
-    kept (``parse_page_hrefs`` with ``filter_authority=False``), self
-    loops dropped, closed over corpus pages by a partitioned hash join
-    (never a driver-side set)."""
+def _cand_edges(sf_dir: str):
+    """(cand, nodes, n_parts): the distinct extracted link set BEFORE
+    closing over corpus pages — shared by :func:`_link_edges` (which
+    inner-joins against pages) and :func:`crawl_dead_links` (which
+    anti-joins)."""
     from ray.data.aggregate import Count
 
     from raycrawl.pipelines.dedup import clean_blocks, doc_blocks
@@ -350,15 +349,29 @@ def _link_edges(sf_dir: str):
         )
 
     edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
-    cand = (
+    cand = clean_blocks(
         rd.read_parquet(info["corpus"], columns=["url", "html"])
         .map_batches(flow, batch_format="pyarrow")
         .groupby(["src", "dst"])  # distinct edges
         .aggregate(Count(alias_name="_n"))
-        .select_columns(["src", "dst"])
+        .select_columns(["src", "dst"]),
+        edge_schema,
     )
+    return cand, nodes, n_parts
+
+
+def _link_edges(sf_dir: str):
+    """(edges, nodes, n_parts): the distinct resolved link graph shared by
+    the graph-analytics queries (pagerank, triangles) — cross-host edges
+    kept (``parse_page_hrefs`` with ``filter_authority=False``), self
+    loops dropped, closed over corpus pages by a partitioned hash join
+    (never a driver-side set)."""
+    from raycrawl.pipelines.dedup import clean_blocks
+
+    cand, nodes, n_parts = _cand_edges(sf_dir)
+    edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
     edges = clean_blocks(
-        clean_blocks(cand, edge_schema)
+        cand
         .join(
             nodes.map_batches(
                 lambda t: pa.table({"node": t["url"]}), batch_format="pyarrow"
@@ -834,3 +847,28 @@ def crawl_hits(sf_dir: str, iters: int = 2, k: int = 20) -> rd.Dataset:
         .sort(["auth_scaled", "url"], descending=[True, False])
         .limit(k)
     )
+
+
+def crawl_dead_links(sf_dir: str) -> rd.Dataset:
+    """(dst, n_refs): extracted link targets that are NOT corpus pages —
+    the 404-candidate / frontier-expansion set every recrawl scheduler
+    consumes (how many distinct pages reference each missing target).
+
+    Shares :func:`_cand_edges` with the resolved-graph queries; the
+    membership test is the same partitioned hash join flipped to Ray's
+    native ``left_anti``, then one groupby counting distinct referrers
+    (cand is already (src, dst)-distinct). Nothing is broadcast and the
+    driver never sees the page set."""
+    from ray.data.aggregate import Count
+
+    cand, nodes, n_parts = _cand_edges(sf_dir)
+    dead = cand.join(
+        nodes.map_batches(
+            lambda t: pa.table({"node": t["url"]}), batch_format="pyarrow"
+        ),
+        join_type="left_anti",
+        num_partitions=n_parts,
+        on=("dst",),
+        right_on=("node",),
+    )
+    return dead.groupby("dst").aggregate(Count(alias_name="n_refs"))

@@ -46,6 +46,7 @@ __all__ = [
     "length_pctile",
     "cooccur_topk",
     "pmi_topk",
+    "bpe_train",
 ]
 
 
@@ -1431,3 +1432,222 @@ def pmi_topk(
     if not tbls:
         return out_schema.empty_table()
     return pa.concat_tables(tbls).combine_chunks().cast(out_schema)
+
+
+def _bpe_reference(word_counts: dict, n_merges: int) -> list:
+    """Single-node reference BPE trainer (classic dict algorithm) — the
+    exactness twin for :func:`bpe_train`'s distributed result. Greedy
+    left-to-right merge application, ties broken (count desc, left asc,
+    right asc)."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, n in word_counts.items():
+            syms = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        if cnt < 2:
+            break
+        merges.append((left, right, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def bpe_train(sf_dir: str, n_merges: int = 8, check: bool = True) -> pa.Table:
+    """(rank, left, right, n): the first ``n_merges`` BPE merges learned
+    from the corpus — distributed tokenizer training, the step every LLM
+    data pipeline runs before tokenizing anything. Standard weighted BPE:
+    train on the DISTINCT-word frequency table (one corpus shuffle, ever);
+    each merge round counts adjacent symbol pairs weighted by word count,
+    picks the argmax (ties: count desc, then pair asc — deterministic),
+    and rewrites the vocab's symbol sequences greedily left-to-right.
+
+    Scale shape: the corpus is touched ONCE (word-count partials, then one
+    groupby); every merge round runs over the distinct-WORD table —
+    orders of magnitude smaller, and still a Dataset (per-batch pair
+    counting and merge application are fully vectorized: symbols flatten
+    to one numpy array + offsets, pairs are shifted slices, greedy
+    overlapping-run resolution is a parity pass over match runs — no
+    Python loop over words). The argmax is a 1-row driver collect per
+    round (sort desc, limit 1); n_merges is fixed, so rounds are
+    checkpointable. Not SQL-expressible (iterative greedy rewriting), so
+    instead of a DuckDB twin the result self-checks at query time: the
+    collected distinct-word count table (bounded by |vocab|, tiny at gate
+    scale; skip with check=False at web scale) must reproduce the merge
+    table EXACTLY through the single-node reference trainer."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from raycrawl.pipelines.dedup import clean_blocks
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t)
+        if not len(flat):
+            return pa.table(
+                {"word": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        w, c = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"word": pa.array(w, pa.string()),
+             "n": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    vocab_schema = pa.schema(
+        [("word", pa.string()), ("n", pa.int64()),
+         ("syms", pa.list_(pa.string()))]
+    )
+
+    def init_syms(t: pa.Table) -> pa.Table:
+        syms = pa.array(
+            [list(w) for w in t["word"].to_pylist()],
+            pa.list_(pa.string()),
+        )
+        return pa.table({"word": t["word"], "n": t["n"], "syms": syms})
+
+    vocab = clean_blocks(
+        _read_docs(sf_dir, ["text"])
+        .map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(init_syms, batch_format="pyarrow"),
+        vocab_schema,
+    ).materialize()
+
+    def flat_syms(t: pa.Table):
+        syms = t["syms"].combine_chunks()
+        flat = syms.flatten().to_numpy(zero_copy_only=False)
+        offs = syms.offsets.to_numpy()
+        row = np.repeat(np.arange(len(t)), np.diff(offs))
+        return flat, offs, row
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        flat, offs, row = flat_syms(t)
+        empty = pa.table(
+            {"left": pa.array([], pa.string()),
+             "right": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+        if len(flat) < 2:
+            return empty
+        ok = row[:-1] == row[1:]
+        if not ok.any():
+            return empty
+        wts = t["n"].to_numpy(zero_copy_only=False)[row[:-1][ok]]
+        g = (
+            pd.DataFrame(
+                {"left": flat[:-1][ok], "right": flat[1:][ok], "n": wts}
+            )
+            .groupby(["left", "right"], sort=False, as_index=False)["n"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "left": pa.array(g["left"].to_numpy(), pa.string()),
+                "right": pa.array(g["right"].to_numpy(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def apply_merge(left: str, right: str):
+        merged = left + right
+
+        def f(t: pa.Table) -> pa.Table:
+            flat, offs, row = flat_syms(t)
+            if len(flat) < 2:
+                return t
+            m = (row[:-1] == row[1:]) & (flat[:-1] == left) & (flat[1:] == right)
+            idx = np.flatnonzero(m)
+            if not len(idx):
+                return t
+            # greedy left-to-right: in each run of CONSECUTIVE match
+            # positions (overlapping matches share a symbol), keep only
+            # every other match starting from the run head
+            grp = idx - np.arange(len(idx))  # constant within a run
+            starts = np.r_[True, grp[1:] != grp[:-1]]
+            run_head = idx[starts][np.cumsum(starts) - 1]
+            keep = idx[((idx - run_head) % 2) == 0]
+            new_flat = flat.copy()
+            new_flat[keep] = merged
+            delete = np.zeros(len(flat), bool)
+            delete[keep + 1] = True
+            kept_mask = ~delete
+            out_flat = new_flat[kept_mask]
+            # per-row new lengths: old lengths minus merges in that row
+            drops = np.bincount(row[keep], minlength=len(t))
+            new_lens = np.diff(offs) - drops
+            new_offs = np.r_[0, np.cumsum(new_lens)].astype(np.int32)
+            syms = pa.ListArray.from_arrays(
+                pa.array(new_offs, pa.int32()),
+                pa.array(out_flat, pa.string()),
+            )
+            return pa.table({"word": t["word"], "n": t["n"], "syms": syms})
+        return f
+
+    merges = []
+    for _ in range(n_merges):
+        best = (
+            clean_blocks(
+                vocab.map_batches(pair_partial, batch_format="pyarrow")
+                .groupby(["left", "right"])
+                .aggregate(Sum("n", alias_name="n")),
+                pa.schema([("left", pa.string()), ("right", pa.string()),
+                           ("n", pa.int64())]),
+            )
+            .sort(["n", "left", "right"], descending=[True, False, False])
+            .limit(1)
+            .take_all()
+        )
+        if not best or best[0]["n"] < 2:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["n"]
+        merges.append((left, right, int(cnt)))
+        vocab = clean_blocks(
+            vocab.map_batches(apply_merge(left, right),
+                              batch_format="pyarrow"),
+            vocab_schema,
+        ).materialize()
+
+    out = pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "n": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
+    if check:
+        # exactness self-check (the non-SQL twin): the collected distinct-
+        # word table is |vocab|-bounded — fine at gate scale, disable at
+        # web scale
+        wc = {}
+        for b in vocab.select_columns(["word", "n"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            for w, n in zip(b["word"].to_pylist(), b["n"].to_pylist()):
+                wc[w] = wc.get(w, 0) + n
+        ref = _bpe_reference(wc, n_merges)
+        got = list(zip(out["left"].to_pylist(), out["right"].to_pylist(),
+                       out["n"].to_pylist()))
+        if got != ref:
+            raise AssertionError(
+                f"distributed BPE diverged from reference: {got} != {ref}"
+            )
+    return out

@@ -1437,3 +1437,44 @@ def test_merge_upsert_planted(ray_session, tmp_path):
     assert got[11 + 1_000_000_000] == (11 * 1000, "inserted")
     assert got[1] == (1000, "base")
     assert len(got) == len(keys) - 1 + 1              # -delete +insert
+
+
+def test_bpe_train_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import bpe_train
+
+    # words {aa: 2, ab: 1}; pair (a,a) count 2 wins round 1; after the
+    # merge only (a,b) count 1 remains, below the min-count floor -> stop
+    sf = _write_docs(tmp_path, ["aa aa ab"])
+    t = bpe_train(sf, n_merges=5)
+    assert list(zip(t["left"].to_pylist(), t["right"].to_pylist(),
+                    t["n"].to_pylist())) == [("a", "a", 2)]
+
+
+def test_bpe_train_greedy_overlap(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import bpe_train
+
+    # "aaaa" x3: pair (a,a) counts 3 per word x 3 words = 9; greedy
+    # left-to-right merges two non-overlapping (a,a) per word; next round
+    # (aa,aa) count 3
+    sf = _write_docs(tmp_path, ["aaaa aaaa aaaa"])
+    t = bpe_train(sf, n_merges=2)
+    got = list(zip(t["left"].to_pylist(), t["right"].to_pylist(),
+                   t["n"].to_pylist()))
+    assert got == [("a", "a", 9), ("aa", "aa", 3)]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=25),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_bpe_train_fuzz_matches_reference(ray_session, tmp_path_factory, texts):
+    """bpe_train(check=True) raises if the distributed trainer diverges
+    from the single-node reference — driving it IS the assertion."""
+    from raycrawl.pipelines.textops import bpe_train
+
+    sf = _write_docs(tmp_path_factory.mktemp("bpefuzz"), texts)
+    bpe_train(sf, n_merges=4)
