@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": dedup.containment_pairs,
         "crawl_dead_links": crawl_dead_links,
         "docs_bpe_train": textops.bpe_train,
+        "docs_feature_hash": textops.feature_hash,
     }
 
 
@@ -1742,5 +1743,25 @@ SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_refs
 FROM cand
 WHERE dst NOT IN (SELECT url FROM pages) AND src <> dst
 GROUP BY dst
+"""
+    # hashing-trick vectorizer: dim = md5(token)'s LAST BYTE mod 64,
+    # recomputed nibble-exactly from the md5 hex string
+    sql["docs_feature_hash"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            w -> w <> '')) AS token
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substring(md5(token), 31, 1)) - 1) % 4)
+            * 16
+         + (strpos('0123456789abcdef', substring(md5(token), 32, 1)) - 1)
+           AS dim
+  FROM toks
+)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS tf
+FROM d GROUP BY doc_id, dim
 """
     return sql

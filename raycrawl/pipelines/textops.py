@@ -47,6 +47,7 @@ __all__ = [
     "cooccur_topk",
     "pmi_topk",
     "bpe_train",
+    "feature_hash",
 ]
 
 
@@ -1651,3 +1652,57 @@ def bpe_train(sf_dir: str, n_merges: int = 8, check: bool = True) -> pa.Table:
                 f"distributed BPE diverged from reference: {got} != {ref}"
             )
     return out
+
+
+def feature_hash(sf_dir: str, dims: int = 64) -> rd.Dataset:
+    """(doc_id, dim, tf): fixed-width bag-of-words embedding by the
+    hashing trick (Weinberger et al. 2009) — dim = md5(token) mod dims,
+    tf = the token count landing in that bucket. The vectorizer every
+    scalable linear model / sketching pipeline uses when a vocabulary
+    dict can't exist.
+
+    Scale shape: embarrassingly parallel — each doc is one row, so the
+    whole (doc_id, dim, tf) melt happens inside one map_batches with NO
+    shuffle at all; per batch the md5 runs once per DISTINCT token
+    (np.unique + inverse), and the (doc, dim) count is one pandas C
+    groupby. dim is the md5 digest's last byte mod dims, which the DuckDB
+    twin recomputes nibble-exactly from md5 hex — bit-identical, no
+    engine-specific hash anywhere."""
+    import hashlib
+
+    import pandas as pd
+
+    def vec(t: pa.Table) -> pa.Table:
+        flat, row = _flat_tokens(t)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "dim": pa.array([], pa.int64()),
+             "tf": pa.array([], pa.int64())}
+        )
+        if not len(flat):
+            return empty
+        uniq, inv = np.unique(flat, return_inverse=True)
+        dimmap = np.fromiter(
+            (int(hashlib.md5(w.encode()).hexdigest()[-2:], 16) % dims
+             for w in uniq),
+            np.int64,
+            count=len(uniq),
+        )
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[row]
+        g = (
+            pd.DataFrame({"doc_id": doc_ids, "dim": dimmap[inv]})
+            .groupby(["doc_id", "dim"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "dim": pa.array(g["dim"].to_numpy(np.int64)),
+                "tf": pa.array(g["tf"].to_numpy(np.int64)),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        vec, batch_format="pyarrow"
+    )

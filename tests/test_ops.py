@@ -1478,3 +1478,26 @@ def test_bpe_train_fuzz_matches_reference(ray_session, tmp_path_factory, texts):
 
     sf = _write_docs(tmp_path_factory.mktemp("bpefuzz"), texts)
     bpe_train(sf, n_merges=4)
+
+
+def test_feature_hash_planted(ray_session, tmp_path):
+    import hashlib
+
+    from raycrawl.pipelines.textops import feature_hash
+
+    texts = ["Apple apple banana", "banana banana"]
+    sf = _write_docs(tmp_path, texts)
+    out = feature_hash(sf).to_pandas()
+    got = {
+        (r.doc_id, r.dim): r.tf for r in out.itertuples(index=False)
+    }
+
+    def dim(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[-2:], 16) % 64
+
+    want = {}
+    for doc_id, t in enumerate(texts):
+        for w in t.lower().split():
+            k = (doc_id, dim(w))
+            want[k] = want.get(k, 0) + 1
+    assert got == want
