@@ -129,6 +129,12 @@ def run_queries() -> dict:
             SF_DIR, salt_slices=8
         ),
         "multimodal_dims": lambda: multimodal.multimodal_dims(SF_DIR),
+        "docs_cooccur_topk": lambda: textops.cooccur_topk(SF_DIR),
+        "docs_pmi_topk": lambda: textops.pmi_topk(SF_DIR),
+        "docs_feature_hash": lambda: textops.feature_hash(SF_DIR),
+        "docs_bpe_train": lambda: textops.bpe_train(SF_DIR, n_merges=4),
+        "events_latest_state": lambda: analytics.events_latest_state(SF_DIR),
+        "orders_merge_upsert": lambda: analytics.orders_merge_upsert(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
         # as the headline: a burst during one 1-3 s query would otherwise
