@@ -148,7 +148,12 @@ class FrontierShard:
         table — deterministic min-(depth,url_raw) representative per url,
         sorted by (depth, url_norm).
         """
+        import time
+
         import pyarrow.compute as pc
+
+        _t = time.perf_counter()
+        _ph = {}
 
         def mine(tbl):
             # gshard was computed in the extract stage (distributed);
@@ -165,57 +170,88 @@ class FrontierShard:
         cand_mine = mine(cand_tbl)
         if cand_mine is None:
             return FRONTIER_SCHEMA.empty_table()
+        _ph["mine"] = time.perf_counter() - _t
+        _t = time.perf_counter()
 
-        # deterministic dedup: sort by (url_norm, depth, url_raw), keep the
-        # first row of each url_norm run — all vectorized
-        idx = pc.sort_indices(
-            cand_mine,
-            sort_keys=[("url_norm", "ascending"), ("depth", "ascending"),
-                       ("url_raw", "ascending")],
-        )
-        sub = cand_mine.take(idx)
-        norms = sub["url_norm"].combine_chunks()
-        if len(norms) > 1:
-            prev = pa.concat_arrays(
-                [pa.array([None], pa.string()), norms.slice(0, len(norms) - 1)]
-            )
-            sub = sub.filter(pc.fill_null(pc.not_equal(norms, prev), True))
-
-        norm_list = sub["url_norm"].to_pylist()
+        # FILTER-FIRST: the seen/done predicate depends only on url_norm,
+        # so every row of a norm survives or dies together — probe the gate
+        # on the raw norm list and only sort/dedup the survivors. On the
+        # hot round (~2.2M candidates/shard, ~12% fresh) this replaces a
+        # full-table multi-key sort + gather (measured 15-20 s/shard) with
+        # set algebra on the list (~1 s) + a small-survivor sort.
+        norm_list = cand_mine["url_norm"].to_pylist()
+        _ph["pylist"] = time.perf_counter() - _t
+        _t = time.perf_counter()
         if self.seen_mode == "exact":
             # C-speed set algebra: unseen = candidates - seen; everything
-            # gated becomes seen; only unseen-and-not-done rows come out
+            # gated becomes seen; only unseen-and-not-done rows come out.
+            # set() dedups intra-round repeats, so the stats match the
+            # old dedup-first order exactly.
             norm_set = set(norm_list)
             fresh = norm_set - self._seen
             self._seen |= norm_set
             accepted = fresh - self._done
             self.stats["gate_dropped"] += len(norm_set) - len(fresh)
             self.stats["seen_added"] += len(fresh)
-            keep = [u in accepted for u in norm_list]
+            keep = pa.array([u in accepted for u in norm_list], pa.bool_())
         else:
             # vectorized batch probe+insert (state/cuckoo.py) — the mode
-            # that exists for 1e10-url scale must not pay per-key python
+            # that exists for 1e10-url scale must not pay per-key python.
+            # Probe UNIQUE hashes (ascending — deterministic insert order)
+            # and fan the verdict back to rows via the inverse index so all
+            # rows of a fresh norm survive to the representative pick.
             hs = np.fromiter(
                 (url_hash64(u) for u in norm_list), dtype=np.uint64,
                 count=len(norm_list),
             )
-            new_mask = self._cuckoo.check_and_add_hashes(hs)
-            n_new = int(new_mask.sum())
+            uh, inv = np.unique(hs, return_inverse=True)
+            new_u = self._cuckoo.check_and_add_hashes(uh)
+            n_new = int(new_u.sum())
             self.stats["seen_added"] += n_new
-            self.stats["gate_dropped"] += len(norm_list) - n_new
-            keep = [
-                bool(m) and u not in self._done
-                for u, m in zip(norm_list, new_mask)
-            ]
-        out = sub.filter(pa.array(keep, pa.bool_())).select(
-            ["url_raw", "url_norm", "host", "depth"]
+            self.stats["gate_dropped"] += len(uh) - n_new
+            new_row = new_u[inv]
+            if self._done and new_row.any():
+                for k in np.flatnonzero(new_row):
+                    if norm_list[k] in self._done:
+                        new_row[k] = False
+            keep = pa.array(new_row)
+        _ph["setops"] = time.perf_counter() - _t
+        _t = time.perf_counter()
+        sub = cand_mine.filter(keep)
+        _ph["filter"] = time.perf_counter() - _t
+        _t = time.perf_counter()
+
+        # deterministic representative among the (few) survivors: sort by
+        # (url_norm, depth, url_raw), keep the first row of each norm run
+        idx = pc.sort_indices(
+            sub,
+            sort_keys=[("url_norm", "ascending"), ("depth", "ascending"),
+                       ("url_raw", "ascending")],
         )
+        sub = sub.take(idx)
+        norms = sub["url_norm"].combine_chunks()
+        if len(norms) > 1:
+            prev = pa.concat_arrays(
+                [pa.array([None], pa.string()), norms.slice(0, len(norms) - 1)]
+            )
+            sub = sub.filter(pc.fill_null(pc.not_equal(norms, prev), True))
+        _ph["dedup"] = time.perf_counter() - _t
+        _t = time.perf_counter()
+
+        out = sub.select(["url_raw", "url_norm", "host", "depth"])
         # (depth, url_norm) ordering for deterministic enqueue downstream
-        return out.take(
+        out = out.take(
             pc.sort_indices(
                 out, sort_keys=[("depth", "ascending"), ("url_norm", "ascending")]
             )
         ).cast(FRONTIER_SCHEMA)
+        _ph["outsort"] = time.perf_counter() - _t
+        if os.environ.get("RAYCRAWL_TIMING") == "1" and self.shard_id == 0 \
+                and sum(_ph.values()) > 2:
+            print("[gate-phases s0] "
+                  + " ".join(f"{k} {v:.2f}s" for k, v in _ph.items()),
+                  flush=True)
+        return out
 
     def split_stripe(self, block_refs, num_shards: int) -> dict:
         """Round-commit wave 1: kind-split MY STRIPE of the round's raw
