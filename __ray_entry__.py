@@ -310,6 +310,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_dead_links": crawl_dead_links,
         "docs_bpe_train": textops.bpe_train,
         "docs_feature_hash": textops.feature_hash,
+        # ---- round 4: semi-structured extraction + sufficient-stats OLS
+        "events_json_extract": analytics.events_json_extract,
+        "docs_linreg": analytics.docs_linreg,
+        "events_quantile_sketch": _quantile_sketch_checked,
+        "docs_decontaminate_bloom": _decontaminate_bloom_checked,
     }
 
 
@@ -348,6 +353,65 @@ def _hll_checked(sf_dir: str):
     # broken register/merge path instantly
     assert err <= 0.04, f"HLL {got} vs exact {exact}: error {err:.3f} > 0.04"
     return approx
+
+
+def _quantile_sketch_checked(sf_dir: str):
+    """Uniform-compaction quantile sketch with a CHECKED rank-error bound
+    vs the exact ranks — approximate by design (no SQL oracle), so the
+    correctness signal is this assertion failing loudly inside the
+    driver's rows-only check."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    approx = relops.events_quantile_sketch(sf_dir)
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    cents = pc.cast(
+        pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    cents = np.sort(cents)
+    n = len(cents)
+    for q, v in zip(approx["q_pct"].to_pylist(),
+                    approx["approx_cents"].to_pylist()):
+        # exact rank band of the returned value
+        lo = np.searchsorted(cents, v, side="left")
+        hi = np.searchsorted(cents, v, side="right")
+        target = np.ceil(q / 100.0 * n)
+        err = max(0, lo - target, target - hi) / max(n, 1)
+        # s=256 samples/block bounds summed rank error by 1/(2s) ~ 0.2%
+        # of n at ANY scale; 2% catches a broken compactor/merge instantly
+        assert err <= 0.02, (
+            f"q{q}: value {v} rank band [{lo},{hi}] vs target {target} "
+            f"(n={n}): error {err:.4f} > 0.02")
+    return approx
+
+
+def _decontaminate_bloom_checked(sf_dir: str):
+    """Bloom-filter decontamination with CHECKED semantics vs the exact
+    broadcast-set result: zero false negatives (every exact hit is
+    flagged), false-positive rate within the m/j design bound."""
+    bloom = textops.decontaminate_bloom(sf_dir).to_pandas()
+    exact = textops.decontaminate(sf_dir).to_pandas()
+    b = dict(zip(bloom["doc_id"], bloom["contaminated"]))
+    e = dict(zip(exact["doc_id"], exact["contaminated"]))
+    assert set(b) == set(e), "bloom and exact saw different doc sets"
+    fn = sum(1 for d, c in e.items() if c and not b[d])
+    assert fn == 0, f"{fn} false negatives — bloom must never miss a hit"
+    clean = [d for d, c in e.items() if not c]
+    fp = sum(1 for d in clean if b[d])
+    # m=2^20 bits, j=4 vs a benchmark-sized gram set: design FP rate is
+    # ~(grams*j/m)^j — effectively zero at test scale; 2% catches a
+    # broken hash/bitmap path instantly
+    assert fp / max(len(clean), 1) <= 0.02, (
+        f"bloom FP rate {fp}/{len(clean)} above bound")
+    import pyarrow as _pa
+
+    return _pa.Table.from_pandas(
+        bloom.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
 
 
 def _ann_lsh_checked(sf_dir: str):
@@ -1763,5 +1827,42 @@ d AS (
 )
 SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS tf
 FROM d GROUP BY doc_id, dim
+"""
+    # semi-structured extraction: the integer k field of the JSON props
+    # column, aggregated per event type (regex twin of the RE2 kernel)
+    sql["events_json_extract"] = r"""
+WITH ext AS (
+  SELECT event_type,
+         CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+              AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM ext GROUP BY event_type
+"""
+    # sufficient-statistics OLS, exact integer numerator/denominator pairs
+    # (y = whitespace-token count, x = n_chars, per language)
+    sql["docs_linreg"] = r"""
+WITH feat AS (
+  SELECT lang, n_chars AS x,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS y
+  FROM documents
+),
+s AS (
+  SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM feat GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(sy * (n * sxx - sx * sx)
+            - (n * sxy - sx * sy) * sx AS BIGINT) AS icept_num,
+       CAST(n * (n * sxx - sx * sx) AS BIGINT) AS icept_den
+FROM s
 """
     return sql

@@ -1084,3 +1084,111 @@ def orders_merge_upsert(sf_dir: str) -> rd.Dataset:
         out_schema,
     )
     return merged.union(clean_blocks(inserts, out_schema))
+
+
+def events_json_extract(sf_dir: str) -> rd.Dataset:
+    """(event_type, n_events, sum_k, min_k, max_k): semi-structured
+    ingestion — extract the integer ``k`` field from the JSON ``props``
+    column and aggregate it per event type.
+
+    The extraction is one vectorized RE2 kernel per batch
+    (``pc.extract_regex`` — no per-row json.loads), and the aggregate is
+    pre-combined inside each batch before the shuffle, so at most one row
+    per (batch, event_type) moves: the partial-agg shape every
+    changelog-scale JSON scan needs. Rows whose props lack the field are
+    counted with k ignored (null-safe), matching SQL aggregate semantics.
+    """
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ext = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        g = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "k": k.to_pandas(),
+            }
+        )
+        agg = g.groupby("event_type", sort=False).agg(
+            n_events=("k", "size"),
+            sum_k=("k", "sum"),
+            min_k=("k", "min"),
+            max_k=("k", "max"),
+        ).reset_index()
+        # pandas sum over all-null -> 0.0 float; keep int64 + null-safety
+        agg["sum_k"] = agg["sum_k"].astype("int64")
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("event_type", sort=False).agg(
+            n_events=("n_events", "sum"),
+            sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"),
+            max_k=("max_k", "max"),
+        ).reset_index()
+        return out
+
+    return (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def docs_linreg(sf_dir: str) -> rd.Dataset:
+    """(lang, n, slope_num, slope_den, icept_num, icept_den): per-language
+    simple linear regression of whitespace-token count on character count,
+    kept EXACT as integer numerator/denominator pairs:
+
+        slope     = (n*Σxy - Σx*Σy) / (n*Σxx - Σx²)
+        intercept = (Σy*slope_den - slope_num*Σx) / (n*slope_den)
+
+    The distributed shape is the one every sufficient-statistics model fit
+    uses (the k-means/PageRank integer trick applied to OLS): each batch
+    emits one partial (n, Σx, Σy, Σxx, Σxy) row per language it contains,
+    the shuffle moves only those partials, and the closed form runs on the
+    tiny per-language totals. int64 bounds: |Σxx| ≤ n·max(x)²; at corpus
+    scale beyond ~1e12 rows switch the two product columns to
+    decimal128 — documented, not needed at any test scale.
+    """
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.cast(
+            pc.count_substring_regex(t["text"], r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pandas(),
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "sxy": x * y,
+            }
+        )
+        return (
+            g.groupby("lang", sort=False)[["n", "sx", "sy", "sxx", "sxy"]]
+            .sum()
+            .reset_index()
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("lang", sort=False)[["n", "sx", "sy", "sxx", "sxy"]] \
+            .sum().reset_index()
+        s["slope_num"] = s["n"] * s["sxy"] - s["sx"] * s["sy"]
+        s["slope_den"] = s["n"] * s["sxx"] - s["sx"] * s["sx"]
+        s["icept_num"] = s["sy"] * s["slope_den"] - s["slope_num"] * s["sx"]
+        s["icept_den"] = s["n"] * s["slope_den"]
+        return s[["lang", "n", "slope_num", "slope_den",
+                  "icept_num", "icept_den"]]
+
+    from raycrawl.pipelines.textops import _read_docs
+
+    return (
+        _read_docs(sf_dir, ["lang", "n_chars", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -1150,3 +1150,72 @@ def orders_price_quantiles(sf_dir: str) -> rd.Dataset:
         .groupby("o_orderpriority")
         .map_groups(quant, batch_format="pandas")
     )
+
+
+def events_quantile_sketch(sf_dir: str, samples_per_block: int = 256,
+                           qs=(10, 50, 90, 99)) -> pa.Table:
+    """(q_pct, approx_cents): mergeable uniform-compaction quantile sketch
+    over the event value — the at-scale companion to the exact histogram
+    quantiles (orders_price_quantiles), for value domains too wide for a
+    distinct-value shuffle.
+
+    Sketch: each block sorts its cents locally and keeps a fixed NUMBER of
+    samples s (every k_b-th value, k_b = ceil(B/s), midpoint rule, weight
+    k_b, plus one remainder sample). Per-block rank error is <= k_b/2 ~
+    B/(2s), so the summed global error is <= n/(2s): a RELATIVE bound of
+    1/(2s) (~0.2% at s=256) that is independent of corpus size and block
+    count — a fixed stride k would instead degrade as blocks shrink (a
+    small block would contribute only its median). Samples merge by
+    concatenation; the bound is checked at query time by the driver
+    wrapper (__ray_entry__._quantile_sketch_checked) against exact ranks.
+
+    Scale shape: the shuffle moves <= s+1 weighted rows per block
+    (deterministic, no value-domain assumption); the final weighted-rank
+    scan runs on one worker over those s*nblocks samples (repartition(1)
+    — at extreme block counts this tree-merges by re-compacting, same
+    rule), and only the |qs| answer rows reach the driver."""
+    s = samples_per_block
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.sort(_cents(t["value"]).to_numpy(zero_copy_only=False))
+        n = len(v)
+        if n == 0:
+            return pa.table({"cents": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.int64())})
+        k = -(-n // s)  # ceil: fixed sample COUNT, scale-free error
+        full = n // k
+        idx = np.arange(full) * k + (k - 1) // 2
+        w = np.full(full, k, dtype=np.int64)
+        r = n - full * k
+        if r:
+            idx = np.append(idx, full * k + (r - 1) // 2)
+            w = np.append(w, r)
+        return pa.table({"cents": pa.array(v[idx], pa.int64()),
+                         "weight": pa.array(w, pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("cents", "ascending")])
+        v = t["cents"].take(order).to_numpy(zero_copy_only=False)
+        w = t["weight"].take(order).to_numpy(zero_copy_only=False)
+        cum = np.cumsum(w)
+        total = cum[-1] if len(cum) else 0
+        out_q, out_v = [], []
+        for q in qs:
+            target = max(1, int(np.ceil(q / 100.0 * total)))
+            j = int(np.searchsorted(cum, target))
+            out_q.append(int(q))
+            out_v.append(int(v[min(j, len(v) - 1)]) if len(v) else 0)
+        return pa.table({"q_pct": pa.array(out_q, pa.int64()),
+                         "approx_cents": pa.array(out_v, pa.int64())})
+
+    rows = (
+        _read(sf_dir, "events", ["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow")
+        .take_all()  # |qs| answer rows — the only driver materialization
+    )
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("q_pct", pa.int64()),
+                                ("approx_cents", pa.int64())])
+    )

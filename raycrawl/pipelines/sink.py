@@ -18,17 +18,31 @@ frontier state.
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-__all__ = ["resumable_transform_write", "read_partitioned"]
+__all__ = ["resumable_transform_write", "read_partitioned", "shard_key"]
+
+
+def shard_key(path: str) -> str:
+    """Stable shard id for an input fragment: basename stem + a short path
+    hash (two fragments may share a stem across directories). A STABLE
+    function of the path — never of the fragment's position in the file
+    list — so growing the input set never renumbers committed shards: the
+    old positional keying re-ran every shifted fragment and, on a crash
+    mid-re-run, could leave one fragment committed under TWO indices
+    (duplicate rows for readers)."""
+    stem = os.path.splitext(os.path.basename(path))[0]
+    h = hashlib.blake2b(path.encode(), digest_size=5).hexdigest()
+    return f"{stem}-{h}"
 
 
 @ray.remote(num_cpus=1)
-def _shard_task(path: str, fn, out_dir: str, shard: int,
+def _shard_task(path: str, fn, out_dir: str, shard: str,
                 columns: list | None) -> int:
     table = pq.read_table(path, columns=columns)
     out = fn(table) if fn is not None else table
@@ -59,35 +73,34 @@ def resumable_transform_write(
     backpressure) so a million-fragment input never floods the
     scheduler. Returns {"shards", "skipped", "rows"}.
 
-    Shard indices come from the sorted file list, so a GROWN input set can
-    shift them (a new file sorting before existing ones renumbers every
-    later shard). The marker records its source path exactly for this
-    case: a shard whose committed marker names a different source than
-    files[i] is treated as uncommitted and reprocessed, so no fragment is
-    ever silently skipped and no committed shard keeps rows from the
-    wrong source.
+    Shard directories are keyed by ``shard_key(path)`` — a stable function
+    of the input path — so growing the input set leaves committed shards
+    untouched and runs only the new fragments. The marker still records
+    the source path; a mismatch (e.g. a hand-moved shard directory) is
+    treated as uncommitted and reprocessed.
     """
     files = sorted(glob.glob(input_glob))
     if not files:
         raise FileNotFoundError(f"no inputs match {input_glob!r}")
     os.makedirs(out_dir, exist_ok=True)
     pending, skipped = [], 0
-    for i, path in enumerate(files):
-        marker = os.path.join(out_dir, f"shard={i}", "_SUCCESS")
+    for path in files:
+        key = shard_key(path)
+        marker = os.path.join(out_dir, f"shard={key}", "_SUCCESS")
         if os.path.exists(marker):
             with open(marker) as f:
                 committed_path = f.read()
             if committed_path == path:
                 skipped += 1
                 continue
-        pending.append((i, path))
+        pending.append((key, path))
 
     rows, in_flight = 0, []
-    for i, path in pending:
+    for key, path in pending:
         if len(in_flight) >= max_in_flight:
             done, in_flight = ray.wait(in_flight, num_returns=1)
             rows += sum(ray.get(done))
-        in_flight.append(_shard_task.remote(path, fn, out_dir, i, columns))
+        in_flight.append(_shard_task.remote(path, fn, out_dir, key, columns))
     rows += sum(ray.get(in_flight))
     return {"shards": len(files), "skipped": skipped, "rows": rows}
 

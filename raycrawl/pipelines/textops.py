@@ -367,6 +367,95 @@ def decontaminate(sf_dir: str, n: int = 3, eval_mod: int = 97) -> rd.Dataset:
     )
 
 
+def _bloom_positions(grams, m_bits: int, j: int):
+    """(len(grams), j) int64 bit positions via Kirsch-Mitzenmacher double
+    hashing of TWO independent vectorized 64-bit gram hashes
+    (pd.util.hash_array under two different siphash keys — deterministic,
+    C-speed, no per-string Python).
+
+    h2 must NOT be an arithmetic mix of h1: with m a power of two, the low
+    bits of h1*C+D depend only on the low bits of h1, so every probe
+    position would be a function of h1 mod m and the filter degenerates to
+    a SINGLE-hash bloom (measured: FP rate n_eval/2**20 per gram instead
+    of (bits/m)**j — the bug this comment commemorates)."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(grams, dtype=object)
+    h1 = pd.util.hash_array(arr)
+    h2 = pd.util.hash_array(arr, hash_key="raycrawl_bloom_2")
+    # force h2 odd so the double-hash probe sequence never degenerates
+    h2 |= np.uint64(1)
+    i = np.arange(j, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def decontaminate_bloom(sf_dir: str, n: int = 3, eval_mod: int = 97,
+                        m_bits: int = 1 << 20, j: int = 4) -> rd.Dataset:
+    """(doc_id, contaminated): Bloom-filter decontamination — the sketch
+    path for when the distinct eval-shingle set is too large to broadcast
+    raw (a full benchmark union at production scale). ZERO false negatives
+    by construction (every true shingle hit sets all its bits); a bounded
+    false-positive rate can flag extra docs, checked at query time against
+    the exact broadcast-set result (__ray_entry__._decontaminate_bloom_checked).
+
+    Scale shape: the filter is built DISTRIBUTED — each batch ORs its
+    eval shingles into a local m-bit bitmap and the driver ORs the
+    ≤nblocks bitmaps (each m/8 bytes, bounded by the filter size, never by
+    the eval corpus) — then ships one ray.put bitmap to an actor pool that
+    probes each batch's shingles with two vectorized hash mixes (double
+    hashing, no per-string Python). Memory is m bits per actor regardless
+    of eval size — vs the exact path's full gram index.
+    """
+    import numpy as np
+
+    def eval_bits(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.take(np.flatnonzero(ids % eval_mod == 0))
+        bits = np.zeros(m_bits, dtype=bool)
+        g, _ = _shingles(*_flat_tokens(sub), n)
+        if len(g):
+            bits[_bloom_positions(np.unique(g), m_bits, j).ravel()] = True
+        return pa.table({"bitmap": pa.array([np.packbits(bits).tobytes()],
+                                            pa.binary())})
+
+    packed = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(eval_bits, batch_format="pyarrow")
+        .take_all()  # ≤nblocks bitmaps of m/8 bytes each — bounded by m
+    )
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in packed:
+        merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    bits_ref = ray.put(np.unpackbits(merged).astype(bool))
+
+    class Probe:
+        def __init__(self):
+            # one object-store read per actor; m bits of state total
+            self.bits = ray.get(bits_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            sub = t.take(np.flatnonzero(ids % eval_mod != 0))
+            g, grow = _shingles(*_flat_tokens(sub), n)
+            if len(g):
+                hit = self.bits[_bloom_positions(g, m_bits, j)].all(axis=1)
+                bad = np.bincount(grow[hit], minlength=len(sub)) > 0
+            else:
+                bad = np.zeros(sub.num_rows, dtype=bool)
+            return pa.table(
+                {
+                    "doc_id": sub["doc_id"],
+                    "contaminated": pa.array(bad.astype(np.int64), pa.int64()),
+                }
+            )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Probe, batch_format="pyarrow", concurrency=pool_size(), num_cpus=1
+    )
+
+
 # odd 64-bit constants (golden-ratio / Pelle Evensen mixers); ids map
 # through a mod-2^64 affine hash whose top 12 bits pick the bucket —
 # numpy uint64 wraps natively, DuckDB reproduces it in HUGEINT

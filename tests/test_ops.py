@@ -329,6 +329,7 @@ def test_resumable_sink_skips_committed_shards(ray_session, tmp_path):
     from raycrawl.pipelines.sink import (
         read_partitioned,
         resumable_transform_write,
+        shard_key,
     )
 
     src = tmp_path / "in"
@@ -359,8 +360,9 @@ def test_resumable_sink_skips_committed_shards(ray_session, tmp_path):
     assert sorted(got["doc_id"]) == [0, 1, 10, 11, 20, 21]
     assert set(got["text"]) == {"A", "B"}
 
-    # simulate a crash on shard 1: marker gone, stale partial data left
-    os.remove(str(out / "shard=1" / "_SUCCESS"))
+    # simulate a crash on f1's shard: marker gone, stale partial data left
+    os.remove(str(out / f"shard={shard_key(str(src / 'f1.parquet'))}"
+                  / "_SUCCESS"))
     for f in os.listdir(logdir):
         os.remove(os.path.join(logdir, f))
     assert len(read_partitioned(str(out)).to_pandas()) == 4  # reader hides it
@@ -474,13 +476,17 @@ def test_dedup_outputs_invariant_to_coarse_width(ray_session, monkeypatch):
     assert pairs_set(minhash_lsh_pairs(SF).to_pandas()) == mh_ref
 
 
-def test_resumable_sink_grown_input_remaps_shards(ray_session, tmp_path):
-    """A new input file that sorts BEFORE committed ones shifts every
-    shard index; markers record the source path, so shifted shards are
-    re-done rather than silently masking the wrong fragment."""
+def test_resumable_sink_grown_input_keeps_committed_shards(
+        ray_session, tmp_path):
+    """Shard keys are a stable function of the input path, so growing the
+    input set (even with a file that sorts before committed ones) leaves
+    committed shards untouched and runs ONLY the new fragment — the old
+    positional keying re-ran every shifted fragment and a crash mid-re-run
+    could commit one fragment under two indices (duplicate rows)."""
     from raycrawl.pipelines.sink import (
         read_partitioned,
         resumable_transform_write,
+        shard_key,
     )
 
     src = tmp_path / "in"
@@ -491,17 +497,24 @@ def test_resumable_sink_grown_input_remaps_shards(ray_session, tmp_path):
     r1 = resumable_transform_write(str(src / "*.parquet"), str(out))
     assert r1 == {"shards": 2, "skipped": 0, "rows": 4}
 
-    # grow the input with a file that sorts first: b->shard1, c->shard2
+    # grow the input with a file that sorts first: b/c keys are unchanged
     pq.write_table(pa.table({"doc_id": [0, 1]}), str(src / "a.parquet"))
     r2 = resumable_transform_write(str(src / "*.parquet"), str(out))
-    assert r2["shards"] == 3
-    assert r2["skipped"] == 0  # every marker names a now-different source
+    assert r2 == {"shards": 3, "skipped": 2, "rows": 2}
     got = read_partitioned(str(out)).to_pandas()
     assert sorted(got["doc_id"]) == [0, 1, 10, 11, 20, 21]
 
-    # idempotent third run: all markers now match their sources
+    # a marker whose recorded source does not match its key's path is
+    # treated as uncommitted (hand-moved shard directory)
+    key_a = shard_key(str(src / "a.parquet"))
+    marker = out / f"shard={key_a}" / "_SUCCESS"
+    marker.write_text("somewhere/else.parquet")
     r3 = resumable_transform_write(str(src / "*.parquet"), str(out))
-    assert r3 == {"shards": 3, "skipped": 3, "rows": 0}
+    assert r3 == {"shards": 3, "skipped": 2, "rows": 2}
+
+    # idempotent final run: every marker matches its source
+    r4 = resumable_transform_write(str(src / "*.parquet"), str(out))
+    assert r4 == {"shards": 3, "skipped": 3, "rows": 0}
 
 
 def test_embedding_stages_survive_empty_blocks(ray_session):
@@ -1501,3 +1514,25 @@ def test_feature_hash_planted(ray_session, tmp_path):
             k = (doc_id, dim(w))
             want[k] = want.get(k, 0) + 1
     assert got == want
+
+
+def test_checked_sketch_queries(ray_session):
+    """The two new assertion-checked approximates: the quantile sketch's
+    rank-error bound and the bloom decontaminator's zero-false-negative /
+    FP-bound checks run INSIDE the query wrappers — invoking them at
+    sf0.001 is the test."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+
+    q = m.queries()
+    t = q["events_quantile_sketch"]("/root/testdata/sf0.001")
+    assert t.column_names == ["q_pct", "approx_cents"]
+    assert t["q_pct"].to_pylist() == [10, 50, 90, 99]
+    # medians must be non-decreasing across quantiles
+    v = t["approx_cents"].to_pylist()
+    assert v == sorted(v)
+
+    t2 = q["docs_decontaminate_bloom"]("/root/testdata/sf0.001")
+    assert t2.num_rows > 0

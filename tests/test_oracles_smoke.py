@@ -28,7 +28,8 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "top_customer_orders", "docs_bm25_topk", "crawl_host_matrix",
          "docs_cooccur_topk", "docs_pmi_topk", "events_latest_state",
          "docs_incremental_dedup", "orders_merge_upsert",
-         "dedup_containment", "crawl_dead_links", "docs_feature_hash"]
+         "dedup_containment", "crawl_dead_links", "docs_feature_hash",
+         "events_json_extract", "docs_linreg"]
 
 
 @pytest.fixture(scope="module")

@@ -160,3 +160,57 @@ def test_robots_rules_parsing(ray_session, tmp_path):
     assert view.delay("RayCrawl", "h0.example.com") == 5
     assert ray.get(cache.delays.remote("RayCrawl", ["h0.example.com"])) == {"h0.example.com": 5}
     ray.kill(cache)
+
+
+def test_gate_round_duplicate_norms_both_modes(ray_session):
+    """The filter-first gate probes BEFORE picking the per-norm
+    representative: every row of a fresh norm must survive to the
+    min-(depth,url_raw) pick — including in cuckoo mode, where the unique
+    hashes are probed and the verdict fans back to rows via the inverse
+    index. Exact and cuckoo must emit identical tables."""
+    import pyarrow as pa
+    import ray
+
+    from raycrawl.state.cuckoo import url_hash64
+    from raycrawl.state.frontier import FrontierShard
+
+    def cand_tbl(rows):
+        # rows: (url_raw, url_norm, host, depth)
+        return pa.table(
+            {
+                "url_raw": pa.array([r[0] for r in rows], pa.string()),
+                "url_norm": pa.array([r[1] for r in rows], pa.string()),
+                "host": pa.array([r[2] for r in rows], pa.string()),
+                "depth": pa.array([r[3] for r in rows], pa.int32()),
+                "gshard": pa.array(
+                    [url_hash64(r[1]) % 1 for r in rows], pa.int32()
+                ),
+            }
+        )
+
+    # duplicate norms with different (depth, raw): arrival order scrambled
+    rows = [
+        ("http://h/x?b", "http://h/x", "h", 3),
+        ("http://h/y", "http://h/y", "h", 2),
+        ("http://h/x?a", "http://h/x", "h", 2),   # the winner for x
+        ("http://h/x?c", "http://h/x", "h", 2),
+        ("http://h/z", "http://h/z", "h", 1),
+    ]
+    outs = {}
+    for mode in ("exact", "cuckoo"):
+        s = FrontierShard.remote(0, seen_mode=mode)
+        out = ray.get(s.gate_round.remote(cand_tbl(rows), None, 1))
+        # second round: same norms again -> all seen, nothing out
+        out2 = ray.get(s.gate_round.remote(cand_tbl(rows), None, 1))
+        assert out2.num_rows == 0, mode
+        ray.kill(s)
+        outs[mode] = out
+
+    for mode, out in outs.items():
+        assert out["url_norm"].to_pylist() == [
+            "http://h/z", "http://h/x", "http://h/y"
+        ], mode  # (depth, url_norm) output order
+        assert out["url_raw"].to_pylist() == [
+            "http://h/z", "http://h/x?a", "http://h/y"
+        ], mode  # min-(depth, url_raw) representative, not first arrival
+    assert outs["exact"].equals(outs["cuckoo"])
