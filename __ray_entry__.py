@@ -315,6 +315,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_linreg": analytics.docs_linreg,
         "events_quantile_sketch": _quantile_sketch_checked,
         "docs_decontaminate_bloom": _decontaminate_bloom_checked,
+        # ---- round 4: blocklist scrub, sequence packing, OOV rate ----
+        "docs_scrub": textops.scrub,
+        "docs_pack_manifest": textops.pack_manifest,
+        "docs_oov_rate": textops.oov_rate,
     }
 
 
@@ -1864,5 +1868,66 @@ SELECT lang, CAST(n AS BIGINT) AS n,
             - (n * sxy - sx * sy) * sx AS BIGINT) AS icept_num,
        CAST(n * (n * sxx - sx * sx) AS BIGINT) AS icept_den
 FROM s
+"""
+    # C4-style blocklist scrub: RE2 word-boundary alternation on both
+    # engines, so the redacted text is byte-identical
+    sql["docs_scrub"] = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\b(?:spark|scan|merge)\b'))
+            AS BIGINT) AS n_hits,
+       CAST(CASE WHEN length(regexp_extract_all(
+                text, '\b(?:spark|scan|merge)\b')) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       regexp_replace(text, '\b(?:spark|scan|merge)\b', '[REDACTED]', 'g')
+           AS scrubbed
+FROM documents
+"""
+    # sequence-packing manifest: the window cumsum is the SQL twin of the
+    # distributed two-pass prefix sum (per-range partials -> broadcast
+    # base offsets -> in-partition cumsum)
+    sql["docs_pack_manifest"] = r"""
+WITH per AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM per
+)
+SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 128 AS BIGINT) AS first_seq,
+       CAST((start_offset + greatest(n_tokens, 1) - 1) // 128 AS BIGINT)
+           AS last_seq
+FROM o ORDER BY doc_id
+"""
+    # OOV rate vs the corpus's own deterministic top-16 vocabulary
+    # (count desc, token asc — the same tie-break as the Ray side)
+    sql["docs_oov_rate"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            w -> w <> '')) AS token
+  FROM documents
+),
+vc AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+vocab AS (SELECT token FROM vc ORDER BY n DESC, token LIMIT 16),
+per AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         count(*) FILTER (WHERE v.token IS NULL) AS n_oov
+  FROM tok t LEFT JOIN vocab v ON t.token = v.token
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(CASE WHEN COALESCE(p.n_tokens, 0) > 0
+            THEN (p.n_oov * 4096) // p.n_tokens ELSE 0 END AS BIGINT)
+           AS oov_ratio_4096
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
     return sql

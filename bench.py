@@ -135,6 +135,9 @@ def run_queries() -> dict:
         "docs_bpe_train": lambda: textops.bpe_train(SF_DIR, n_merges=4),
         "events_latest_state": lambda: analytics.events_latest_state(SF_DIR),
         "orders_merge_upsert": lambda: analytics.orders_merge_upsert(SF_DIR),
+        "docs_scrub": lambda: textops.scrub(SF_DIR),
+        "docs_pack_manifest": lambda: textops.pack_manifest(SF_DIR),
+        "docs_oov_rate": lambda: textops.oov_rate(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
         # as the headline: a burst during one 1-3 s query would otherwise

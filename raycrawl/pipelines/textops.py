@@ -48,6 +48,9 @@ __all__ = [
     "pmi_topk",
     "bpe_train",
     "feature_hash",
+    "scrub",
+    "pack_manifest",
+    "oov_rate",
 ]
 
 
@@ -1794,4 +1797,207 @@ def feature_hash(sf_dir: str, dims: int = 64) -> rd.Dataset:
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         vec, batch_format="pyarrow"
+    )
+
+
+# C4-style blocklist scrub: word-boundary alternation over a fixed policy
+# list. RE2 on both engines (pyarrow replace_substring_regex / DuckDB
+# regexp_replace with the 'g' flag), so the redacted text is byte-identical.
+SCRUB_BLOCKLIST = ("spark", "scan", "merge")
+SCRUB_PATTERN = r"\b(?:" + "|".join(SCRUB_BLOCKLIST) + r")\b"
+SCRUB_TOKEN = "[REDACTED]"
+
+
+def scrub(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_hits, keep, scrubbed): C4-style blocklist redaction.
+
+    The curation move every web-text recipe applies before training:
+    redact policy-listed terms in place, count the hits, and carry the
+    C4 drop rule (``keep`` = the document had no hits at all) so the
+    caller can either filter or keep the redacted text.
+
+    Scale shape: one stateless ``map_batches`` pass, two RE2 kernels per
+    batch (count + global replace) — no shuffle, no state, no Python
+    loop; streams at any corpus size.
+    """
+
+    def redact(t: pa.Table) -> pa.Table:
+        hits = pc.cast(
+            pc.count_substring_regex(t["text"], SCRUB_PATTERN), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_hits": hits,
+                "keep": pc.cast(pc.equal(hits, 0), pa.int64()),
+                "scrubbed": pc.replace_substring_regex(
+                    t["text"], SCRUB_PATTERN, SCRUB_TOKEN
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        redact, batch_format="pyarrow"
+    )
+
+
+def pack_manifest(sf_dir: str, seq_len: int = 128) -> rd.Dataset:
+    """(doc_id, n_tokens, start_offset, first_seq, last_seq): GPT-style
+    concat-and-chunk sequence-packing manifest.
+
+    Documents are conceptually concatenated in doc_id order into one
+    token stream that is cut into fixed ``seq_len`` windows; the manifest
+    records each document's global token offset and the first/last
+    training sequence it lands in — exactly what a packing dataloader
+    needs to locate any document without re-tokenizing the corpus.
+
+    The global prefix sum is DISTRIBUTED: pass 1 reduces each coarse
+    doc_id range (width from :func:`~raycrawl.pipelines.dedup.coarse_parts`,
+    dense-id assumption only skews partition sizes, never correctness) to
+    one token-count partial — the driver scan is over O(parts) rows,
+    never O(docs) — and pass 2 shuffles only (doc_id, n_tokens, part)
+    [no text] so each partition cumsums its own range on top of the
+    broadcast base offset. Zero-token docs get the degenerate span
+    ``first_seq == last_seq`` of their offset (``max(n,1)`` width), so
+    every doc_id appears exactly once.
+    """
+    import os as _os
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from raycrawl.pipelines.dedup import coarse_parts
+
+    n_docs = _pq.read_metadata(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    width = max(1, -(-n_docs // coarse_parts(sf_dir)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        part = pc.divide(t["doc_id"], width)
+        g = (
+            pa.table({"part": part, "n": n})
+            .group_by("part")
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["part", "n"])
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # one row per coarse doc_id range — O(parts), tiny
+    )
+    parts = np.array(sorted(r["part"] for r in totals), np.int64)
+    sums = np.array(
+        [n for _, n in sorted((r["part"], r["n"]) for r in totals)], np.int64
+    )
+    base = dict(
+        zip(parts.tolist(), np.concatenate(([0], np.cumsum(sums)[:-1])).tolist())
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        # pass 2 ships only the 3 integer columns into the shuffle
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(t["text"], r"\S+"), pa.int64()
+                ),
+                "part": pc.divide(t["doc_id"], width),
+            }
+        )
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy(np.int64)
+        start = base[int(g["part"].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(n)[:-1])
+        )
+        first = start // seq_len
+        last = (start + np.maximum(n, 1) - 1) // seq_len
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": n,
+                "start_offset": start,
+                "first_seq": first,
+                "last_seq": last,
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(offsets, batch_format="pandas")
+    )
+
+
+def oov_rate(sf_dir: str, v: int = 16) -> rd.Dataset:
+    """(doc_id, n_tokens, n_oov, oov_ratio_4096): out-of-vocabulary rate
+    of every document against the corpus's own top-``v`` vocabulary — the
+    tokenizer-coverage signal a data-mixing recipe reads before fixing a
+    vocab size.
+
+    Two passes, both bounded: (1) the distributed wordcount (partial
+    per-batch counts before the one token shuffle, same shape as
+    :func:`vocab_topk`) keeps only the deterministic top-v (count desc,
+    token asc) — the broadcast side is O(v) forever; (2) a stateless
+    per-batch ``is_in`` probe scores every doc. Integer ratio in 4096ths;
+    token contract is lower + whitespace split (shared with
+    :func:`common_token_ratio`).
+    """
+    from ray.data.aggregate import Sum
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(lists)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [("token", "count")]
+        )
+        return g.rename_columns(["token", "n"])
+
+    top = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(explode_count, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(v)
+        .take_all()  # O(v) rows
+    )
+    vocab_arr = pa.array(sorted(r["token"] for r in top), pa.string())
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), r"\s+"
+        ).combine_chunks()
+        flat = toks.values
+        trow = np.repeat(np.arange(len(t)), np.diff(toks.offsets.to_numpy()))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        member = pc.is_in(flat, value_set=vocab_arr).to_numpy(
+            zero_copy_only=False
+        )
+        n_tok = np.bincount(trow[nonempty], minlength=len(t)).astype(np.int64)
+        n_oov = np.bincount(
+            trow[nonempty & ~member], minlength=len(t)
+        ).astype(np.int64)
+        ratio = np.where(n_tok > 0, (n_oov * 4096) // np.maximum(n_tok, 1), 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "n_oov": pa.array(n_oov),
+                "oov_ratio_4096": pa.array(ratio, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
     )

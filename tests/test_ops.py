@@ -1536,3 +1536,90 @@ def test_checked_sketch_queries(ray_session):
 
     t2 = q["docs_decontaminate_bloom"]("/root/testdata/sf0.001")
     assert t2.num_rows > 0
+
+
+def test_scrub_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import SCRUB_TOKEN, scrub
+
+    texts = [
+        "spark and scan walk in",      # two hits
+        "sparkly scanner merged",      # \b guards: no whole-word hits
+        "clean text only",             # untouched
+        "merge merge merge",           # repeated hits
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = {
+        r["doc_id"]: (r["n_hits"], r["keep"], r["scrubbed"])
+        for r in scrub(sf).take_all()
+    }
+    R = SCRUB_TOKEN
+    assert got == {
+        0: (2, 0, f"{R} and {R} walk in"),
+        1: (0, 1, "sparkly scanner merged"),
+        2: (0, 1, "clean text only"),
+        3: (3, 0, f"{R} {R} {R}"),
+    }
+
+
+def test_pack_manifest_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import pack_manifest
+
+    # seq_len=4: doc0 has 3 tokens [0,3) -> seq 0; doc1 has 5 [3,8) ->
+    # seqs 0-1; doc2 is EMPTY at offset 8 -> degenerate span seq 2;
+    # doc3 has 6 [8,14) -> seqs 2-3
+    texts = ["a b c", "d e f g h", "", "i j k l m n"]
+    sf = _write_docs(tmp_path, texts)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"], r["first_seq"], r["last_seq"]
+        )
+        for r in pack_manifest(sf, seq_len=4).take_all()
+    }
+    assert got == {
+        0: (3, 0, 0, 0),
+        1: (5, 3, 0, 1),
+        2: (0, 8, 2, 2),
+        3: (6, 8, 2, 3),
+    }
+
+
+def test_pack_manifest_fuzz(ray_session, tmp_path_factory):
+    """Offsets are the exclusive prefix sum in doc_id order regardless of
+    how docs land in blocks/partitions."""
+    import random
+
+    from raycrawl.pipelines.textops import pack_manifest
+
+    rng = random.Random(7)
+    texts = [" ".join("w" for _ in range(rng.randrange(9))) for _ in range(60)]
+    sf = _write_docs(tmp_path_factory.mktemp("packfuzz"), texts)
+    rows = sorted(
+        pack_manifest(sf, seq_len=5).take_all(), key=lambda r: r["doc_id"]
+    )
+    off = 0
+    assert len(rows) == len(texts)
+    for r, t in zip(rows, texts):
+        n = len(t.split())
+        assert (r["n_tokens"], r["start_offset"]) == (n, off)
+        assert r["first_seq"] == off // 5
+        assert r["last_seq"] == (off + max(n, 1) - 1) // 5
+        off += n
+
+
+def test_oov_rate_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import oov_rate
+
+    # top-2 vocab by (count desc, token asc): 'aa' (4), 'bb' (3);
+    # 'cc' (3) loses the tie to 'bb'
+    texts = ["aa bb cc", "aa bb cc", "aa bb cc", "aa dd"]
+    sf = _write_docs(tmp_path, texts)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_ratio_4096"])
+        for r in oov_rate(sf, v=2).take_all()
+    }
+    assert got == {
+        0: (3, 1, 4096 // 3),
+        1: (3, 1, 4096 // 3),
+        2: (3, 1, 4096 // 3),
+        3: (2, 1, 2048),
+    }

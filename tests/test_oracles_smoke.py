@@ -29,7 +29,8 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "docs_cooccur_topk", "docs_pmi_topk", "events_latest_state",
          "docs_incremental_dedup", "orders_merge_upsert",
          "dedup_containment", "crawl_dead_links", "docs_feature_hash",
-         "events_json_extract", "docs_linreg"]
+         "events_json_extract", "docs_linreg", "docs_scrub",
+         "docs_pack_manifest", "docs_oov_rate"]
 
 
 @pytest.fixture(scope="module")
