@@ -319,6 +319,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_scrub": textops.scrub,
         "docs_pack_manifest": textops.pack_manifest,
         "docs_oov_rate": textops.oov_rate,
+        # ---- round 4: DSIR weights, bigram fluency, shuffle shards ----
+        "docs_dsir_weights": textops.dsir_weights,
+        "docs_fluency": textops.fluency,
+        "docs_shuffle_shards": textops.shuffle_shards,
     }
 
 
@@ -1929,5 +1933,83 @@ SELECT d.doc_id,
             THEN (p.n_oov * 4096) // p.n_tokens ELSE 0 END AS BIGINT)
            AS oov_ratio_4096
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+    # DSIR importance weights: md5 bucket recomputed nibble-exactly (the
+    # feature_hash trick), per-bucket quantized likelihood ratio in
+    # HUGEINT (the Ray side uses arbitrary-precision driver ints)
+    sql["docs_dsir_weights"] = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            w -> w <> '')) AS token
+  FROM documents
+),
+d AS (
+  SELECT doc_id, lang,
+         ((strpos('0123456789abcdef', substring(md5(token), 31, 1)) - 1) % 4)
+            * 16
+         + (strpos('0123456789abcdef', substring(md5(token), 32, 1)) - 1)
+           AS dim
+  FROM toks
+),
+c AS (
+  SELECT dim, CAST(count(*) AS HUGEINT) AS n_all,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS HUGEINT) AS n_tgt
+  FROM d GROUP BY dim
+),
+tot AS (SELECT sum(n_all) AS ta, greatest(sum(n_tgt), 1) AS tt FROM c),
+r AS (SELECT dim, (n_tgt * ta * 4096) // (n_all * tt) AS ratio FROM c, tot),
+w AS (
+  SELECT d.doc_id, count(*) AS n_tokens, sum(r.ratio) AS wgt
+  FROM d JOIN r USING (dim) GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       CAST(COALESCE(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(w.wgt, 0) AS BIGINT) AS dsir_weight
+FROM documents doc LEFT JOIN w ON doc.doc_id = w.doc_id
+"""
+    # corpus-relative bigram fluency: ordered adjacent bigrams per doc,
+    # mean corpus frequency (integer floor division on both engines)
+    sql["docs_fluency"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     w -> w <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i + 1])) AS gram
+  FROM toks WHERE len(ts) > 1
+),
+gc AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_gram
+       FROM grams GROUP BY gram),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(n_gram) AS BIGINT) AS sum_freq
+  FROM grams JOIN gc USING (gram) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, sum_freq,
+       CAST(sum_freq // n_bigrams AS BIGINT) AS fluency_avg
+FROM per
+"""
+    # deterministic shuffle shards: splitmix64 finalizer mixers in
+    # HUGEINT mod 2^64; shard = top 6 bits, in-shard order by the low
+    # 52 bits (doc_id tie-break) — constants interpolated from textops
+    sql["docs_shuffle_shards"] = f"""
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id::HUGEINT * {textops._SHARD_MUL}
+           + {textops._SHARD_ADD}) % 18446744073709551616) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hv // 288230376151711744 AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+                PARTITION BY hv // 288230376151711744
+                ORDER BY hv % 4503599627370496, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
 """
     return sql

@@ -138,6 +138,9 @@ def run_queries() -> dict:
         "docs_scrub": lambda: textops.scrub(SF_DIR),
         "docs_pack_manifest": lambda: textops.pack_manifest(SF_DIR),
         "docs_oov_rate": lambda: textops.oov_rate(SF_DIR),
+        "docs_dsir_weights": lambda: textops.dsir_weights(SF_DIR),
+        "docs_fluency": lambda: textops.fluency(SF_DIR),
+        "docs_shuffle_shards": lambda: textops.shuffle_shards(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
         # as the headline: a burst during one 1-3 s query would otherwise

@@ -51,6 +51,9 @@ __all__ = [
     "scrub",
     "pack_manifest",
     "oov_rate",
+    "dsir_weights",
+    "fluency",
+    "shuffle_shards",
 ]
 
 
@@ -2000,4 +2003,279 @@ def oov_rate(sf_dir: str, v: int = 16) -> rd.Dataset:
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
+    )
+
+
+def dsir_weights(sf_dir: str, dims: int = 64, scale: int = 4096,
+                 target_lang: str = "en") -> rd.Dataset:
+    """(doc_id, n_tokens, dsir_weight): DSIR-style importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling") — score every document by how target-like its hashed
+    token features are, the data-mixing move that upsamples docs
+    resembling a trusted target subset (here: ``lang == target_lang``).
+
+    Features are md5-hashed token buckets (the paper's hashed n-grams;
+    the same nibble trick as :func:`feature_hash` so the SQL twin
+    recomputes the bucket bit-exactly). Per-bucket quantized likelihood
+    ratio ``ratio = (n_target * total_all * scale) // (n_all *
+    total_target)`` is computed on the DRIVER in arbitrary-precision
+    Python ints (no int64 overflow at any corpus size) from an O(dims)
+    aggregate, then broadcast; a document's weight is the sum of its
+    token occurrences' ratios — a quantized linear-domain importance
+    score (monotone in the paper's ratio; the log transform is left to
+    the caller, floats don't hash stably).
+
+    Scale shape: pass 1 ships one (dim, n_all, n_target) partial row per
+    (batch, dim) into an O(dims) shuffle; pass 2 is a stateless probe
+    against the O(dims) broadcast ratio table. Nothing grows with the
+    corpus except the streaming passes themselves.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def dim_of(uniq):
+        return np.fromiter(
+            (int(hashlib.md5(w.encode()).hexdigest()[-2:], 16) % dims
+             for w in uniq),
+            np.int64,
+            count=len(uniq),
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, row = _flat_tokens(t)
+        if not len(flat):
+            return pa.table(
+                {"dim": pa.array([], pa.int64()),
+                 "n_all": pa.array([], pa.int64()),
+                 "n_tgt": pa.array([], pa.int64())}
+            )
+        uniq, inv = np.unique(flat, return_inverse=True)
+        d = dim_of(uniq)[inv]
+        is_tgt = pc.equal(t["lang"], target_lang).to_numpy(
+            zero_copy_only=False
+        )[row]
+        n_all = np.bincount(d, minlength=dims)
+        n_tgt = np.bincount(d[is_tgt], minlength=dims)
+        keep = n_all > 0
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(dims)[keep], pa.int64()),
+                "n_all": pa.array(n_all[keep], pa.int64()),
+                "n_tgt": pa.array(n_tgt[keep], pa.int64()),
+            }
+        )
+
+    counts = (
+        _read_docs(sf_dir, ["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Sum("n_all", alias_name="n_all"),
+                   Sum("n_tgt", alias_name="n_tgt"))
+        .take_all()  # <= dims rows
+    )
+    total_all = sum(r["n_all"] for r in counts)
+    total_tgt = max(sum(r["n_tgt"] for r in counts), 1)
+    ratio = np.zeros(dims, np.int64)
+    for r in counts:  # python ints: exact at any corpus size
+        ratio[r["dim"]] = (
+            r["n_tgt"] * total_all * scale
+        ) // (r["n_all"] * total_tgt)
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, row = _flat_tokens(t)
+        n_tok = np.bincount(row, minlength=len(t)).astype(np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            w = ratio[dim_of(uniq)[inv]]
+            wgt = np.bincount(row, weights=w, minlength=len(t)).astype(
+                np.int64
+            )
+        else:
+            wgt = np.zeros(len(t), np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "dsir_weight": pa.array(wgt),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def fluency(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_bigrams, sum_freq, fluency_avg): corpus-relative bigram
+    fluency — each document's mean corpus frequency over its ORDERED
+    adjacent-token bigrams. The exact-integer stand-in for a KenLM-style
+    perplexity filter: garbled/boilerplate text strings together rare
+    transitions and scores low; only docs with >= 2 tokens appear.
+
+    Scale shape: bigram counts and per-doc bigram partials are both
+    pre-aggregated per batch before their shuffles, and the per-gram
+    frequencies reach the documents via ONE hash-partitioned join on the
+    gram (never a broadcast of the bigram vocabulary, which is unbounded);
+    the per-doc reduce is an ordinary integer groupby-sum.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from raycrawl.pipelines.dedup import clean_blocks
+    from raycrawl.pipelines.relops import join_parts
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        g, _ = _shingles(*_flat_tokens(t), 2)
+        if not len(g):
+            return pa.table(
+                {"gram": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        grams, counts = np.unique(g, return_counts=True)
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    gram_schema = pa.schema([("gram", pa.string()), ("n_gram", pa.int64())])
+    gc = clean_blocks(
+        _read_docs(sf_dir, ["text"])
+        .map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n_gram")),
+        gram_schema,
+    )
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        g, grow = _shingles(*_flat_tokens(t), 2)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "gram": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64())}
+        )
+        if not len(g):
+            return empty
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[grow]
+        agg = (
+            pd.DataFrame({"doc_id": doc_ids, "gram": g})
+            .groupby(["doc_id", "gram"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
+                "gram": pa.array(agg["gram"], pa.string()),
+                "tf": pa.array(agg["tf"].to_numpy(np.int64)),
+            }
+        )
+
+    doc_schema = pa.schema(
+        [("doc_id", pa.int64()), ("gram", pa.string()), ("tf", pa.int64())]
+    )
+    dg = clean_blocks(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            doc_partial, batch_format="pyarrow"
+        ),
+        doc_schema,
+    )
+
+    def weight(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": t["tf"],
+                "freq": pc.multiply(t["tf"], t["n_gram"]),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": t["n_bigrams"],
+                "sum_freq": t["sum_freq"],
+                "fluency_avg": pc.divide(t["sum_freq"], t["n_bigrams"]),
+            }
+        )
+
+    joined = clean_blocks(
+        dg.join(gc, join_type="inner", num_partitions=join_parts(),
+                on=("gram",)),
+        pa.schema([("doc_id", pa.int64()), ("gram", pa.string()),
+                   ("tf", pa.int64()), ("n_gram", pa.int64())]),
+    )
+    return (
+        joined.map_batches(weight, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_bigrams", alias_name="n_bigrams"),
+                   Sum("freq", alias_name="sum_freq"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+# independent draw from hash_split/stratified_sample: splitmix64's
+# finalizer multipliers (public constants), so shard placement never
+# correlates with the split or the sampler
+_SHARD_MUL = 0xBF58476D1CE4E5B9
+_SHARD_ADD = 0x94D049BB133111EB
+
+
+def shuffle_shards(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """(doc_id, shard, pos): deterministic global training-data shuffle as
+    (shard, position) assignment — the one-pass, sort-free way to shuffle
+    a corpus for training: an affine id hash places every doc in one of
+    ``n_shards`` output shards (top hash bits) and orders it WITHIN the
+    shard (low hash bits, doc_id tie-break), so reading the shards in
+    order replays one fixed pseudo-random permutation. Stable under
+    re-runs and re-partitioning; independent of the train/val/test split
+    and the stratified sampler by construction (distinct mixer
+    constants).
+
+    Scale shape: one stateless hash pass, then each shard ranks its own
+    members inside a ``groupby(shard).map_groups`` partition — the only
+    shuffle, moving 3 integer columns. ``n_shards`` is a SEMANTIC
+    parameter (it defines the output permutation): size it so
+    corpus/n_shards fits a worker (a 100-TB run wants 10^4-10^5 shards,
+    not 64 — 64 is the small-scale oracle default).
+    """
+    import pandas as pd
+
+    if n_shards & (n_shards - 1) or n_shards <= 0:
+        raise ValueError(f"n_shards must be a positive power of two, got {n_shards}")
+    shift = 64 - (n_shards.bit_length() - 1)
+    pos_mask = (1 << 52) - 1
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ids * np.uint64(_SHARD_MUL) + np.uint64(_SHARD_ADD)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shard": pa.array((h >> np.uint64(shift)).astype(np.int64)),
+                "pos_key": pa.array(
+                    (h & np.uint64(pos_mask)).astype(np.int64)
+                ),
+            }
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pos_key", "doc_id"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "shard": g["shard"],
+                "pos": np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank, batch_format="pandas")
     )

@@ -1623,3 +1623,91 @@ def test_oov_rate_planted(ray_session, tmp_path):
         2: (3, 1, 4096 // 3),
         3: (2, 1, 2048),
     }
+
+
+def test_dsir_weights_planted(ray_session, tmp_path):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from raycrawl.pipelines.textops import dsir_weights
+
+    texts = ["aa bb aa", "bb cc", "aa aa", "dd"]
+    langs = ["en", "en", "fr", "fr"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(langs),
+                "source": pa.array(["s"] * 4),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+
+    def dim(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[-2:], 16) % 64
+
+    n_all, n_tgt = {}, {}
+    for t, l in zip(texts, langs):
+        for w in t.split():
+            d = dim(w)
+            n_all[d] = n_all.get(d, 0) + 1
+            if l == "en":
+                n_tgt[d] = n_tgt.get(d, 0) + 1
+    ta, tt = sum(n_all.values()), max(sum(n_tgt.values()), 1)
+    ratio = {d: (n_tgt.get(d, 0) * ta * 4096) // (n_all[d] * tt)
+             for d in n_all}
+    want = {
+        i: (len(t.split()), sum(ratio[dim(w)] for w in t.split()))
+        for i, t in enumerate(texts)
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_weight"])
+        for r in dsir_weights(str(tmp_path)).take_all()
+    }
+    assert got == want
+    # target-language docs of target-common tokens outweigh off-target
+    assert got[0][1] > got[3][1]
+
+
+def test_fluency_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import fluency
+
+    # bigram corpus counts: "a b": 2, "b a": 1, "b c": 1
+    texts = ["a b a", "a b c", "x"]
+    sf = _write_docs(tmp_path, texts)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_freq"], r["fluency_avg"])
+        for r in fluency(sf).take_all()
+    }
+    # doc0 grams: "a b"(2) + "b a"(1) = 3; doc1: "a b"(2) + "b c"(1) = 3;
+    # doc2 has < 2 tokens -> absent
+    assert got == {0: (2, 3, 1), 1: (2, 3, 1)}
+
+
+def test_shuffle_shards_permutation(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import (_SHARD_ADD, _SHARD_MUL,
+                                            shuffle_shards)
+
+    n = 300
+    sf = _write_docs(tmp_path, ["w"] * n)
+    rows = shuffle_shards(sf).take_all()
+    assert sorted(r["doc_id"] for r in rows) == list(range(n))
+
+    # pure-python reference permutation
+    want = {}
+    byshard = {}
+    for i in range(n):
+        h = (i * _SHARD_MUL + _SHARD_ADD) % (1 << 64)
+        byshard.setdefault(h >> 58, []).append((h & ((1 << 52) - 1), i))
+    for s, members in byshard.items():
+        for pos, (_, i) in enumerate(sorted(members)):
+            want[i] = (s, pos)
+    got = {r["doc_id"]: (r["shard"], r["pos"]) for r in rows}
+    assert got == want
+
+    with pytest.raises(ValueError):
+        shuffle_shards(sf, n_shards=48)

@@ -30,7 +30,8 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "docs_incremental_dedup", "orders_merge_upsert",
          "dedup_containment", "crawl_dead_links", "docs_feature_hash",
          "events_json_extract", "docs_linreg", "docs_scrub",
-         "docs_pack_manifest", "docs_oov_rate"]
+         "docs_pack_manifest", "docs_oov_rate", "docs_dsir_weights",
+         "docs_fluency", "docs_shuffle_shards"]
 
 
 @pytest.fixture(scope="module")
