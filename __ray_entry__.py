@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": textops.dsir_weights,
         "docs_fluency": textops.fluency,
         "docs_shuffle_shards": textops.shuffle_shards,
+        "docs_boilerplate_strip": textops.boilerplate_strip,
     }
 
 
@@ -2011,5 +2012,30 @@ SELECT doc_id,
                 ORDER BY hv % 4503599627370496, doc_id) - 1
             AS BIGINT) AS pos
 FROM h
+"""
+    # CCNet-style per-source boilerplate strip: width-10 segments shared
+    # by >= 2 distinct docs of one source are chrome; same ' '-split /
+    # rejoin byte contract as docs_segment_dedup
+    sql["docs_boilerplate_strip"] = r"""
+WITH segs AS (
+  SELECT doc_id, source, seg_no,
+         array_to_string(ts[seg_no*10+1 : (seg_no+1)*10], ' ') AS seg
+  FROM (
+    SELECT doc_id, source, ts, unnest(range(0, (len(ts)+9)//10)) AS seg_no
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS ts
+          FROM documents)
+  )
+),
+b AS (
+  SELECT source, seg, count(DISTINCT doc_id) >= 2 AS boiler
+  FROM segs GROUP BY source, seg
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(count(*) FILTER (WHERE b.boiler) AS BIGINT) AS n_boiler,
+       coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_no)
+                FILTER (WHERE NOT b.boiler), '') AS text_clean
+FROM segs s JOIN b ON s.source = b.source AND s.seg = b.seg
+GROUP BY s.doc_id
 """
     return sql

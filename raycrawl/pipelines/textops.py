@@ -54,6 +54,7 @@ __all__ = [
     "dsir_weights",
     "fluency",
     "shuffle_shards",
+    "boilerplate_strip",
 ]
 
 
@@ -2278,4 +2279,117 @@ def shuffle_shards(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
         .map_batches(assign, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(rank, batch_format="pandas")
+    )
+
+
+def boilerplate_strip(
+    sf_dir: str, width: int = 10, min_docs: int = 2
+) -> rd.Dataset:
+    """(doc_id, n_segments, n_boiler, text_clean): CCNet-style per-source
+    boilerplate removal — a ``width``-token segment that recurs across
+    >= ``min_docs`` DISTINCT documents of the SAME source is template
+    chrome (nav bars, footers, cookie banners) and is stripped from every
+    document of that source; each doc is reassembled from its surviving
+    segments in order (C4's span discretization applied to CCNet's
+    shared-across-pages rule). Every doc keeps a row (``text_clean`` is
+    '' when everything was boilerplate).
+
+    Scale shape: same two-shuffle plan as :func:`segment_dedup` — the
+    vectorized zero-copy segment emit, then ONE shuffle on
+    ``hash(source, seg) & (coarse_parts-1)`` (every occurrence of a
+    (source, segment) colocates; pandas resolves the exact distinct-doc
+    counts in-group), then the ``doc_id & mask`` reassembly shuffle.
+    Both partition widths grow with the corpus via ``dedup.coarse_parts``.
+    """
+    import pandas as pd
+
+    from raycrawl.pipelines.dedup import coarse_parts
+
+    mask = coarse_parts(sf_dir) - 1
+
+    def emit(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        n_segs = -(-counts // width)
+        total = int(n_segs.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "seg_no": pa.array([], pa.int64()),
+                    "seg": pa.array([], pa.string()),
+                    "seg_part": pa.array([], pa.int64()),
+                }
+            )
+        doc_rep = np.repeat(np.arange(len(t)), n_segs)
+        first = np.cumsum(n_segs) - n_segs
+        seg_no = np.arange(total) - first[doc_rep]
+        starts = offs[doc_rep] + seg_no * width
+        bounds = np.append(starts, offs[-1])
+        segs = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(bounds, pa.int32()), toks.values
+            ),
+            " ",
+        )
+        src = pc.take(t["source"], pa.array(doc_rep))
+        # placement key from the (source, seg) PAIR: hash each column and
+        # mix numerically — never join with a sentinel byte, because
+        # pd.util.hash_array truncates object strings at embedded NULs
+        # (verified on pandas 2.2: 'a\\x00b' and 'a\\x00c' hash equal)
+        hs = pd.util.hash_array(segs.to_numpy(zero_copy_only=False))
+        hsrc = pd.util.hash_array(src.to_numpy(zero_copy_only=False))
+        part = (
+            (hs ^ (hsrc * np.uint64(0x9E3779B97F4A7C15)))
+            .astype(np.int64)
+            & mask
+        )
+        return pa.table(
+            {
+                "doc_id": pc.take(t["doc_id"], pa.array(doc_rep)),
+                "source": src,
+                "seg_no": pa.array(seg_no, pa.int64()),
+                "seg": segs,
+                "seg_part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby(["source", "seg"])["doc_id"].transform("nunique")
+        out = g[["doc_id", "seg_no", "seg"]].copy()
+        out["boiler"] = (nd >= min_docs).to_numpy()
+        return out
+
+    def add_doc_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "doc_part",
+            pc.bit_wise_and(pc.cast(t["doc_id"], pa.int64()), mask),
+        )
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "seg_no"])
+        stats = g.groupby("doc_id", as_index=False).agg(
+            n_segments=("seg", "size"), n_boiler=("boiler", "sum")
+        )
+        kept = (
+            g[~g["boiler"]]
+            .groupby("doc_id", as_index=False)
+            .agg(text_clean=("seg", " ".join))
+        )
+        out = stats.merge(kept, on="doc_id", how="left")
+        out["text_clean"] = out["text_clean"].fillna("")
+        out["n_segments"] = out["n_segments"].astype("int64")
+        out["n_boiler"] = out["n_boiler"].astype("int64")
+        return out[["doc_id", "n_segments", "n_boiler", "text_clean"]]
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("seg_part")
+        .map_groups(flag, batch_format="pandas")
+        .map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("doc_part")
+        .map_groups(reassemble, batch_format="pandas")
     )

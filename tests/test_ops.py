@@ -1711,3 +1711,42 @@ def test_shuffle_shards_permutation(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         shuffle_shards(sf, n_shards=48)
+
+
+def test_boilerplate_strip_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from raycrawl.pipelines.textops import boilerplate_strip
+
+    # width=3: "nav bar x" is shared by docs 0 and 1 (same source) ->
+    # boiler; doc 2's identical segment is in ANOTHER source -> kept;
+    # doc 3 is all boilerplate -> empty text_clean
+    texts = [
+        "nav bar x unique one two",
+        "nav bar x other words here",
+        "nav bar x different source",
+        "nav bar x",
+    ]
+    srcs = ["s0", "s0", "s1", "s0"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(srcs),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_boiler"], r["text_clean"])
+        for r in boilerplate_strip(str(tmp_path), width=3).take_all()
+    }
+    assert got == {
+        0: (2, 1, "unique one two"),
+        1: (2, 1, "other words here"),
+        2: (2, 0, "nav bar x different source"),
+        3: (1, 1, ""),
+    }
