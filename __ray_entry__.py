@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fluency": textops.fluency,
         "docs_shuffle_shards": textops.shuffle_shards,
         "docs_boilerplate_strip": textops.boilerplate_strip,
+        "docs_prepare": textops.prepare,
     }
 
 
@@ -2037,5 +2038,48 @@ SELECT s.doc_id,
                 FILTER (WHERE NOT b.boiler), '') AS text_clean
 FROM segs s JOIN b ON s.source = b.source AND s.seg = b.seg
 GROUP BY s.doc_id
+"""
+    # composed end-to-end prep flagship: scrub keep + exact-dedup winner
+    # + min-token filter -> split buckets -> train-survivor shuffle rank
+    # (constants interpolated from textops so they cannot drift)
+    sql["docs_prepare"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS n_tokens,
+         length(regexp_extract_all(text, '\\b(?:spark|scan|merge)\\b'))
+           AS n_hits
+  FROM documents
+),
+surv AS (
+  SELECT b.doc_id FROM base b
+  JOIN (SELECT text, min(doc_id) AS keep_id FROM base GROUP BY text) w
+    ON b.text = w.text AND b.doc_id = w.keep_id
+  WHERE b.n_hits = 0 AND b.n_tokens >= 5
+),
+h AS (
+  SELECT doc_id,
+         CASE WHEN ((doc_id::HUGEINT * {textops._SPLIT_MUL}
+                     + {textops._SPLIT_ADD}) % 18446744073709551616)
+                   // 4503599627370496 < 3276 THEN 'train'
+              WHEN ((doc_id::HUGEINT * {textops._SPLIT_MUL}
+                     + {textops._SPLIT_ADD}) % 18446744073709551616)
+                   // 4503599627370496 < 3686 THEN 'val'
+              ELSE 'test' END AS split,
+         ((doc_id::HUGEINT * {textops._SHARD_MUL}
+           + {textops._SHARD_ADD}) % 18446744073709551616) AS hv
+  FROM surv
+)
+SELECT doc_id, split,
+       CAST(CASE WHEN split = 'train' THEN hv // 288230376151711744
+                 ELSE -1 END AS BIGINT) AS shard,
+       CAST(CASE WHEN split = 'train'
+                 THEN row_number() OVER (
+                      PARTITION BY CASE WHEN split = 'train'
+                                        THEN hv // 288230376151711744
+                                        ELSE -1 END
+                      ORDER BY hv % 4503599627370496, doc_id) - 1
+                 ELSE -1 END AS BIGINT) AS pos
+FROM h
 """
     return sql

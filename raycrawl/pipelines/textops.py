@@ -55,6 +55,7 @@ __all__ = [
     "fluency",
     "shuffle_shards",
     "boilerplate_strip",
+    "prepare",
 ]
 
 
@@ -2392,4 +2393,120 @@ def boilerplate_strip(
         .map_batches(add_doc_part, batch_format="pyarrow")
         .groupby("doc_part")
         .map_groups(reassemble, batch_format="pandas")
+    )
+
+
+def prepare(sf_dir: str, min_tokens: int = 5) -> rd.Dataset:
+    """(doc_id, split, shard, pos): the composed end-to-end training-data
+    PREP decision — the round-4 flagship that chains the curation ops a
+    real pre-training pipeline runs in sequence, one document manifest
+    out. A document survives iff it has no blocklist hits
+    (:func:`scrub`), is its exact-duplicate group's first occurrence
+    (min doc_id per identical text), and has >= ``min_tokens`` tokens;
+    survivors get their deterministic train/val/test split
+    (:func:`hash_split` buckets) and TRAIN survivors additionally get
+    their (shard, in-shard position) from the :func:`shuffle_shards`
+    permutation RANKED OVER SURVIVORS ONLY (what the dataloader actually
+    reads); val/test rows carry (-1, -1).
+
+    Scale shape: one signal pass fused with the exact-dedup shuffle
+    (text moves once, grouped by ``hash(text) & (coarse_parts-1)``; the
+    winner rule resolves exactly in-group), then a stateless
+    split/filter, then the train-only rank shuffle moving 3 integer
+    columns. Nothing is materialized driver-side.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from raycrawl.pipelines.dedup import coarse_parts
+
+    mask = coarse_parts(sf_dir) - 1
+    thr_t = 4096 * 80 // 100
+    thr_v = 4096 * 90 // 100
+
+    def signals(t: pa.Table) -> pa.Table:
+        hits = pc.cast(
+            pc.count_substring_regex(t["text"], SCRUB_PATTERN), pa.int64()
+        )
+        n_tok = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        part = np.fromiter(
+            (int.from_bytes(
+                hashlib.blake2b((x or "").encode(), digest_size=8).digest(),
+                "little") & mask
+             for x in t["text"].to_pylist()),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "n_tokens": n_tok,
+                "n_hits": hits,
+                "text_part": pa.array(part),
+            }
+        )
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("text")["doc_id"].transform("min") == g["doc_id"]
+        out = g.loc[keep, ["doc_id", "n_tokens", "n_hits"]]
+        return out.reset_index(drop=True)
+
+    def split_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.equal(t["n_hits"], 0),
+                pc.greater_equal(t["n_tokens"], min_tokens),
+            )
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (
+            (ids * np.uint64(_SPLIT_MUL) + np.uint64(_SPLIT_ADD))
+            >> np.uint64(52)
+        ).astype(np.int64)
+        split = np.where(
+            bucket < thr_t, "train", np.where(bucket < thr_v, "val", "test")
+        )
+        h = ids * np.uint64(_SHARD_MUL) + np.uint64(_SHARD_ADD)
+        is_train = split == "train"
+        shard = np.where(is_train, (h >> np.uint64(58)).astype(np.int64), -1)
+        pos_key = np.where(
+            is_train, (h & np.uint64((1 << 52) - 1)).astype(np.int64), -1
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    ids.astype(np.int64), pa.int64()
+                ),
+                "split": pa.array(split, pa.string()),
+                "shard": pa.array(shard, pa.int64()),
+                "pos_key": pa.array(pos_key, pa.int64()),
+            }
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        if int(g["shard"].iloc[0]) == -1:
+            # the single non-train group: pos stays -1
+            out = g[["doc_id", "split", "shard"]].copy()
+            out["pos"] = np.int64(-1)
+            return out
+        g = g.sort_values(["pos_key", "doc_id"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "split": g["split"],
+                "shard": g["shard"],
+                "pos": np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(signals, batch_format="pyarrow")
+        .groupby("text_part")
+        .map_groups(winners, batch_format="pandas")
+        .map_batches(split_filter, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank, batch_format="pandas")
     )

@@ -1750,3 +1750,43 @@ def test_boilerplate_strip_planted(ray_session, tmp_path):
         2: (2, 0, "nav bar x different source"),
         3: (1, 1, ""),
     }
+
+
+def test_prepare_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import (_SHARD_ADD, _SHARD_MUL,
+                                            _SPLIT_ADD, _SPLIT_MUL, prepare)
+
+    texts = [
+        "clean words here and more tokens",   # survivor
+        "spark inside this document here yes",  # blocklist hit -> dropped
+        "clean words here and more tokens",   # exact dup of 0 -> dropped
+        "too short",                           # < 5 tokens -> dropped
+        "another fine document with enough tokens",  # survivor
+    ]
+    sf = _write_docs(tmp_path, texts)
+    rows = prepare(sf, min_tokens=5).take_all()
+    got = {r["doc_id"]: (r["split"], r["shard"], r["pos"]) for r in rows}
+    assert set(got) == {0, 4}
+
+    # pure-python reference for the surviving ids
+    def ref(ids):
+        out = {}
+        train = []
+        for i in ids:
+            b = ((i * _SPLIT_MUL + _SPLIT_ADD) % (1 << 64)) >> 52
+            split = "train" if b < 3276 else ("val" if b < 3686 else "test")
+            h = (i * _SHARD_MUL + _SHARD_ADD) % (1 << 64)
+            if split == "train":
+                train.append((h >> 58, h & ((1 << 52) - 1), i))
+                out[i] = [split, h >> 58, None]
+            else:
+                out[i] = [split, -1, -1]
+        byshard = {}
+        for s, pk, i in train:
+            byshard.setdefault(s, []).append((pk, i))
+        for s, members in byshard.items():
+            for pos, (_, i) in enumerate(sorted(members)):
+                out[i][2] = pos
+        return {i: tuple(v) for i, v in out.items()}
+
+    assert got == ref([0, 4])

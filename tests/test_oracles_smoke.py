@@ -31,7 +31,8 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "dedup_containment", "crawl_dead_links", "docs_feature_hash",
          "events_json_extract", "docs_linreg", "docs_scrub",
          "docs_pack_manifest", "docs_oov_rate", "docs_dsir_weights",
-         "docs_fluency", "docs_shuffle_shards", "docs_boilerplate_strip"]
+         "docs_fluency", "docs_shuffle_shards", "docs_boilerplate_strip",
+         "docs_prepare"]
 
 
 @pytest.fixture(scope="module")
