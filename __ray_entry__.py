@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shuffle_shards": textops.shuffle_shards,
         "docs_boilerplate_strip": textops.boilerplate_strip,
         "docs_prepare": textops.prepare,
+        "events_watermark_late": analytics.events_watermark_late,
     }
 
 
@@ -2081,5 +2082,25 @@ SELECT doc_id, split,
                       ORDER BY hv % 4503599627370496, doc_id) - 1
                  ELSE -1 END AS BIGINT) AS pos
 FROM h
+"""
+    # streaming watermark over the simulated (hash-permuted) arrival
+    # order; constants interpolated from analytics so they cannot drift
+    sql["events_watermark_late"] = f"""
+WITH a AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         ((event_id::HUGEINT * {analytics._ARRIVAL_MUL}
+           + {analytics._ARRIVAL_ADD}) % 18446744073709551616) AS hv
+  FROM events
+),
+w AS (
+  SELECT event_id, ts_us,
+         COALESCE(max(ts_us) OVER (
+             ORDER BY hv, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS wm_us
+  FROM a
+)
+SELECT event_id, ts_us, wm_us,
+       CAST(ts_us < wm_us - {15 * 86400 * 1_000_000} AS BIGINT) AS late
+FROM w
 """
     return sql

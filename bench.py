@@ -143,6 +143,7 @@ def run_queries() -> dict:
         "docs_shuffle_shards": lambda: textops.shuffle_shards(SF_DIR),
         "docs_boilerplate_strip": lambda: textops.boilerplate_strip(SF_DIR),
         "docs_prepare": lambda: textops.prepare(SF_DIR),
+        "events_watermark_late": lambda: analytics.events_watermark_late(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
         # as the headline: a burst during one 1-3 s query would otherwise

@@ -62,6 +62,7 @@ __all__ = [
     "top_customer_orders",
     "events_latest_state",
     "orders_merge_upsert",
+    "events_watermark_late",
 ]
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -1191,4 +1192,106 @@ def docs_linreg(sf_dir: str) -> rd.Dataset:
         .map_batches(partial, batch_format="pyarrow")
         .groupby("lang")
         .map_groups(final, batch_format="pandas")
+    )
+
+
+# simulated-arrival mixer for the watermark op: its own odd-multiplier
+# affine constants so the arrival permutation is independent of the
+# split / shard / sampler hashes (same independence argument as
+# textops.shuffle_shards).
+_ARRIVAL_MUL = 0xD1342543DE82EF95
+_ARRIVAL_ADD = 0x94D049BB133111EB
+
+
+def events_watermark_late(
+    sf_dir: str, lateness_s: int = 15 * 86400
+) -> rd.Dataset:
+    """(event_id, ts_us, wm_us, late): streaming watermark / late-data
+    classification — the ingestion rule a windowed streaming engine
+    applies to out-of-order input (SURVEY §2.6 lists watermarks as absent
+    from the reference; this is the missing-late-data primitive).
+
+    The driver events table is time-ordered by construction, so the
+    arrival stream is SIMULATED with a deterministic affine-hash
+    permutation of event_id (network-jitter stand-in; distinct mixer
+    constants keep it independent of every other hash in the repo). The
+    watermark of an event is the max event time over all PRIOR arrivals;
+    the event is late iff its own time lags that watermark by more than
+    ``lateness_s`` — exactly the row a tumbling-window engine would drop
+    or side-output. ``wm_us == -1`` marks the stream's first arrival (no
+    watermark yet, never late).
+
+    Scale shape: a global running max is a prefix scan, so this reuses
+    the distributed two-pass plan of :func:`~raycrawl.pipelines.textops.
+    pack_manifest` with max instead of sum. The arrival hash's top bits
+    give contiguous arrival-range partitions; pass 1 reduces each range
+    to ONE max (driver collect is O(parts), never O(events)); pass 2
+    ships only 4 integer columns into the one range shuffle and seeds
+    each partition's vectorized exclusive cummax with the broadcast
+    prefix max of all earlier ranges. Partition width is the session
+    knob (relops._UPART_N); the output is partition-count-invariant.
+    """
+    from ray.data.aggregate import Max
+
+    from raycrawl.pipelines.relops import _UPART_N
+
+    shift = np.uint64(64 - (_UPART_N.bit_length() - 1))
+    lateness_us = lateness_s * 1_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hv = ids * np.uint64(_ARRIVAL_MUL) + np.uint64(_ARRIVAL_ADD)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "hv": pa.array(hv, pa.uint64()),
+                "part": pa.array((hv >> shift).astype(np.int64)),
+            }
+        )
+
+    def part_max(t: pa.Table) -> pa.Table:
+        g = tag(t).select(["part", "ts_us"]).group_by("part").aggregate(
+            [("ts_us", "max")]
+        )
+        return _rename(g, {"ts_us_max": "mx"})
+
+    maxima = (
+        _read(sf_dir, "events", ["event_id", "ts"])
+        .map_batches(part_max, batch_format="pyarrow")
+        .groupby("part")
+        .aggregate(Max("mx", alias_name="mx"))
+        .take_all()  # one row per arrival range — O(parts), tiny
+    )
+    base: dict[int, int] = {}
+    run = -1
+    for r in sorted(maxima, key=lambda r: r["part"]):
+        base[int(r["part"])] = run
+        run = max(run, int(r["mx"]))
+
+    def watermark(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(), g["hv"].to_numpy()))
+        ids = g["event_id"].to_numpy()[order]
+        ts = g["ts_us"].to_numpy(np.int64)[order]
+        seed = base[int(g["part"].iloc[0])]
+        wm = np.empty(len(ts), np.int64)
+        wm[0] = seed
+        if len(ts) > 1:
+            np.maximum(
+                np.maximum.accumulate(ts[:-1]), seed, out=wm[1:]
+            )
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts_us": ts,
+                "wm_us": wm,
+                "late": (ts < wm - lateness_us).astype(np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(watermark, batch_format="pandas")
     )

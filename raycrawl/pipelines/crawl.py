@@ -67,7 +67,10 @@ def _run_round_chunk(round_fn, chunk: pa.Table) -> pa.Table:
     mode). Plain tasks reuse worker processes, so round_fn's per-process
     stage cache stays warm across rounds; empty chunks are normalized here
     because — unlike map_batches — nothing filters them out upstream."""
-    if chunk is None or chunk.num_rows == 0:
+    if chunk is None:
+        round_fn(None)  # warmup probe: builds the per-process stage state
+        return empty_tall()
+    if chunk.num_rows == 0:
         return empty_tall()
     return round_fn(chunk)
 
@@ -224,6 +227,35 @@ def crawl(
     # (lazy-in-the-actor loads measured as ~2 s of per-run serial cost)
     bucket_store.preload.remote(range(n_buckets))
 
+    stage_kwargs = dict(
+        corpus_path=corpus_path,
+        n_buckets=n_buckets,
+        config=config,
+        robots_actor=robots_actor,
+        bucket_store=bucket_store,
+    )
+    # "tasks" mode round fn, built + plasma-put once: its heavy state is
+    # cached per worker PROCESS, so it stays warm across every round of
+    # the crawl (the ref avoids re-pickling the closure per task)
+    round_fn_ref = (
+        ray.put(make_round_task_fn(**stage_kwargs))
+        if config.stage_mode != "actors"
+        else None
+    )
+    if round_fn_ref is not None and config.max_rounds > 0:
+        # eager warmup wave, fire-and-forget, submitted BEFORE budgets /
+        # resume / seeding so it overlaps the whole boot: one no-op probe
+        # per fetch slot forces ALL worker processes to spawn, import the
+        # library and build the cached stage state in PARALLEL at t=0.
+        # Without it the cold-start is paid serially across rounds 0-2
+        # (only the few workers round 0's blocks touch warm up; measured
+        # ~2.5 s of the 16-CPU leg at the 1x corpus — the small-corpus
+        # serial floor in BASELINE.md's scaling sections). Probes exit in
+        # submission order ahead of round 0's real chunks queued behind
+        # them on the same slots.
+        for _ in range(config.fetch_concurrency):
+            _run_round_chunk.remote(round_fn_ref, None)
+
     # politeness budgets: crawl_delay d -> at most round_window/d fetches of
     # that host per round (per-host-serial release inside the owning shard —
     # strictly more faithful at scale than the reference's global sleep,
@@ -291,22 +323,6 @@ def crawl(
     rel = ray.get(submit_release()) if round_no < config.max_rounds else []
     n_released = sum(r["released"] for r in rel)
     n_chunks = [r["chunks"] for r in rel]
-
-    stage_kwargs = dict(
-        corpus_path=corpus_path,
-        n_buckets=n_buckets,
-        config=config,
-        robots_actor=robots_actor,
-        bucket_store=bucket_store,
-    )
-    # "tasks" mode round fn, built + plasma-put once: its heavy state is
-    # cached per worker PROCESS, so it stays warm across every round of
-    # the crawl (the ref avoids re-pickling the closure per task)
-    round_fn_ref = (
-        ray.put(make_round_task_fn(**stage_kwargs))
-        if config.stage_mode != "actors"
-        else None
-    )
 
     while round_no < config.max_rounds and n_released > 0:
         t0 = time.perf_counter()

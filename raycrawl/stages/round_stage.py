@@ -101,6 +101,11 @@ def make_round_task_fn(corpus_path, n_buckets, config, robots_actor=None,
             )
             _STAGE_CACHE.clear()  # one live crawl per worker is the norm
             _STAGE_CACHE[key] = stage
+        if batch is None:
+            # warmup probe (crawl()'s eager wave): the expensive part was
+            # getting HERE — worker spawn + library import + stage build —
+            # so the probe just returns
+            return None
         import os
 
         if os.environ.get("RAYCRAWL_PROFILE") == "1":

@@ -1790,3 +1790,42 @@ def test_prepare_planted(ray_session, tmp_path):
         return {i: tuple(v) for i, v in out.items()}
 
     assert got == ref([0, 4])
+
+
+def test_watermark_late_planted(ray_session, tmp_path):
+    """Planted stream: pure-python replay of the hash-permuted arrival
+    order + exclusive running max must match the distributed two-pass
+    prefix-scan exactly, including the -1 first-arrival sentinel."""
+    from raycrawl.pipelines.analytics import (_ARRIVAL_ADD, _ARRIVAL_MUL,
+                                              events_watermark_late)
+
+    n = 257  # crosses several arrival-range partitions
+    rng = np.random.RandomState(7)
+    ts = rng.randint(0, 10**9, n).astype("datetime64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    lateness_s = 100
+    rows = events_watermark_late(str(tmp_path), lateness_s=lateness_s)
+    got = {
+        r["event_id"]: (r["ts_us"], r["wm_us"], r["late"])
+        for r in rows.take_all()
+    }
+
+    order = sorted(
+        range(n),
+        key=lambda i: ((i * _ARRIVAL_MUL + _ARRIVAL_ADD) % (1 << 64), i),
+    )
+    want, wm = {}, -1
+    for i in order:
+        t = int(ts[i].astype("int64"))
+        want[i] = (t, wm, int(wm != -1 and t < wm - lateness_s * 10**6))
+        wm = max(wm, t)
+    assert got == want
+    assert sum(v[2] for v in want.values()) > 0  # non-vacuous: some late

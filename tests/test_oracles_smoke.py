@@ -32,7 +32,7 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "events_json_extract", "docs_linreg", "docs_scrub",
          "docs_pack_manifest", "docs_oov_rate", "docs_dsir_weights",
          "docs_fluency", "docs_shuffle_shards", "docs_boilerplate_strip",
-         "docs_prepare"]
+         "docs_prepare", "events_watermark_late"]
 
 
 @pytest.fixture(scope="module")
