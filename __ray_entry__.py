@@ -326,6 +326,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_boilerplate_strip": textops.boilerplate_strip,
         "docs_prepare": textops.prepare,
         "events_watermark_late": analytics.events_watermark_late,
+        # ---- round 4: PII redaction, source mixing, Q21/Q22 shapes,
+        # count-min sketch ----
+        "docs_pii_scrub": textops.pii_scrub,
+        "docs_mix_upsample": textops.mix_upsample,
+        "customers_above_avg_inactive": analytics.customers_above_avg_inactive,
+        "suppliers_sole_returns": analytics.suppliers_sole_returns,
+        "events_cms_counts": _cms_checked,
+        # docs_bpe_encode self-checks exactly at query time (reference
+        # trainer+encoder over the vocab-bounded word table), like
+        # docs_bpe_train — iterative greedy rewriting isn't SQL
+        "docs_bpe_encode": textops.bpe_encode,
+        "multimodal_wav_meta": multimodal.multimodal_wav_meta,
     }
 
 
@@ -364,6 +376,37 @@ def _hll_checked(sf_dir: str):
     # broken register/merge path instantly
     assert err <= 0.04, f"HLL {got} vs exact {exact}: error {err:.3f} > 0.04"
     return approx
+
+
+def _cms_checked(sf_dir: str):
+    """Count-min-sketch event counts with the CMS guarantees CHECKED vs
+    exact per-user counts — approximate by design (no SQL oracle), so the
+    correctness signal is these assertions failing loudly inside the
+    driver's rows-only check: est >= true unconditionally (the one-sided
+    CMS guarantee), and overshoot <= 4N/width (>=5-sigma slack for
+    depth=4 rows; a broken hash/merge path blows straight through it)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    est = relops.events_cms_counts(sf_dir)
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    vc = pc.value_counts(t["user_id"])
+    exact = {
+        d["values"]: d["counts"] for d in vc.to_pylist()
+    }
+    n_total = t.num_rows
+    width = 2048
+    for uid, got in zip(est["user_id"].to_pylist(),
+                        est["n_events_cms"].to_pylist()):
+        true = exact.get(uid, 0)
+        assert got >= true, f"CMS under-counted user {uid}: {got} < {true}"
+        assert got <= true + 4 * n_total / width, (
+            f"CMS overshoot for user {uid}: {got} vs {true} "
+            f"(N={n_total}, width={width})"
+        )
+    return est
 
 
 def _quantile_sketch_checked(sf_dir: str):
@@ -2102,5 +2145,111 @@ w AS (
 SELECT event_id, ts_us, wm_us,
        CAST(ts_us < wm_us - {15 * 86400 * 1_000_000} AS BIGINT) AS late
 FROM w
+"""
+    # PII redaction: both engines AUGMENT the same deterministic contact
+    # strings (the synthetic corpus has no PII), then redact with identical
+    # RE2 patterns in the same order — the redaction kernel is what the
+    # byte-exact comparison checks
+    sql["docs_pii_scrub"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-123-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(
+             text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_emails,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '[EMAIL]', 'g') AS t1
+  FROM aug
+),
+p AS (
+  SELECT doc_id, n_emails,
+         CAST(length(regexp_extract_all(t1, '\b\d{3}-\d{3}-\d{4}\b'))
+             AS BIGINT) AS n_phones,
+         regexp_replace(t1, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS t2
+  FROM e
+)
+SELECT doc_id, n_emails, n_phones,
+       CAST(length(regexp_extract_all(
+           t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                      '[IP]', 'g') AS redacted
+FROM p
+"""
+    # integer upsample-to-balance source mixing: rep = max_n // n_s
+    sql["docs_mix_upsample"] = r"""
+WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+m AS (SELECT MAX(n_s) AS mx FROM n),
+r AS (SELECT source, CAST(mx // n_s AS BIGINT) AS rep FROM n, m)
+SELECT d.doc_id, d.source,
+       unnest(generate_series(0, r.rep - 1)) AS copy, r.rep AS rep
+FROM documents d JOIN r USING (source)
+"""
+    # TPC-H Q22 shape: scalar positive-balance average (exact integers:
+    # cents * n > s), anti-join against urgent orders, nation-domain agg
+    sql["customers_above_avg_inactive"] = r"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+s AS (SELECT COUNT(*) AS n, SUM(cents) AS s FROM c WHERE cents > 0)
+SELECT c_nationkey, COUNT(*) AS n_cust, SUM(cents) AS total_bal_cents
+FROM c, s
+WHERE c.cents * s.n > s.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+    # TPC-H Q21 shape: sole returning supplier on a multi-supplier order
+    sql["suppliers_sole_returns"] = r"""
+WITH ls AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+o AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(has_r) AS n_r
+  FROM ls GROUP BY l_orderkey
+)
+SELECT ls.l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ls JOIN o USING (l_orderkey)
+WHERE ls.has_r = 1 AND o.n_supp >= 2 AND o.n_r = 1
+GROUP BY ls.l_suppkey
+ORDER BY n_orders DESC, ls.l_suppkey
+LIMIT 10
+"""
+    # WAV metadata: every field is closed-form in (doc_id, strlen(text))
+    # because audio_payloads builds the RIFF header deterministically —
+    # the oracle checks the chunk-walking parser end to end (strlen is
+    # DuckDB's BYTE length, matching the utf-8 payload size)
+    sql["multimodal_wav_meta"] = r"""
+SELECT doc_id,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       CAST(16 AS BIGINT) AS bits,
+       CAST(strlen(text) AS BIGINT) AS n_data_bytes,
+       CAST(strlen(text) // ((1 + doc_id % 2) * 2) AS BIGINT) AS n_frames,
+       CAST((strlen(text) // ((1 + doc_id % 2) * 2)) * 1000
+            // (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms
+FROM documents
 """
     return sql

@@ -144,6 +144,12 @@ def run_queries() -> dict:
         "docs_boilerplate_strip": lambda: textops.boilerplate_strip(SF_DIR),
         "docs_prepare": lambda: textops.prepare(SF_DIR),
         "events_watermark_late": lambda: analytics.events_watermark_late(SF_DIR),
+        "docs_pii_scrub": lambda: textops.pii_scrub(SF_DIR),
+        "docs_mix_upsample": lambda: textops.mix_upsample(SF_DIR),
+        "suppliers_sole_returns": lambda: analytics.suppliers_sole_returns(SF_DIR),
+        "customers_above_avg_inactive": lambda: analytics.customers_above_avg_inactive(SF_DIR),
+        "events_cms_counts": lambda: relops.events_cms_counts(SF_DIR),
+        "multimodal_wav_meta": lambda: multimodal.multimodal_wav_meta(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
         # as the headline: a burst during one 1-3 s query would otherwise

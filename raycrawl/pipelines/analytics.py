@@ -63,6 +63,8 @@ __all__ = [
     "events_latest_state",
     "orders_merge_upsert",
     "events_watermark_late",
+    "customers_above_avg_inactive",
+    "suppliers_sole_returns",
 ]
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -1294,4 +1296,169 @@ def events_watermark_late(
         .map_batches(tag, batch_format="pyarrow")
         .groupby("part")
         .map_groups(watermark, batch_format="pandas")
+    )
+
+
+def customers_above_avg_inactive(
+    sf_dir: str, priority: str = "1-URGENT"
+) -> rd.Dataset:
+    """(c_nationkey, n_cust, total_bal_cents): customers whose balance is
+    strictly above the average POSITIVE balance yet who never placed a
+    ``priority`` order — the TPC-H Q22 shape: a global scalar subquery
+    feeding a filter, then an anti-join against the fact table. (Scoping
+    the anti-join to urgent orders keeps the result non-degenerate: on
+    the driver corpus every customer has SOME order.)
+
+    Scale shape: the scalar (count, sum of positive balances) reduces to
+    ONE driver row via per-batch partials (never a collect of customers);
+    the threshold broadcasts into a stateless filter; the anti-join is
+    Ray-native hash-partitioned ``left_anti`` over key columns only; the
+    final aggregate is bounded by the nation domain. Exact integers
+    throughout (cents trick)."""
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"])
+        pos = pc.filter(cents, pc.greater(cents, 0))
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+                "s": pa.array([pc.sum(pos).as_py() or 0], pa.int64()),
+            }
+        )
+
+    row = (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(scalar_partial, batch_format="pyarrow")
+        .groupby("one")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .take_all()  # bounded: exactly one row
+    )
+    n_pos, s_pos = (row[0]["n"], row[0]["s"]) if row else (0, 0)
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"])
+        # cents > s/n as exact integers: cents * n > s
+        keep = pc.greater(pc.multiply(cents, n_pos), s_pos)
+        t = t.append_column("bal_cents", cents).filter(keep)
+        return t.select(["c_custkey", "c_nationkey", "bal_cents"])
+
+    cust = clean_blocks(
+        _read(
+            sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+        ).map_batches(above_avg, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_nationkey", pa.int64()),
+                ("bal_cents", pa.int64()),
+            ]
+        ),
+    )
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], priority))
+        return t.select(["o_custkey"]).group_by("o_custkey").aggregate([])
+
+    probe = clean_blocks(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+            urgent_keys, batch_format="pyarrow"
+        ),
+        _KEY_SCHEMA,
+    )
+    inactive = cust.join(
+        probe,
+        join_type="left_anti",
+        num_partitions=join_parts(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "c_nationkey": t["c_nationkey"],
+                    "n_cust": pa.array(np.ones(t.num_rows, np.int64)),
+                    "total_bal_cents": t["bal_cents"],
+                }
+            )
+            .group_by("c_nationkey")
+            .aggregate([("n_cust", "sum"), ("total_bal_cents", "sum")])
+        )
+        return g.rename_columns(["c_nationkey", "n_cust", "total_bal_cents"])
+
+    return (
+        inactive.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("n_cust", alias_name="n_cust"),
+            Sum("total_bal_cents", alias_name="total_bal_cents"),
+        )
+    )
+
+
+def suppliers_sole_returns(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """(l_suppkey, n_orders): top-k suppliers that were the ONLY supplier
+    with a returned ('R') line on a multi-supplier order — the TPC-H Q21
+    shape: a correlated EXISTS (another supplier shipped the order) plus a
+    correlated NOT EXISTS (no other supplier had a return) resolved as one
+    self-grouping of lineitem.
+
+    Scale shape: per-batch partial reduction to distinct
+    (orderkey, suppkey, any_R) triples BEFORE the one orderkey-colocating
+    shuffle (the only all-to-all); orders resolve inside coarse orderkey
+    partitions with pandas' C groupby (never a per-order UDF dispatch);
+    the supplier tally pre-aggregates per batch and the final sort/limit
+    runs over the supplier domain."""
+    # next power of two >= 4x the join width (bit_wise_and needs 2^k)
+    parts = 1 << (join_parts() * 4 - 1).bit_length()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        has_r = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "has_r": has_r,
+                }
+            )
+            .group_by(["l_orderkey", "l_suppkey"])
+            .aggregate([("has_r", "max")])
+        )
+        g = g.rename_columns(["l_orderkey", "l_suppkey", "has_r"])
+        part = pc.cast(
+            pc.bit_wise_and(g["l_orderkey"], parts - 1), pa.int32()
+        )
+        return g.append_column("opart", part)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        a = (
+            g.groupby(["l_orderkey", "l_suppkey"], sort=False)["has_r"]
+            .max()
+            .reset_index()
+        )
+        per_o = a.groupby("l_orderkey", sort=False)["has_r"].agg(
+            n_supp="size", n_r="sum"
+        )
+        ok = per_o.index[(per_o["n_supp"] >= 2) & (per_o["n_r"] == 1)]
+        w = a[a["l_orderkey"].isin(ok) & (a["has_r"] == 1)]
+        out = w.groupby("l_suppkey", sort=False).size().reset_index(name="n")
+        out["l_suppkey"] = out["l_suppkey"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out[["l_suppkey", "n"]]
+
+    return (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("opart")
+        .map_groups(per_partition, batch_format="pandas")
+        .groupby("l_suppkey")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["l_suppkey", "n_orders"]),
+            batch_format="pyarrow",
+        )
+        .sort(["n_orders", "l_suppkey"], descending=[True, False])
+        .limit(k)
     )

@@ -44,6 +44,11 @@ __all__ = [
     "ImageDecoder",
     "FrameSampler",
     "HeaderDims",
+    "wav_header",
+    "parse_wav_meta",
+    "audio_payloads",
+    "multimodal_wav_meta",
+    "WavMeta",
 ]
 
 
@@ -385,3 +390,128 @@ def decode_features_flat(sf_dir: str, feature_dim: int = 8) -> rd.Dataset:
         return pa.table(cols)
 
     return decode_features(sf_dir).map_batches(flat, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Audio (WAV/RIFF) headers — round 4
+# ---------------------------------------------------------------------------
+
+
+def wav_header(sample_rate: int, channels: int, bits: int,
+               n_data_bytes: int) -> bytes:
+    """Minimal canonical RIFF/WAVE header (PCM fmt chunk + data chunk
+    declaration) for a payload carrying ``n_data_bytes`` of sample data."""
+    import struct
+
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 36 + n_data_bytes),
+            b"WAVE",
+            b"fmt ",
+            struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                        byte_rate, block_align, bits),
+            b"data",
+            struct.pack("<I", n_data_bytes),
+        ]
+    )
+
+
+def parse_wav_meta(payload: bytes) -> tuple:
+    """(sample_rate, channels, bits, n_data_bytes) from a RIFF/WAVE
+    payload by walking the chunk list — garbage-safe: anything that isn't
+    a well-formed RIFF/WAVE with a PCM fmt chunk returns (0, 0, 0, 0)."""
+    import struct
+
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return (0, 0, 0, 0)
+    pos, rate, ch, bits, data_len, have_fmt = 12, 0, 0, 0, 0, False
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        if cid == b"fmt " and clen >= 16 and pos + 8 + 16 <= len(b):
+            _, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", b[pos + 8:pos + 24]
+            )
+            have_fmt = True
+        elif cid == b"data":
+            data_len = clen
+        # chunks are word-aligned: odd lengths carry a pad byte
+        pos += 8 + clen + (clen & 1)
+    if not have_fmt:
+        return (0, 0, 0, 0)
+    return (rate, ch, bits, data_len)
+
+
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def audio_payloads(sf_dir: str) -> rd.Dataset:
+    """documents -> (doc_id, payload) where payload is a REAL WAV header
+    (rate/channels cycling by doc_id, 16-bit PCM) with the document text
+    as sample bytes — the audio twin of :func:`image_payloads`,
+    reproducible in closed form by the multimodal_wav_meta SQL oracle."""
+
+    def build(t: pa.Table) -> pa.Table:
+        payloads_, ids = [], t["doc_id"].to_pylist()
+        for doc_id, text in zip(ids, t["text"].to_pylist()):
+            data = (text or "").encode("utf-8")
+            rate = _WAV_RATES[doc_id % 4]
+            channels = 1 + doc_id % 2
+            payloads_.append(
+                wav_header(rate, channels, 16, len(data)) + data
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads_, pa.binary()),
+            }
+        )
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(build, batch_format="pyarrow")
+
+
+class WavMeta:
+    """Actor-pool stage: parse_wav_meta over binary payload batches, plus
+    the exact-integer duration (frames * 1000 // rate) a sampler needs."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rates, chs, bits_, nbytes, frames, durs = [], [], [], [], [], []
+        for payload in t["payload"].to_pylist():
+            rate, ch, bits, data_len = parse_wav_meta(bytes(payload or b""))
+            block = ch * bits // 8 if ch and bits else 0
+            n_frames = data_len // block if block else 0
+            rates.append(rate)
+            chs.append(ch)
+            bits_.append(bits)
+            nbytes.append(data_len)
+            frames.append(n_frames)
+            durs.append(n_frames * 1000 // rate if rate else 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sample_rate": pa.array(rates, pa.int64()),
+                "channels": pa.array(chs, pa.int64()),
+                "bits": pa.array(bits_, pa.int64()),
+                "n_data_bytes": pa.array(nbytes, pa.int64()),
+                "n_frames": pa.array(frames, pa.int64()),
+                "duration_ms": pa.array(durs, pa.int64()),
+            }
+        )
+
+
+def multimodal_wav_meta(sf_dir: str, batch_size: int = 256) -> rd.Dataset:
+    """audio_payloads -> per-doc audio metadata via the REAL pure-Python
+    RIFF chunk walk (small batches: binary rows are the memory unit)."""
+    return audio_payloads(sf_dir).map_batches(
+        WavMeta,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )

@@ -41,6 +41,7 @@ __all__ = [
     "supplier_nation_balance",
     "region_nation_counts",
     "orders_price_quantiles",
+    "events_cms_counts",
 ]
 
 
@@ -1218,4 +1219,97 @@ def events_quantile_sketch(sf_dir: str, samples_per_block: int = 256,
     return pa.Table.from_pylist(
         rows, schema=pa.schema([("q_pct", pa.int64()),
                                 ("approx_cents", pa.int64())])
+    )
+
+
+def events_cms_counts(
+    sf_dir: str, k: int = 10, depth: int = 4, width: int = 2048
+) -> pa.Table:
+    """(user_id, n_events_cms): count-min-sketch event counts for the
+    exact top-k users — the mergeable point-frequency sketch that
+    complements :func:`events_hll_users` (cardinality) and the exact
+    Misra-Gries heavy hitters: at 100 TB the per-key count table is too
+    wide to shuffle, while the CMS moves ``depth x width`` int64s per
+    BLOCK regardless of key cardinality.
+
+    Deterministic (splitmix-style row hashes, no RNG). CMS merge is
+    elementwise SUM (exactly mergeable), so the plan is the HLL one with
+    sum instead of max: per-batch sketch -> 64-way salted groupby of
+    elementwise sums -> driver sum over <=64 rows (64 KiB each). The
+    candidate set probed at the end is the exact top-k (computed with the
+    existing bounded plan); the query wrapper asserts the CMS guarantees
+    vs the exact counts (est >= true always; overshoot <= 4N/width here).
+    """
+    m = depth * width
+    _MIX2 = 0xBF58476D1CE4E5B9
+    # distinct odd multiplier + offset per CMS row
+    muls = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+         0x27D4EB2F165667C5][:depth], dtype=np.uint64,
+    )
+    adds = np.array(
+        [0xD1B54A32D192ED03, 0x8CB92BA72F3D8DD7, 0xDB4F0B9175AE2165,
+         0xA24BAED4963EE407][:depth], dtype=np.uint64,
+    )
+
+    def row_hashes(ids: np.ndarray) -> np.ndarray:
+        """(depth, n) bucket indices."""
+        h = ids[None, :] * muls[:, None] + adds[:, None]
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(_MIX2)
+        h ^= h >> np.uint64(32)
+        return (h % np.uint64(width)).astype(np.int64)
+
+    def sketch(t: pa.Table) -> pa.Table:
+        ids = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        idx = row_hashes(ids)
+        cms = np.zeros((depth, width), np.int64)
+        for d in range(depth):  # depth=4 iterations, each vectorized
+            cms[d] = np.bincount(idx[d], minlength=width)
+        salt = int(ids[0] % np.uint64(64)) if len(ids) else 0
+        return pa.table(
+            {
+                "salt": pa.array([salt], pa.int64()),
+                "cms": pa.array([cms.reshape(-1)], pa.list_(pa.int64(), m)),
+            }
+        )
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        stacked = (
+            t["cms"].combine_chunks().flatten().to_numpy().reshape(-1, m)
+        )
+        merged = stacked.sum(axis=0)
+        return pa.table(
+            {
+                "salt": t["salt"][:1],
+                "cms": pa.array([merged], pa.list_(pa.int64(), m)),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(sketch, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(merge_group, batch_format="pyarrow")
+        .take_all()  # bounded: <=64 rows of depth*width int64s
+    )
+    if rows:
+        cms = np.sum(
+            [np.asarray(r["cms"], np.int64) for r in rows], axis=0
+        ).reshape(depth, width)
+    else:
+        cms = np.zeros((depth, width), np.int64)
+
+    top = events_topk_users(sf_dir, k=k).take_all()  # bounded: k rows
+    ids = np.array([r["user_id"] for r in top], dtype=np.uint64)
+    if len(ids):
+        idx = row_hashes(ids)
+        est = cms[np.arange(depth)[:, None], idx].min(axis=0)
+    else:
+        est = np.zeros(0, np.int64)
+    return pa.table(
+        {
+            "user_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "n_events_cms": pa.array(est, pa.int64()),
+        }
     )

@@ -56,6 +56,9 @@ __all__ = [
     "shuffle_shards",
     "boilerplate_strip",
     "prepare",
+    "pii_scrub",
+    "mix_upsample",
+    "bpe_encode",
 ]
 
 
@@ -1566,6 +1569,81 @@ def _bpe_reference(word_counts: dict, n_merges: int) -> list:
     return merges
 
 
+# --- shared BPE kernels (bpe_train + bpe_encode) -------------------------
+
+_BPE_VOCAB_SCHEMA = pa.schema(
+    [("word", pa.string()), ("n", pa.int64()),
+     ("syms", pa.list_(pa.string()))]
+)
+
+
+def _bpe_word_partial(t: pa.Table) -> pa.Table:
+    flat, _ = _flat_tokens(t)
+    if not len(flat):
+        return pa.table(
+            {"word": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+    w, c = np.unique(flat, return_counts=True)
+    return pa.table(
+        {"word": pa.array(w, pa.string()),
+         "n": pa.array(c.astype(np.int64), pa.int64())}
+    )
+
+
+def _bpe_init_syms(t: pa.Table) -> pa.Table:
+    syms = pa.array(
+        [list(w) for w in t["word"].to_pylist()],
+        pa.list_(pa.string()),
+    )
+    return pa.table({"word": t["word"], "n": t["n"], "syms": syms})
+
+
+def _bpe_flat_syms(t: pa.Table):
+    syms = t["syms"].combine_chunks()
+    flat = syms.flatten().to_numpy(zero_copy_only=False)
+    offs = syms.offsets.to_numpy()
+    row = np.repeat(np.arange(len(t)), np.diff(offs))
+    return flat, offs, row
+
+
+def _bpe_apply_merge(left: str, right: str):
+    """Vectorized greedy left-to-right application of ONE merge over a
+    vocab batch: matches are shifted-slice equality, overlapping runs
+    resolve with the parity pass (keep every other match from each run
+    head)."""
+    merged = left + right
+
+    def f(t: pa.Table) -> pa.Table:
+        flat, offs, row = _bpe_flat_syms(t)
+        if len(flat) < 2:
+            return t
+        m = (row[:-1] == row[1:]) & (flat[:-1] == left) & (flat[1:] == right)
+        idx = np.flatnonzero(m)
+        if not len(idx):
+            return t
+        grp = idx - np.arange(len(idx))  # constant within a run
+        starts = np.r_[True, grp[1:] != grp[:-1]]
+        run_head = idx[starts][np.cumsum(starts) - 1]
+        keep = idx[((idx - run_head) % 2) == 0]
+        new_flat = flat.copy()
+        new_flat[keep] = merged
+        delete = np.zeros(len(flat), bool)
+        delete[keep + 1] = True
+        kept_mask = ~delete
+        out_flat = new_flat[kept_mask]
+        drops = np.bincount(row[keep], minlength=len(t))
+        new_lens = np.diff(offs) - drops
+        new_offs = np.r_[0, np.cumsum(new_lens)].astype(np.int32)
+        syms = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()),
+            pa.array(out_flat, pa.string()),
+        )
+        return pa.table({"word": t["word"], "n": t["n"], "syms": syms})
+
+    return f
+
+
 def bpe_train(sf_dir: str, n_merges: int = 8, check: bool = True) -> pa.Table:
     """(rank, left, right, n): the first ``n_merges`` BPE merges learned
     from the corpus — distributed tokenizer training, the step every LLM
@@ -1595,49 +1673,17 @@ def bpe_train(sf_dir: str, n_merges: int = 8, check: bool = True) -> pa.Table:
 
     from raycrawl.pipelines.dedup import clean_blocks
 
-    def word_partial(t: pa.Table) -> pa.Table:
-        flat, _ = _flat_tokens(t)
-        if not len(flat):
-            return pa.table(
-                {"word": pa.array([], pa.string()),
-                 "n": pa.array([], pa.int64())}
-            )
-        w, c = np.unique(flat, return_counts=True)
-        return pa.table(
-            {"word": pa.array(w, pa.string()),
-             "n": pa.array(c.astype(np.int64), pa.int64())}
-        )
-
-    vocab_schema = pa.schema(
-        [("word", pa.string()), ("n", pa.int64()),
-         ("syms", pa.list_(pa.string()))]
-    )
-
-    def init_syms(t: pa.Table) -> pa.Table:
-        syms = pa.array(
-            [list(w) for w in t["word"].to_pylist()],
-            pa.list_(pa.string()),
-        )
-        return pa.table({"word": t["word"], "n": t["n"], "syms": syms})
-
     vocab = clean_blocks(
         _read_docs(sf_dir, ["text"])
-        .map_batches(word_partial, batch_format="pyarrow")
+        .map_batches(_bpe_word_partial, batch_format="pyarrow")
         .groupby("word")
         .aggregate(Sum("n", alias_name="n"))
-        .map_batches(init_syms, batch_format="pyarrow"),
-        vocab_schema,
+        .map_batches(_bpe_init_syms, batch_format="pyarrow"),
+        _BPE_VOCAB_SCHEMA,
     ).materialize()
 
-    def flat_syms(t: pa.Table):
-        syms = t["syms"].combine_chunks()
-        flat = syms.flatten().to_numpy(zero_copy_only=False)
-        offs = syms.offsets.to_numpy()
-        row = np.repeat(np.arange(len(t)), np.diff(offs))
-        return flat, offs, row
-
     def pair_partial(t: pa.Table) -> pa.Table:
-        flat, offs, row = flat_syms(t)
+        flat, offs, row = _bpe_flat_syms(t)
         empty = pa.table(
             {"left": pa.array([], pa.string()),
              "right": pa.array([], pa.string()),
@@ -1664,41 +1710,6 @@ def bpe_train(sf_dir: str, n_merges: int = 8, check: bool = True) -> pa.Table:
             }
         )
 
-    def apply_merge(left: str, right: str):
-        merged = left + right
-
-        def f(t: pa.Table) -> pa.Table:
-            flat, offs, row = flat_syms(t)
-            if len(flat) < 2:
-                return t
-            m = (row[:-1] == row[1:]) & (flat[:-1] == left) & (flat[1:] == right)
-            idx = np.flatnonzero(m)
-            if not len(idx):
-                return t
-            # greedy left-to-right: in each run of CONSECUTIVE match
-            # positions (overlapping matches share a symbol), keep only
-            # every other match starting from the run head
-            grp = idx - np.arange(len(idx))  # constant within a run
-            starts = np.r_[True, grp[1:] != grp[:-1]]
-            run_head = idx[starts][np.cumsum(starts) - 1]
-            keep = idx[((idx - run_head) % 2) == 0]
-            new_flat = flat.copy()
-            new_flat[keep] = merged
-            delete = np.zeros(len(flat), bool)
-            delete[keep + 1] = True
-            kept_mask = ~delete
-            out_flat = new_flat[kept_mask]
-            # per-row new lengths: old lengths minus merges in that row
-            drops = np.bincount(row[keep], minlength=len(t))
-            new_lens = np.diff(offs) - drops
-            new_offs = np.r_[0, np.cumsum(new_lens)].astype(np.int32)
-            syms = pa.ListArray.from_arrays(
-                pa.array(new_offs, pa.int32()),
-                pa.array(out_flat, pa.string()),
-            )
-            return pa.table({"word": t["word"], "n": t["n"], "syms": syms})
-        return f
-
     merges = []
     for _ in range(n_merges):
         best = (
@@ -1718,9 +1729,9 @@ def bpe_train(sf_dir: str, n_merges: int = 8, check: bool = True) -> pa.Table:
         left, right, cnt = best[0]["left"], best[0]["right"], best[0]["n"]
         merges.append((left, right, int(cnt)))
         vocab = clean_blocks(
-            vocab.map_batches(apply_merge(left, right),
+            vocab.map_batches(_bpe_apply_merge(left, right),
                               batch_format="pyarrow"),
-            vocab_schema,
+            _BPE_VOCAB_SCHEMA,
         ).materialize()
 
     out = pa.table(
@@ -2509,4 +2520,311 @@ def prepare(sf_dir: str, min_tokens: int = 5) -> rd.Dataset:
         .map_batches(split_filter, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(rank, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (round 4)
+# ---------------------------------------------------------------------------
+
+# RE2-only patterns (no backreferences/lookaround) so pyarrow's
+# count_substring_regex / replace_substring_regex and DuckDB's
+# regexp_replace(..., 'g') — both RE2 — produce byte-identical output.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_emails, n_phones, n_ips, redacted): PII redaction — the
+    C4/CCNet-style privacy pass every public web-text recipe applies
+    (emails -> [EMAIL], phone numbers -> [PHONE], IPv4 literals -> [IP]).
+
+    The synthetic corpus carries no PII, so both engines first AUGMENT a
+    deterministic fraction of documents with synthesized contact strings
+    derived from doc_id (same construction in the DuckDB twin, so the
+    redaction kernel — not the generator — is what the oracle checks;
+    the multimodal header corpus uses the same device). Replacement order
+    is fixed (email, phone, ip) because the email pattern would otherwise
+    eat the host part of a later match.
+
+    Scale shape: one stateless ``map_batches`` pass, three count + three
+    replace RE2 kernels per batch — no shuffle, no state; streams at any
+    corpus size.
+    """
+
+    def _mod(col, k: int):
+        return pc.subtract(col, pc.multiply(pc.divide(col, k), k))
+
+    def redact(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        sid = pc.cast(did, pa.string())
+        empty = pa.scalar("")
+        email_sfx = pc.if_else(
+            pc.equal(_mod(did, 7), 0),
+            pc.binary_join_element_wise(
+                pa.scalar(" contact u"), sid, pa.scalar("@example.com"), empty
+            ),
+            empty,
+        )
+        phone_sfx = pc.if_else(
+            pc.equal(_mod(did, 5), 0),
+            pc.binary_join_element_wise(
+                pa.scalar(" call 555-123-"),
+                pc.utf8_lpad(pc.cast(_mod(did, 10000), pa.string()), 4, "0"),
+                empty,
+            ),
+            empty,
+        )
+        ip_sfx = pc.if_else(
+            pc.equal(_mod(did, 3), 0),
+            pc.binary_join_element_wise(
+                pa.scalar(" from 10."),
+                pc.cast(_mod(did, 256), pa.string()),
+                pa.scalar(".0."),
+                pc.cast(_mod(pc.multiply(did, 7), 256), pa.string()),
+                empty,
+            ),
+            empty,
+        )
+        text = pc.binary_join_element_wise(
+            t["text"], email_sfx, phone_sfx, ip_sfx, empty
+        )
+        n_emails = pc.cast(pc.count_substring_regex(text, PII_EMAIL), pa.int64())
+        red = pc.replace_substring_regex(text, PII_EMAIL, "[EMAIL]")
+        n_phones = pc.cast(pc.count_substring_regex(red, PII_PHONE), pa.int64())
+        red = pc.replace_substring_regex(red, PII_PHONE, "[PHONE]")
+        n_ips = pc.cast(pc.count_substring_regex(red, PII_IP), pa.int64())
+        red = pc.replace_substring_regex(red, PII_IP, "[IP]")
+        return pa.table(
+            {
+                "doc_id": did,
+                "n_emails": n_emails,
+                "n_phones": n_phones,
+                "n_ips": n_ips,
+                "redacted": red,
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        redact, batch_format="pyarrow"
+    )
+
+
+def mix_upsample(sf_dir: str) -> rd.Dataset:
+    """(doc_id, source, copy, rep): integer upsample-to-balance source
+    mixing — the epoch-style data-mixing rebalance (LLaMA/Pile recipes):
+    every document of source ``s`` is repeated ``rep_s = max_n // n_s``
+    times so each source contributes within 2x of the largest one, with a
+    ``copy`` index distinguishing the repeats (a dataloader seeds per-copy
+    shuffling/augmentation from it).
+
+    Scale shape: per-source counts come from a partial pre-agg + one
+    groupby over the tiny source domain (driver collect is O(sources));
+    the repeat factors broadcast into a stateless vectorized
+    ``np.repeat`` pass — text never moves, no row-explosion shuffle.
+    """
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "source": t["source"],
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        ).group_by("source").aggregate([("n", "sum")])
+        return g.rename_columns(["source", "n"])
+
+    counts = (
+        _read_docs(sf_dir, ["source"])
+        .map_batches(counts_partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum("n")
+    ).take_all()  # bounded: one row per DISTINCT source
+    n_by_src = {r["source"]: r["sum(n)"] for r in counts}
+    max_n = max(n_by_src.values(), default=0)
+    rep_by_src = {s: max_n // n for s, n in n_by_src.items()}
+    rep_ref = ray.put(rep_by_src)
+
+    class Repeat:
+        def __init__(self):
+            rep = ray.get(rep_ref)  # O(sources), once per actor
+            self.src_arr = pa.array(list(rep.keys()), pa.string())
+            self.rep_arr = np.fromiter(rep.values(), dtype=np.int64)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            # value_set is O(sources) — re-hashing it per batch is cheap,
+            # unlike the corpus-sized _DimIndex cases
+            pos = pc.index_in(t["source"], value_set=self.src_arr)
+            reps = self.rep_arr[pos.to_numpy(zero_copy_only=False)]
+            idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+            copy = np.arange(len(idx), dtype=np.int64) - np.repeat(
+                np.cumsum(reps) - reps, reps
+            )
+            out = t.select(["doc_id", "source"]).take(pa.array(idx))
+            return out.append_column(
+                "copy", pa.array(copy, pa.int64())
+            ).append_column(
+                "rep", pa.array(np.repeat(reps, reps), pa.int64())
+            )
+
+    return _read_docs(sf_dir, ["doc_id", "source"]).map_batches(
+        Repeat, batch_format="pyarrow", concurrency=pool_size(), num_cpus=0.5
+    )
+
+
+def bpe_encode(sf_dir: str, n_merges: int = 8, check: bool = True) -> rd.Dataset:
+    """(doc_id, n_bpe_tokens): per-document token count under the
+    corpus-trained BPE tokenizer — :func:`bpe_train`'s companion (apply
+    the merges, don't just learn them): the number a packing/cost
+    estimator needs per document before any training run.
+
+    Scale shape: the merges come from the distributed trainer; they are
+    applied over the DISTINCT-word vocab Dataset (the corpus is touched
+    once to build it, once to melt doc word counts — never per merge)
+    with the same vectorized kernels as training. The per-word symbol
+    lengths reach documents via ONE hash-partitioned ``Dataset.join`` on
+    the word (never a vocabulary broadcast — the fluency rule), and the
+    per-doc total is an integer aggregate. A per-doc sentinel row joined
+    left_outer keeps zero-token documents in the output.
+
+    Not SQL-expressible (iterative greedy rewriting); ``check=True``
+    re-derives every distinct word's symbol count through the single-node
+    reference trainer/encoder (vocab-bounded — gate scale only) and
+    demands exact equality."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from raycrawl.pipelines.dedup import clean_blocks
+
+    merges_tbl = bpe_train(sf_dir, n_merges, check=False)
+    merges = list(
+        zip(merges_tbl["left"].to_pylist(), merges_tbl["right"].to_pylist())
+    )
+
+    vocab = clean_blocks(
+        _read_docs(sf_dir, ["text"])
+        .map_batches(_bpe_word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(_bpe_init_syms, batch_format="pyarrow"),
+        _BPE_VOCAB_SCHEMA,
+    ).materialize()
+    for left, right in merges:
+        vocab = clean_blocks(
+            vocab.map_batches(_bpe_apply_merge(left, right),
+                              batch_format="pyarrow"),
+            _BPE_VOCAB_SCHEMA,
+        ).materialize()
+
+    wlen_schema = pa.schema([("word", pa.string()), ("n_syms", pa.int64())])
+
+    def word_len(t: pa.Table) -> pa.Table:
+        syms = t["syms"].combine_chunks()
+        lens = np.diff(syms.offsets.to_numpy()).astype(np.int64)
+        return pa.table(
+            {"word": t["word"], "n_syms": pa.array(lens, pa.int64())}
+        )
+
+    wlen = clean_blocks(
+        vocab.map_batches(word_len, batch_format="pyarrow"), wlen_schema
+    )
+
+    if check:
+        # exactness twin: reference-train + reference-encode every
+        # distinct word (vocab-bounded collect — gate scale only)
+        wc = {}
+        for b in vocab.select_columns(["word", "n"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            for w, n in zip(b["word"].to_pylist(), b["n"].to_pylist()):
+                wc[w] = wc.get(w, 0) + n
+        ref_vocab = {w: list(w) for w in wc}
+        for left, right in merges:
+            for w, syms in ref_vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                ref_vocab[w] = out
+        got = {}
+        for b in wlen.iter_batches(batch_format="pyarrow"):
+            got.update(zip(b["word"].to_pylist(), b["n_syms"].to_pylist()))
+        ref = {w: len(s) for w, s in ref_vocab.items()}
+        if got != ref:
+            diff = {w for w in ref if got.get(w) != ref[w]}
+            raise AssertionError(
+                f"distributed BPE encode diverged on {sorted(diff)[:5]}"
+            )
+
+    dw_schema = pa.schema(
+        [("doc_id", pa.int64()), ("word", pa.string()), ("k", pa.int64())]
+    )
+
+    def doc_words(t: pa.Table) -> pa.Table:
+        flat, row = _flat_tokens(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(flat):
+            g = (
+                pd.DataFrame({"doc_id": ids[row], "word": flat})
+                .groupby(["doc_id", "word"], sort=False)
+                .size()
+                .reset_index(name="k")
+            )
+            counts = pa.table(
+                {
+                    "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                    "word": pa.array(g["word"].to_numpy(), pa.string()),
+                    "k": pa.array(g["k"].to_numpy(np.int64)),
+                }
+            )
+        else:
+            counts = dw_schema.empty_table()
+        # sentinel row per doc: survives the left_outer join with a null
+        # n_syms, so zero-token docs stay in the output with count 0
+        sentinel = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "word": pa.array([""] * t.num_rows, pa.string()),
+                "k": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+        return pa.concat_tables([counts, sentinel]).combine_chunks()
+
+    dw = clean_blocks(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            doc_words, batch_format="pyarrow"
+        ),
+        dw_schema,
+    )
+    joined = dw.join(
+        wlen,
+        join_type="left_outer",
+        num_partitions=join_parts(),
+        on=("word",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_syms = pc.fill_null(t["n_syms"], 0)
+        g = (
+            pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_bpe_tokens": pc.multiply(t["k"], n_syms),
+                }
+            )
+            .group_by("doc_id")
+            .aggregate([("n_bpe_tokens", "sum")])
+        )
+        return g.rename_columns(["doc_id", "n_bpe_tokens"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_bpe_tokens", alias_name="n_bpe_tokens"))
     )

@@ -32,7 +32,9 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "events_json_extract", "docs_linreg", "docs_scrub",
          "docs_pack_manifest", "docs_oov_rate", "docs_dsir_weights",
          "docs_fluency", "docs_shuffle_shards", "docs_boilerplate_strip",
-         "docs_prepare", "events_watermark_late"]
+         "docs_prepare", "events_watermark_late", "docs_pii_scrub",
+         "docs_mix_upsample", "customers_above_avg_inactive",
+         "suppliers_sole_returns", "multimodal_wav_meta"]
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,205 @@
+"""Planted-truth tests for the round-4 additions: PII redaction, source
+mix upsampling, the TPC-H Q21/Q22 shapes, and the count-min sketch (the
+oracle comparisons live in test_oracles_smoke; these pin the semantic
+edges: sole-R qualification, rep factors, the CMS guarantees)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write(d, name, table):
+    pq.write_table(table, os.path.join(d, f"{name}.parquet"))
+
+
+@pytest.fixture(scope="module")
+def planted_q21(tmp_path_factory):
+    """lineitem with every Q21-shape qualification edge planted."""
+    d = str(tmp_path_factory.mktemp("planted_q21"))
+    rows = [
+        # order 1: supp 1 returns, supp 2 doesn't -> supp 1 qualifies
+        (1, 1, "R"), (1, 2, "N"),
+        # order 2: BOTH suppliers return -> nobody qualifies (n_r = 2)
+        (2, 1, "R"), (2, 2, "R"),
+        # order 3: single-supplier order with a return -> excluded (n_supp=1)
+        (3, 3, "R"),
+        # order 4: multi-supplier, no returns -> nobody qualifies
+        (4, 4, "N"), (4, 5, "N"),
+        # order 5: supp 2 returns on one of its two lines (max over lines),
+        # supp 4 clean -> supp 2 qualifies
+        (5, 2, "N"), (5, 2, "R"), (5, 4, "A"),
+    ]
+    _write(d, "lineitem", pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_returnflag": pa.array([r[2] for r in rows]),
+        }
+    ))
+    return d
+
+
+def test_suppliers_sole_returns_planted(ray_session, planted_q21):
+    from raycrawl.pipelines.analytics import suppliers_sole_returns
+
+    t = suppliers_sole_returns(planted_q21).take_all()
+    got = {(r["l_suppkey"], r["n_orders"]) for r in t}
+    assert got == {(1, 1), (2, 1)}
+
+
+@pytest.fixture(scope="module")
+def planted_q22(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("planted_q22"))
+    # positive balances: 100.00, 300.00 -> avg 200.00; 250.00 is above it
+    _write(d, "customer", pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "c_nationkey": pa.array([10, 10, 20, 20, 20], pa.int64()),
+            # 1: below avg; 2: above but HAS an order; 3: above + inactive;
+            # 4: negative (excluded from the avg, below it anyway);
+            # 5: above + inactive, same nation as 3
+            "c_acctbal": pa.array(
+                [100.0, 300.0, 250.0, -50.0, 299.99], pa.float64()
+            ),
+        }
+    ))
+    _write(d, "orders", pa.table(
+        {
+            # cust 2: one URGENT order (-> active); cust 3: only a LOW
+            # order, which does NOT count as activity
+            "o_custkey": pa.array([2, 2, 3], pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT", "5-LOW", "5-LOW"]),
+        }
+    ))
+    return d
+
+
+def test_customers_above_avg_inactive_planted(ray_session, planted_q22):
+    from raycrawl.pipelines.analytics import customers_above_avg_inactive
+
+    # avg positive balance = (10000 + 30000 + 25000 + 29999)/4 = 23749.75c;
+    # above it AND orderless: cust 3 (25000c) and 5 (29999c), both nation 20
+    t = customers_above_avg_inactive(planted_q22).take_all()
+    got = {(r["c_nationkey"], r["n_cust"], r["total_bal_cents"]) for r in t}
+    assert got == {(20, 2, 25000 + 29999)}
+
+
+@pytest.fixture(scope="module")
+def planted_mix(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("planted_mix"))
+    srcs = ["a"] * 4 + ["b"] * 2 + ["c"]
+    _write(d, "documents", pa.table(
+        {
+            "doc_id": pa.array(list(range(len(srcs))), pa.int64()),
+            "text": pa.array(["w"] * len(srcs)),
+            "source": pa.array(srcs),
+        }
+    ))
+    return d
+
+
+def test_mix_upsample_planted(ray_session, planted_mix):
+    from raycrawl.pipelines.textops import mix_upsample
+
+    t = mix_upsample(planted_mix).take_all()
+    # reps: a -> 4//4=1, b -> 4//2=2, c -> 4//1=4
+    by_doc = {}
+    for r in t:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert {d: len(v) for d, v in by_doc.items()} == {
+        0: 1, 1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 4,
+    }
+    for d, rows in by_doc.items():
+        assert sorted(r["copy"] for r in rows) == list(range(len(rows)))
+        assert all(r["rep"] == len(rows) for r in rows)
+
+
+def test_pii_scrub_redacts_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import pii_scrub
+
+    d = str(tmp_path)
+    # doc 105 hits all three augments (105 = 3*5*7); doc 1 hits none
+    _write(d, "documents", pa.table(
+        {
+            "doc_id": pa.array([105, 1], pa.int64()),
+            "text": pa.array(["hello world", "plain text"]),
+        }
+    ))
+    rows = {r["doc_id"]: r for r in pii_scrub(d).take_all()}
+    r = rows[105]
+    assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (1, 1, 1)
+    assert r["redacted"] == (
+        "hello world contact [EMAIL] call [PHONE] from [IP]"
+    )
+    r1 = rows[1]
+    assert (r1["n_emails"], r1["n_phones"], r1["n_ips"]) == (0, 0, 0)
+    assert r1["redacted"] == "plain text"
+
+
+def test_cms_counts_bounds(ray_session):
+    from raycrawl.pipelines.relops import events_cms_counts
+
+    est = events_cms_counts(SF, k=10)
+    t = pq.read_table(os.path.join(SF, "events.parquet"),
+                      columns=["user_id"])
+    exact = {d["values"]: d["counts"]
+             for d in pc.value_counts(t["user_id"]).to_pylist()}
+    n, width = t.num_rows, 2048
+    assert est.num_rows == 10
+    for uid, got in zip(est["user_id"].to_pylist(),
+                        est["n_events_cms"].to_pylist()):
+        true = exact[uid]
+        assert got >= true  # the one-sided CMS guarantee
+        assert got <= true + 4 * n / width
+
+
+def test_parse_wav_meta_roundtrip_and_garbage():
+    from raycrawl.pipelines.multimodal import parse_wav_meta, wav_header
+
+    body = b"x" * 1001
+    b = wav_header(22050, 2, 16, len(body)) + body
+    assert parse_wav_meta(b) == (22050, 2, 16, 1001)
+    # garbage inputs never raise
+    assert parse_wav_meta(b"") == (0, 0, 0, 0)
+    assert parse_wav_meta(b"RIFFxxxxWAVE") == (0, 0, 0, 0)  # no fmt chunk
+    assert parse_wav_meta(b"\x89PNG\r\n\x1a\n" * 4) == (0, 0, 0, 0)
+    assert parse_wav_meta(b[:20]) == (0, 0, 0, 0)  # truncated fmt
+    # an extra unknown chunk before fmt must be skipped, odd-length padded
+    import struct
+
+    odd = b"JUNK" + struct.pack("<I", 3) + b"abc\x00"
+    weird = b[:12] + odd + b[12:]
+    patched = b"RIFF" + struct.pack("<I", len(weird) - 8) + weird[8:]
+    assert parse_wav_meta(patched) == (22050, 2, 16, 1001)
+
+
+def test_bpe_encode_matches_reference(ray_session, tmp_path):
+    from raycrawl.pipelines.textops import bpe_encode
+
+    d = str(tmp_path)
+    texts = [
+        "low low low lower lowest",
+        "newer newest new new low",
+        "",  # zero-token doc must survive with count 0
+        "wider wide widest newer",
+    ]
+    _write(d, "documents", pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+        }
+    ))
+    # check=True raises on any distributed-vs-reference word divergence
+    rows = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_encode(d, n_merges=4).take_all()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[2] == 0
+    # doc 0 has 5 words; with merges applied every word is <= its char
+    # count and >= 1 symbol
+    assert 5 <= rows[0] <= sum(len(w) for w in texts[0].split())
