@@ -338,6 +338,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # docs_bpe_train — iterative greedy rewriting isn't SQL
         "docs_bpe_encode": textops.bpe_encode,
         "multimodal_wav_meta": multimodal.multimodal_wav_meta,
+        # ---- round 4: Q14/Q15/Q2 shapes, per-group mode, rolling
+        # distinct users, bottom-k hash sample ----
+        "supplier_top_revenue": analytics.supplier_top_revenue,
+        "promo_revenue_share": analytics.promo_revenue_share,
+        "part_cheapest_supplier": analytics.part_cheapest_supplier,
+        "events_mode_type": analytics.events_mode_type,
+        "events_wau": analytics.events_wau,
+        "docs_hash_sample": textops.hash_sample,
     }
 
 
@@ -2251,5 +2259,116 @@ SELECT doc_id,
             // (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                 WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms
 FROM documents
+"""
+    # TPC-H Q15 shape: scalar max over an aggregate view, equality
+    # join-back keeps ties; revenue exact in centi-cents
+    sql["supplier_top_revenue"] = r"""
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS revenue_ccents
+  FROM lineitem GROUP BY l_suppkey
+),
+m AS (SELECT MAX(revenue_ccents) AS mx FROM r)
+SELECT s.s_suppkey, s.s_name, r.revenue_ccents
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey, m
+WHERE r.revenue_ccents = m.mx
+"""
+    # TPC-H Q14 shape: conditional aggregate over fact x dim, integer
+    # share in 4096ths (no float ratio)
+    sql["promo_revenue_share"] = r"""
+WITH l AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+              AS BIGINT) AS promo_revenue_ccents,
+         CAST(SUM(rev) AS BIGINT) AS total_revenue_ccents
+  FROM l
+)
+SELECT promo_revenue_ccents, total_revenue_ccents,
+       CAST(CASE WHEN total_revenue_ccents > 0
+            THEN promo_revenue_ccents * 4096 // total_revenue_ccents
+            ELSE 0 END AS BIGINT) AS promo_share_4096
+FROM s
+"""
+    # TPC-H Q2 min-cost-supplier shape: argmin-per-group join-back,
+    # deterministic tiebreak on suppkey
+    sql["part_cheapest_supplier"] = r"""
+WITH c AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS cost_ccents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+w AS (
+  SELECT l_partkey, l_suppkey AS best_suppkey, cost_ccents,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY cost_ccents, l_suppkey) AS rn
+  FROM c
+)
+SELECT l_partkey, best_suppkey, cost_ccents FROM w WHERE rn = 1
+"""
+    # per-group MODE with deterministic tiebreak (count desc, type asc)
+    sql["events_mode_type"] = r"""
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+w AS (
+  SELECT user_id, event_type AS mode_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, mode_type, n FROM w WHERE rn = 1
+"""
+    # trailing-7-day rolling distinct users: distinct (user, day) pairs
+    # exploded to the window-END days each contributes to
+    sql["events_wau"] = r"""
+WITH p AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+e AS (
+  SELECT DISTINCT user_id, day + g.x AS day
+  FROM p, (SELECT unnest(generate_series(0, 6)) AS x) g
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM e GROUP BY day
+"""
+    # bottom-k priority sample: k smallest splitmix64(doc_id) values.
+    # Every xor/shift/mulmod of the finalizer is reproduced exactly in
+    # nonnegative HUGEINT arithmetic: >> n is // 2^n, multiply mod 2^64
+    # splits into 32-bit halves so no intermediate exceeds HUGEINT.
+    sql["docs_hash_sample"] = r"""
+WITH s0 AS (
+  SELECT doc_id,
+         (doc_id::HUGEINT + 11400714819323198485)
+           % 18446744073709551616 AS z
+  FROM documents
+),
+s1 AS (SELECT doc_id, xor(z, z // 1073741824) AS z FROM s0),
+s2 AS (SELECT doc_id,
+         (((z % 4294967296) * 13787848793156543929)
+            % 18446744073709551616
+          + ((((z // 4294967296) * 13787848793156543929) % 4294967296)
+             * 4294967296)) % 18446744073709551616 AS z
+       FROM s1),
+s3 AS (SELECT doc_id, xor(z, z // 134217728) AS z FROM s2),
+s4 AS (SELECT doc_id,
+         (((z % 4294967296) * 10723151780598845931)
+            % 18446744073709551616
+          + ((((z // 4294967296) * 10723151780598845931) % 4294967296)
+             * 4294967296)) % 18446744073709551616 AS z
+       FROM s3),
+s5 AS (SELECT doc_id, xor(z, z // 2147483648) AS z FROM s4)
+SELECT doc_id, CAST(z // 2 AS BIGINT) AS h63
+FROM s5 ORDER BY h63, doc_id LIMIT 64
 """
     return sql

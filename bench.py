@@ -150,6 +150,12 @@ def run_queries() -> dict:
         "customers_above_avg_inactive": lambda: analytics.customers_above_avg_inactive(SF_DIR),
         "events_cms_counts": lambda: relops.events_cms_counts(SF_DIR),
         "multimodal_wav_meta": lambda: multimodal.multimodal_wav_meta(SF_DIR),
+        "supplier_top_revenue": lambda: analytics.supplier_top_revenue(SF_DIR),
+        "promo_revenue_share": lambda: analytics.promo_revenue_share(SF_DIR),
+        "part_cheapest_supplier": lambda: analytics.part_cheapest_supplier(SF_DIR),
+        "events_mode_type": lambda: analytics.events_mode_type(SF_DIR),
+        "events_wau": lambda: analytics.events_wau(SF_DIR),
+        "docs_hash_sample": lambda: textops.hash_sample(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
         # as the headline: a burst during one 1-3 s query would otherwise

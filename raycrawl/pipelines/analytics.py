@@ -65,6 +65,11 @@ __all__ = [
     "events_watermark_late",
     "customers_above_avg_inactive",
     "suppliers_sole_returns",
+    "supplier_top_revenue",
+    "promo_revenue_share",
+    "part_cheapest_supplier",
+    "events_mode_type",
+    "events_wau",
 ]
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -1461,4 +1466,318 @@ def suppliers_sole_returns(sf_dir: str, k: int = 10) -> rd.Dataset:
         )
         .sort(["n_orders", "l_suppkey"], descending=[True, False])
         .limit(k)
+    )
+
+
+def supplier_top_revenue(sf_dir: str) -> rd.Dataset:
+    """(s_suppkey, s_name, revenue_ccents): every supplier whose total
+    discounted lineitem revenue equals the GLOBAL maximum — the TPC-H Q15
+    shape: an aggregate view, a scalar max over it, and an equality
+    join-back that keeps ties. Revenue is exact-integer "centi-cents":
+    price_cents * (100 - discount_pct).
+
+    Scale shape: per-batch partial sums shrink the shuffle to one row per
+    (batch, suppkey) before the supplier-domain groupby; the aggregated
+    view is bounded by the supplier domain, so materializing it for the
+    two bounded consumers (scalar max + equality filter) is O(suppliers),
+    never O(lineitem); supplier names arrive via the broadcast-dim
+    ``_DimIndex`` probe, not a shuffle join."""
+    import pyarrow.parquet as pq
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), disc),
+        )
+        g = (
+            pa.table({"l_suppkey": t["l_suppkey"], "revenue_ccents": rev})
+            .group_by("l_suppkey")
+            .aggregate([("revenue_ccents", "sum")])
+        )
+        return g.rename_columns(["l_suppkey", "revenue_ccents"])
+
+    per_supp = (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("revenue_ccents", alias_name="revenue_ccents"))
+        .materialize()  # bounded by the supplier domain
+    )
+    best = per_supp.max("revenue_ccents")
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    lookup_ref = ray.put(
+        (supp["s_suppkey"].combine_chunks(), supp["s_name"].combine_chunks())
+    )
+
+    class Name:
+        def __init__(self):
+            keys, self.names = ray.get(lookup_ref)
+            self.idx = _DimIndex(keys)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["revenue_ccents"], best))
+            idx = self.idx.lookup(t["l_suppkey"])
+            return pa.table(
+                {
+                    "s_suppkey": t["l_suppkey"],
+                    "s_name": self.names.take(idx),
+                    "revenue_ccents": t["revenue_ccents"],
+                }
+            )
+
+    return per_supp.map_batches(
+        Name, batch_format="pyarrow", concurrency=pool_size(), num_cpus=0.5
+    )
+
+
+def promo_revenue_share(sf_dir: str) -> rd.Dataset:
+    """One row (promo_revenue_ccents, total_revenue_ccents,
+    promo_share_4096): discounted revenue from PROMO-type parts vs all
+    revenue — the TPC-H Q14 shape (conditional aggregate over a
+    fact x dim join), with the ratio reported in integer 4096ths so the
+    oracle comparison never touches floats.
+
+    Scale shape: the partkey -> is-promo bit rides the object store once
+    (``ray.put``) and probes via the per-actor ``_DimIndex``; each batch
+    reduces to ONE partial row, the final aggregate is a single-row
+    groupby — no shuffle wider than one row per batch."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    promo = pc.equal(part["p_type"], "PROMO")
+    lookup_ref = ray.put(
+        (
+            part["p_partkey"].combine_chunks(),
+            pc.cast(promo, pa.int64()).combine_chunks(),
+        )
+    )
+
+    class Share:
+        def __init__(self):
+            keys, self.bits = ray.get(lookup_ref)
+            self.idx = _DimIndex(keys)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            disc = pc.cast(
+                pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+            )
+            rev = pc.multiply(
+                _cents(t["l_extendedprice"]),
+                pc.subtract(pa.scalar(100, pa.int64()), disc),
+            )
+            bits = self.bits.take(self.idx.lookup(t["l_partkey"]))
+            promo_rev = pc.sum(pc.multiply(rev, bits)).as_py() or 0
+            total_rev = pc.sum(rev).as_py() or 0
+            return pa.table(
+                {
+                    "one": pa.array([1], pa.int64()),
+                    "promo_revenue_ccents": pa.array([promo_rev], pa.int64()),
+                    "total_revenue_ccents": pa.array([total_rev], pa.int64()),
+                }
+            )
+
+    def ratio(t: pa.Table) -> pa.Table:
+        p = t["promo_revenue_ccents"]
+        s = t["total_revenue_ccents"]
+        share = pc.if_else(
+            pc.greater(s, 0),
+            pc.divide(pc.multiply(p, 4096), pc.max_element_wise(s, 1)),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "promo_revenue_ccents": p,
+                "total_revenue_ccents": s,
+                "promo_share_4096": share,
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(Share, batch_format="pyarrow",
+                     concurrency=pool_size(), num_cpus=1)
+        .groupby("one")
+        .aggregate(
+            Sum("promo_revenue_ccents", alias_name="promo_revenue_ccents"),
+            Sum("total_revenue_ccents", alias_name="total_revenue_ccents"),
+        )
+        .map_batches(
+            lambda t: ratio(t.drop_columns(["one"])), batch_format="pyarrow"
+        )
+    )
+
+
+def part_cheapest_supplier(sf_dir: str) -> rd.Dataset:
+    """(l_partkey, best_suppkey, cost_ccents): for every part, the
+    supplier with the LOWEST total discounted lineitem spend on it
+    (tiebreak: smallest suppkey) — the TPC-H Q2 min-cost-supplier shape
+    as an argmin-per-group join-back, resolved without any correlated
+    probe.
+
+    Scale shape: per-batch partial (partkey, suppkey) sums shrink the
+    ONE partkey-colocating shuffle; the argmin resolves inside coarse
+    partkey partitions with pandas' C groupby idxmin (a lexsort-free
+    two-key min via sort_values on the bounded per-partition frame) —
+    partition width is the session knob, never the corpus."""
+    parts = 1 << (join_parts() * 4 - 1).bit_length()
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        cost = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), disc),
+        )
+        g = (
+            pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "cost_ccents": cost,
+                }
+            )
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("cost_ccents", "sum")])
+        )
+        g = g.rename_columns(["l_partkey", "l_suppkey", "cost_ccents"])
+        ppart = pc.cast(pc.bit_wise_and(g["l_partkey"], parts - 1), pa.int32())
+        return g.append_column("ppart", ppart)
+
+    def argmin(g: pd.DataFrame) -> pd.DataFrame:
+        a = (
+            g.groupby(["l_partkey", "l_suppkey"], sort=False)["cost_ccents"]
+            .sum()
+            .reset_index()
+        )
+        a = a.sort_values(
+            ["l_partkey", "cost_ccents", "l_suppkey"], kind="mergesort"
+        )
+        w = a.drop_duplicates("l_partkey", keep="first")
+        return pd.DataFrame(
+            {
+                "l_partkey": w["l_partkey"].to_numpy(np.int64),
+                "best_suppkey": w["l_suppkey"].to_numpy(np.int64),
+                "cost_ccents": w["cost_ccents"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(argmin, batch_format="pandas")
+    )
+
+
+def events_mode_type(sf_dir: str) -> rd.Dataset:
+    """(user_id, mode_type, n): each user's most frequent event type,
+    deterministic under count ties (lexicographically smallest type wins)
+    — the per-group MODE aggregate, the categorical twin of the exact
+    per-group quantiles.
+
+    Scale shape: per-batch (user, type) partial counts bound the ONE
+    user-colocating shuffle at (batch x users x |event types|) rows; the
+    argmax resolves inside coarse ``RAYCRAWL_UPART`` partitions with one
+    vectorized sort + drop_duplicates pass."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "event_type": t["event_type"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([("n", "sum")])
+        )
+        g = g.rename_columns(["user_id", "event_type", "n"])
+        return _add_upart(g)
+
+    def mode(g: pd.DataFrame) -> pd.DataFrame:
+        a = (
+            g.groupby(["user_id", "event_type"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        a = a.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        w = a.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": w["user_id"].to_numpy(np.int64),
+                "mode_type": w["event_type"].to_numpy(),
+                "n": w["n"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(mode, batch_format="pandas")
+    )
+
+
+def events_wau(sf_dir: str, window_days: int = 7) -> rd.Dataset:
+    """(day, wau): trailing-``window_days`` active users for every day
+    index that closes a window containing at least one event — the
+    rolling COUNT(DISTINCT) every engagement dashboard runs, which no
+    plain windowed aggregate expresses (distinct doesn't decompose over
+    sliding frames).
+
+    Scale shape: ONE user-colocating shuffle. Per batch: dedup to
+    (user, day) pairs. Inside each coarse user partition: dedup again,
+    explode each pair to the ``window_days`` window-END days it
+    contributes to (numpy repeat+tile — users are colocated, so the
+    (user, end-day) dedup is exact in-partition), then reduce to
+    per-day partial counts bounded by the DAY DOMAIN. The final groupby
+    sums disjoint user-partition partials — exact because partitions
+    partition users."""
+    us_per_day = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), us_per_day)
+        g = (
+            pa.table({"user_id": t["user_id"], "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        return _add_upart(g)
+
+    def window_counts(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.drop_duplicates(["user_id", "day"])
+        users = a["user_id"].to_numpy(np.int64)
+        days = a["day"].to_numpy(np.int64)
+        end_days = np.repeat(days, window_days) + np.tile(
+            np.arange(window_days, dtype=np.int64), len(days)
+        )
+        pairs = pd.DataFrame(
+            {"user_id": np.repeat(users, window_days), "day": end_days}
+        ).drop_duplicates()
+        out = pairs.groupby("day", sort=False).size().reset_index(name="wau")
+        out["day"] = out["day"].astype("int64")
+        out["wau"] = out["wau"].astype("int64")
+        return out
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(window_counts, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("wau", alias_name="wau"))
     )

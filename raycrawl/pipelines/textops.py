@@ -59,6 +59,7 @@ __all__ = [
     "pii_scrub",
     "mix_upsample",
     "bpe_encode",
+    "hash_sample",
 ]
 
 
@@ -2827,4 +2828,63 @@ def bpe_encode(sf_dir: str, n_merges: int = 8, check: bool = True) -> rd.Dataset
         joined.map_batches(partial, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Sum("n_bpe_tokens", alias_name="n_bpe_tokens"))
+    )
+
+
+# splitmix64 finalizer constants (Steele et al., public domain) — a FULL
+# bit mixer, not an affine map: the bottom-k of an affine hash over
+# consecutive ids is a consecutive id run (three-distance equidistribution
+# is NOT sequential independence), which a sample must never be
+_SM64_ADD = 0x9E3779B97F4A7C15
+_SM64_M1 = 0xBF58476D1CE4E5B9
+_SM64_M2 = 0x94D049BB133111EB
+
+
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    z = x + np.uint64(_SM64_ADD)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(_SM64_M1)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(_SM64_M2)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def hash_sample(sf_dir: str, k: int = 64) -> rd.Dataset:
+    """(doc_id, h63): a deterministic uniform-without-replacement sample
+    of ``k`` documents — the k smallest values of splitmix64(doc_id)
+    (the classic priority-sample / bottom-k sketch, the distributed
+    replacement for driver-side reservoir sampling). Stable under
+    re-runs, resharding and corpus growth pressure-points: adding docs
+    can only displace, never reorder, survivors. The mixer is the full
+    splitmix64 finalizer, NOT the affine maps the split/shard ops use:
+    an affine bottom-k over consecutive ids degenerates to a consecutive
+    id run, and the SQL twin reproduces every xor/shift/mulmod exactly
+    in HUGEINT arithmetic (hi/lo-split multiply mod 2^64).
+
+    Scale shape: each batch pre-selects its own k smallest hashes
+    (vectorized argpartition), so the global sort/limit runs over at most
+    k rows PER BLOCK, never the corpus; no other shuffle exists. The h63
+    column (top 63 hash bits, int64-safe) makes the draw auditable and
+    gives the SQL twin an exact ORDER BY key."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(ids)
+        h63 = (h >> np.uint64(1)).astype(np.int64)
+        if len(ids) > k:
+            keep = np.argpartition(h63, k)[:k]
+            ids, h63 = ids[keep], h63[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "h63": pa.array(h63, pa.int64()),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .sort(["h63", "doc_id"])
+        .limit(k)
     )

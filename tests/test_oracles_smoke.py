@@ -34,7 +34,10 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "docs_fluency", "docs_shuffle_shards", "docs_boilerplate_strip",
          "docs_prepare", "events_watermark_late", "docs_pii_scrub",
          "docs_mix_upsample", "customers_above_avg_inactive",
-         "suppliers_sole_returns", "multimodal_wav_meta"]
+         "suppliers_sole_returns", "multimodal_wav_meta",
+         "supplier_top_revenue", "promo_revenue_share",
+         "part_cheapest_supplier", "events_mode_type", "events_wau",
+         "docs_hash_sample"]
 
 
 @pytest.fixture(scope="module")

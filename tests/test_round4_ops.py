@@ -203,3 +203,146 @@ def test_bpe_encode_matches_reference(ray_session, tmp_path):
     # doc 0 has 5 words; with merges applied every word is <= its char
     # count and >= 1 symbol
     assert 5 <= rows[0] <= sum(len(w) for w in texts[0].split())
+
+
+@pytest.fixture(scope="module")
+def planted_q15(tmp_path_factory):
+    """lineitem + supplier where TWO suppliers tie for max revenue."""
+    d = str(tmp_path_factory.mktemp("planted_q15"))
+    # centi-cents: price_cents * (100 - disc_pct)
+    # supp 1: 100.00 @ 0% = 1_000_000; supp 2: 200.00 @ 50% = 1_000_000
+    # supp 3: 50.00 @ 0% = 500_000 -> 1 and 2 tie for max
+    _write(d, "lineitem", pa.table(
+        {
+            "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "l_partkey": pa.array([1, 1, 1], pa.int64()),
+            "l_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "l_extendedprice": pa.array([100.0, 200.0, 50.0]),
+            "l_discount": pa.array([0.0, 0.5, 0.0]),
+        }
+    ))
+    _write(d, "supplier", pa.table(
+        {
+            "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "s_name": pa.array(["s1", "s2", "s3"]),
+        }
+    ))
+    return d
+
+
+def test_supplier_top_revenue_keeps_ties(ray_session, planted_q15):
+    from raycrawl.pipelines.analytics import supplier_top_revenue
+
+    got = {(r["s_suppkey"], r["s_name"], r["revenue_ccents"])
+           for r in supplier_top_revenue(planted_q15).take_all()}
+    assert got == {(1, "s1", 1_000_000), (2, "s2", 1_000_000)}
+
+
+def test_promo_revenue_share_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.analytics import promo_revenue_share
+
+    d = str(tmp_path)
+    _write(d, "part", pa.table(
+        {
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_type": pa.array(["PROMO", "STANDARD"]),
+        }
+    ))
+    _write(d, "lineitem", pa.table(
+        {
+            "l_partkey": pa.array([1, 2, 2], pa.int64()),
+            "l_extendedprice": pa.array([10.0, 20.0, 10.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0]),
+        }
+    ))
+    rows = promo_revenue_share(d).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["promo_revenue_ccents"] == 100_000
+    assert r["total_revenue_ccents"] == 400_000
+    assert r["promo_share_4096"] == 4096 // 4
+
+
+def test_part_cheapest_supplier_tiebreak(ray_session, tmp_path):
+    from raycrawl.pipelines.analytics import part_cheapest_supplier
+
+    d = str(tmp_path)
+    # part 1: supp 2 cheaper; part 2: cost tie -> smaller suppkey (3) wins;
+    # supp 5's two lines on part 1 SUM above supp 2
+    _write(d, "lineitem", pa.table(
+        {
+            "l_partkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "l_suppkey": pa.array([5, 2, 5, 7, 3], pa.int64()),
+            "l_extendedprice": pa.array([6.0, 10.0, 6.0, 8.0, 8.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0]),
+        }
+    ))
+    got = {(r["l_partkey"], r["best_suppkey"], r["cost_ccents"])
+           for r in part_cheapest_supplier(d).take_all()}
+    assert got == {(1, 2, 100_000), (2, 3, 80_000)}
+
+
+def test_events_mode_type_tiebreak(ray_session, tmp_path):
+    from raycrawl.pipelines.analytics import events_mode_type
+
+    d = str(tmp_path)
+    ts = pa.array([1_700_000_000_000_000 + i for i in range(7)],
+                  pa.timestamp("us"))
+    _write(d, "events", pa.table(
+        {
+            "event_id": pa.array(list(range(7)), pa.int64()),
+            "ts": ts,
+            # user 1: 2x view, 1x click -> view; user 2: click/view tie
+            # -> 'click' (lexicographically first)
+            "user_id": pa.array([1, 1, 1, 2, 2, 2, 2], pa.int64()),
+            "event_type": pa.array(
+                ["view", "view", "click", "click", "view", "view", "click"]
+            ),
+        }
+    ))
+    got = {(r["user_id"], r["mode_type"], r["n"])
+           for r in events_mode_type(d).take_all()}
+    assert got == {(1, "view", 2), (2, "click", 2)}
+
+
+def test_events_wau_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.analytics import events_wau
+
+    d = str(tmp_path)
+    us_day = 86_400_000_000
+    # user 1 active day 0 and day 10; user 2 active day 0 twice
+    ts = pa.array([0, 10 * us_day, 1, 2], pa.timestamp("us"))
+    _write(d, "events", pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["view"] * 4),
+        }
+    ))
+    got = {r["day"]: r["wau"] for r in events_wau(d).take_all()}
+    # days 0-6 see both users (from day 0); days 10-16 see user 1 only
+    expect = {d_: 2 for d_ in range(7)}
+    expect.update({d_: 1 for d_ in range(10, 17)})
+    assert got == expect
+
+
+def test_hash_sample_deterministic_bottom_k(ray_session):
+    from raycrawl.pipelines.textops import hash_sample, _splitmix64
+
+    rows = hash_sample(SF, k=16).take_all()
+    assert len(rows) == 16
+    ids = pq.read_table(os.path.join(SF, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    h63 = (_splitmix64(ids.astype(np.uint64)) >> np.uint64(1)).astype(
+        np.int64
+    )
+    order = np.lexsort((ids, h63))[:16]
+    expect = sorted(
+        [(int(ids[i]), int(h63[i])) for i in order],
+        key=lambda p: (p[1], p[0]),
+    )
+    assert [(r["doc_id"], r["h63"]) for r in rows] == expect
+    # the sample must not be an id-consecutive run (the affine failure)
+    picked = sorted(r["doc_id"] for r in rows)
+    assert max(b - a for a, b in zip(picked, picked[1:])) > 1
