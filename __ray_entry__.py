@@ -52,6 +52,7 @@ from raycrawl.pipelines.crawlqueries import (
     crawl_components,
     crawl_text_identity,
     crawl_triangles,
+    crawl_url_filter,
 )
 
 # materialize the correctness-scale corpus for the oracle's literal path
@@ -346,6 +347,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_type": analytics.events_mode_type,
         "events_wau": analytics.events_wau,
         "docs_hash_sample": textops.hash_sample,
+        # ---- round 4: SemDeDup, frontier URL blocklist, phrase search,
+        # Q19 disjunctive-band join ----
+        "embeddings_semdedup": dedup.semdedup,
+        "crawl_url_filter": crawl_url_filter,
+        "docs_phrase_search": retrieval.docs_phrase_search,
+        "q19_banded_revenue": relops.q19_disjunctive_revenue,
     }
 
 
@@ -2370,5 +2377,124 @@ s4 AS (SELECT doc_id,
 s5 AS (SELECT doc_id, xor(z, z // 2147483648) AS z FROM s4)
 SELECT doc_id, CAST(z // 2 AS BIGINT) AS h63
 FROM s5 ORDER BY h63, doc_id LIMIT 64
+"""
+    # SemDeDup: the kmeans unrolled-CTE twin (bit-exact integer Lloyd)
+    # plus an EXISTS over lower-id same-cluster vectors clearing the
+    # cosine threshold — min-id representative, no greedy loop needed
+    sql["embeddings_semdedup"] = """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS x
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cluster, dim, x AS c FROM v WHERE vec_id < 8),
+d1 AS (
+  SELECT v.vec_id, c0.cluster,
+         SUM((v.x - c0.c) * (v.x - c0.c)) AS dist
+  FROM v JOIN c0 USING (dim) GROUP BY v.vec_id, c0.cluster
+),
+a1 AS (
+  SELECT vec_id, CAST(MIN(dist * 8 + cluster) % 8 AS BIGINT) AS cluster
+  FROM d1 GROUP BY vec_id
+),
+s1 AS (
+  SELECT a1.cluster, v.dim, CAST(SUM(v.x) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM v JOIN a1 USING (vec_id) GROUP BY a1.cluster, v.dim
+),
+c1 AS (SELECT cluster, dim, s // n AS c FROM s1),
+d2 AS (
+  SELECT v.vec_id, c1.cluster,
+         SUM((v.x - c1.c) * (v.x - c1.c)) AS dist
+  FROM v JOIN c1 USING (dim) GROUP BY v.vec_id, c1.cluster
+),
+a2 AS (
+  SELECT vec_id, CAST(MIN(dist * 8 + cluster) % 8 AS BIGINT) AS cluster
+  FROM d2 GROUP BY vec_id
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id, a.cluster,
+  CAST(CASE WHEN EXISTS (
+    SELECT 1 FROM a2 b
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+      AND list_cosine_similarity(ea.embedding, eb.embedding) >= 0.3
+  ) THEN 0 ELSE 1 END AS BIGINT) AS keep
+FROM a2 a
+"""
+    # frontier URL blocklist over the dead-links candidate CTE: domain
+    # rule = exact host OR dot-suffix, path rule = regex on the path part
+    sql["crawl_url_filter"] = f"""
+WITH cand AS (
+  SELECT DISTINCT url AS src,
+         CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+              ELSE 'http://' || host || h1 END AS dst
+  FROM (
+    SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+           split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                      '?', 1) AS h1
+    FROM read_parquet('{_SF001_CORPUS}')
+    WHERE {_HTML_FILTER} AND text <> ''
+  )
+),
+c AS (
+  SELECT regexp_extract(dst, '^https?://([^/]+)', 1) AS dst_host,
+         (regexp_extract(dst, '^https?://([^/]+)', 1)
+            IN ('example.net', 'h2.example.com')
+          OR regexp_extract(dst, '^https?://([^/]+)', 1)
+             LIKE '%.example.net'
+          OR regexp_extract(dst, '^https?://([^/]+)', 1)
+             LIKE '%.h2.example.com') AS dom_bad,
+         regexp_matches(regexp_replace(dst, '^https?://[^/]*', ''),
+                        '/private/') AS path_bad
+  FROM cand WHERE src <> dst
+)
+SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS n_cands,
+       CAST(COUNT(*) FILTER (WHERE dom_bad) AS BIGINT) AS n_domain_blocked,
+       CAST(COUNT(*) FILTER (WHERE path_bad) AS BIGINT) AS n_path_blocked,
+       CAST(COUNT(*) FILTER (WHERE NOT dom_bad AND NOT path_bad) AS BIGINT)
+         AS n_allowed
+FROM c GROUP BY dst_host
+"""
+    # quoted-phrase search: adjacency over the shared lowercase \s+ token
+    # contract; positions are 0-based on the Ray side, 1-based in SQL lists
+    sql["docs_phrase_search"] = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '') AS ts
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, unnest(list_filter(generate_series(1, len(ts) - 1),
+         i -> ts[i] = 'hash' AND ts[i+1] = 'join')) AS pos
+  FROM toks
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(pos) - 1 AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id
+"""
+    # Q19 shape: OR-of-ANDs bands coupling part and lineitem attributes;
+    # revenue in exact integer centi-cents (the mktsegment convention)
+    sql["q19_banded_revenue"] = """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_size FROM part
+),
+l AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc
+  FROM lineitem
+)
+SELECT CAST(COALESCE(SUM(price_cents * (100 - disc)), 0) AS BIGINT)
+         AS revenue_ccents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM l JOIN p ON l.l_partkey = p.p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND qty BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND qty BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND qty BETWEEN 20 AND 40)
 """
     return sql

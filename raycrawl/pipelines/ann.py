@@ -114,7 +114,7 @@ def _assign(x: np.ndarray, cids: np.ndarray, cents: np.ndarray) -> np.ndarray:
 
 def kmeans_assign(
     sf_dir: str, k: int = 8, scale: int = 1_000_000,
-    ds: rd.Dataset | None = None,
+    ds: rd.Dataset | None = None, with_embedding: bool = False,
 ) -> rd.Dataset:
     """(vec_id, cluster): two-round Lloyd k-means over the embedding
     table, EXACT in integers end to end so a DuckDB twin reproduces every
@@ -198,17 +198,20 @@ def kmeans_assign(
 
     def assign_only(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:  # empty block: reshape(-1, 0) would raise
-            return pa.schema(
-                [("vec_id", pa.int64()), ("cluster", pa.int64())]
-            ).empty_table()
+            fields = [("vec_id", pa.int64()), ("cluster", pa.int64())]
+            if with_embedding:
+                fields.append(
+                    ("embedding", t.schema.field("embedding").type))
+            return pa.schema(fields).empty_table()
         c_ids, c = ray.get(cent2_ref)
         a = _assign(_scaled_batch(t, scale), c_ids, c)
-        return pa.table(
-            {
-                "vec_id": t["vec_id"],
-                "cluster": pa.array(a, pa.int64()),
-            }
-        )
+        cols = {
+            "vec_id": t["vec_id"],
+            "cluster": pa.array(a, pa.int64()),
+        }
+        if with_embedding:  # downstream per-cluster passes (semdedup)
+            cols["embedding"] = t["embedding"]
+        return pa.table(cols)
 
     return ds.map_batches(assign_only, batch_format="pyarrow")
 

@@ -40,6 +40,7 @@ __all__ = [
     "dedup_survivors",
     "incremental_dedup",
     "containment_pairs",
+    "semdedup",
     "shingles",
     "jaccard",
     "MinHasher",
@@ -1008,3 +1009,62 @@ def containment_pairs(
 
     return _verify_jaccard_pairs(cands, sf_dir, k, threshold, mask,
                                  accept=accept)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-then-prune
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    sf_dir: str, k: int = 8, threshold: float = 0.3,
+    ds: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """(vec_id, cluster, keep): SemDeDup (Abbas et al. 2023) — semantic
+    deduplication by CLUSTERING the embedding space first and pruning
+    near-identical pairs only INSIDE each cluster, never across the whole
+    corpus. A vector is dropped (keep=0) iff some LOWER-id vector in the
+    same k-means cluster has cosine similarity >= ``threshold`` — the
+    paper keeps one representative per semantic-duplicate set; min-id is
+    the deterministic stand-in for its farthest-from-centroid choice (and
+    is what makes the DuckDB twin an EXISTS instead of a greedy loop).
+
+    Plan: the two-round EXACT integer k-means from :func:`ann.kmeans_assign`
+    (bit-reproducible in SQL via the unrolled-CTE trick) rides the
+    embedding column along to the assignment pass, then ONE
+    groupby(cluster) shuffle co-locates each cluster and the per-cluster
+    kernel is a dense |C| x |C| float64 similarity matmul (threshold
+    COMPARISON only — no float leaves the operator, so value hashes are
+    stable).
+
+    Scale shape: the whole point of SemDeDup is that k grows with the
+    corpus (the paper runs k ~ 50k on LAION) so |C| ~ N/k stays bounded
+    and the |C|^2 block work is constant per cluster; the all-pairs matrix
+    the naive approach needs never exists. The shuffle moves each vector
+    exactly once, keyed by cluster."""
+    from raycrawl.pipelines.ann import kmeans_assign
+
+    assigned = kmeans_assign(sf_dir, k=k, ds=ds, with_embedding=True)
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        sims = m @ m.T
+        # column j is dropped iff any i<j (strict upper triangle) clears
+        # the threshold — exactly the SQL EXISTS over b.vec_id < a.vec_id
+        dropped = np.triu(sims >= threshold, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": pd.array(ids, "int64"),
+                "cluster": pd.array(
+                    g["cluster"].to_numpy().astype(np.int64), "int64"),
+                "keep": pd.array((~dropped).astype(np.int64), "int64"),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pandas")

@@ -42,6 +42,7 @@ __all__ = [
     "region_nation_counts",
     "orders_price_quantiles",
     "events_cms_counts",
+    "q19_disjunctive_revenue",
 ]
 
 
@@ -1312,4 +1313,107 @@ def events_cms_counts(
             "user_id": pa.array(ids.astype(np.int64), pa.int64()),
             "n_events_cms": pa.array(est, pa.int64()),
         }
+    )
+
+
+# Q19-shape disjunctive bands: (brand, size-range, quantity-range) triples.
+# The predicate couples PART attributes and LINEITEM attributes per band —
+# the textbook case where the filter can only resolve AFTER the join.
+Q19_BANDS = (
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#2", 1, 25, 10, 30),
+    ("Brand#3", 1, 35, 20, 40),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str, bands: tuple = Q19_BANDS) -> rd.Dataset:
+    """(revenue_ccents, n_items): TPC-H Q19 shape — discounted revenue
+    over an OR-of-ANDs band predicate that couples part attributes
+    (brand, size) with lineitem attributes (quantity) per band, so no
+    single-side filter can resolve it.
+
+    Plan: part is the small side — (partkey -> brand code, size) broadcast
+    once via ``ray.put`` and indexed per actor (``_DimIndex``); each
+    lineitem batch first PRE-PRUNES on the union of the bands' quantity
+    ranges (the only pushdown that is valid before the join), then probes
+    the dim and evaluates the disjunction as one vectorized numpy mask per
+    band. Partials are one row per batch; revenue is exact integer
+    centi-cents ``price_cents x (100 - disc_pct)`` (the mktsegment
+    convention — no float ever aggregates)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+    brand_names = sorted({b for b, *_ in bands})
+    brand_code = {b: i for i, b in enumerate(brand_names)}
+    # dim payload: band-relevant brands as small ints (-1 = no band's brand)
+    codes = np.array(
+        [brand_code.get(b, -1) for b in part["p_brand"].to_pylist()],
+        np.int64,
+    )
+    lookup_ref = ray.put(
+        (
+            part["p_partkey"].combine_chunks(),
+            codes,
+            part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    )
+    qty_lo = min(b[3] for b in bands)
+    qty_hi = max(b[4] for b in bands)
+
+    class Probe:
+        def __init__(self):
+            keys, self.codes, self.sizes = ray.get(lookup_ref)
+            self.idx = _DimIndex(keys)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            qty = pc.cast(t["l_quantity"], pa.int64())
+            pre = pc.and_(
+                pc.greater_equal(qty, qty_lo), pc.less_equal(qty, qty_hi)
+            )
+            t = t.filter(pre)  # union-of-bands pushdown before the probe
+            if t.num_rows == 0:
+                return pa.table(
+                    {"one": pa.array([0], pa.int64()),
+                     "revenue_ccents": pa.array([0], pa.int64()),
+                     "n_items": pa.array([0], pa.int64())}
+                )
+            pos = self.idx.lookup(t["l_partkey"]).to_numpy(
+                zero_copy_only=False)
+            code = self.codes[pos]
+            size = self.sizes[pos]
+            q = pc.cast(t["l_quantity"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            keep = np.zeros(t.num_rows, bool)
+            for brand, s_lo, s_hi, b_lo, b_hi in bands:
+                keep |= (
+                    (code == brand_code[brand])
+                    & (size >= s_lo) & (size <= s_hi)
+                    & (q >= b_lo) & (q <= b_hi)
+                )
+            price = _cents(t["l_extendedprice"]).to_numpy(
+                zero_copy_only=False)
+            disc = pc.cast(
+                pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            rev = int((price[keep] * (100 - disc[keep])).sum())
+            return pa.table(
+                {"one": pa.array([0], pa.int64()),
+                 "revenue_ccents": pa.array([rev], pa.int64()),
+                 "n_items": pa.array([int(keep.sum())], pa.int64())}
+            )
+
+    return (
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(Probe, batch_format="pyarrow", concurrency=pool_size(),
+                     num_cpus=0.5)
+        .groupby("one")
+        .aggregate(
+            Sum("revenue_ccents", alias_name="revenue_ccents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+        .select_columns(["revenue_ccents", "n_items"])
     )

@@ -42,6 +42,7 @@ __all__ = [
     "docs_bm25_topk",
     "docs_dup_ngrams",
     "docs_postings",
+    "docs_phrase_search",
     "TFIDF_TERMS",
     "TFIDF_SCALE",
 ]
@@ -362,3 +363,62 @@ def docs_bm25_topk(
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+PHRASE = ("hash", "join")
+
+
+def docs_phrase_search(sf_dir: str, phrase: tuple = PHRASE) -> rd.Dataset:
+    """(doc_id, n_hits, first_pos): exact-phrase retrieval — documents
+    containing ``phrase`` as CONSECUTIVE tokens, with the occurrence count
+    and the 0-based token position of the first hit (what a search engine
+    returns for a quoted query, and what a positional index exists for).
+
+    Plan: a document lives wholly in one row, so phrase matching is
+    embarrassingly parallel — ONE pass, no shuffle, no index build: the
+    batch's texts flatten to (token, row) arrays (textops._flat_tokens,
+    the shared lowercase n-gram contract) and the phrase test is a
+    vectorized shifted-slice conjunction (token[i] == w0 & token[i+1] ==
+    w1 & same row), generalizing to any phrase length as len(phrase)-1
+    shifted compares. Hit positions fall out of the same pass by
+    subtracting each row's start offset. Contrast :func:`docs_postings` —
+    THAT is the materialized-index route; for a fixed query over the
+    corpus, the single scan is the cheaper plan at any scale."""
+    w = [p.lower() for p in phrase]
+    assert len(w) >= 2
+
+    def hits(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("doc_id", pa.int64()), ("n_hits", pa.int64()),
+             ("first_pos", pa.int64())]
+        ).empty_table()
+        if t.num_rows == 0:
+            return empty
+        flat, trow = _flat_tokens(t)
+        n = len(flat) - (len(w) - 1)
+        if n <= 0:
+            return empty
+        m = flat[:n] == w[0]
+        for j in range(1, len(w)):
+            m &= flat[j:n + j] == w[j]
+        m &= trow[:n] == trow[len(w) - 1:n + len(w) - 1]
+        idx = np.flatnonzero(m)
+        if not len(idx):
+            return empty
+        rows = trow[idx]
+        # 0-based in-row token position: global index minus the row's
+        # first-token offset (trow is sorted ascending)
+        row_start = np.searchsorted(trow, np.arange(t.num_rows))
+        pos = idx - row_start[rows]
+        uniq, first = np.unique(rows, return_index=True)
+        counts = np.bincount(rows)[uniq]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(uniq)),
+                "n_hits": pa.array(counts, pa.int64()),
+                "first_pos": pa.array(pos[first], pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        hits, batch_format="pyarrow")

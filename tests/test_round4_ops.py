@@ -346,3 +346,118 @@ def test_hash_sample_deterministic_bottom_k(ray_session):
     # the sample must not be an id-consecutive run (the affine failure)
     picked = sorted(r["doc_id"] for r in rows)
     assert max(b - a for a, b in zip(picked, picked[1:])) > 1
+
+
+# ---- SemDeDup / URL blocklist / phrase search / Q19 bands ----
+
+
+def test_semdedup_planted(ray_session, tmp_path):
+    """Two well-separated clusters; inside cluster 0 the two later copies
+    of the seed direction are dropped, the dissimilar pair in cluster 1
+    both survive. Seeds are vec_id<k so assignment is unambiguous."""
+    from raycrawl.pipelines.dedup import semdedup
+
+    vecs = [
+        (0, [1.0, 0.0]),    # cluster 0 seed
+        (1, [0.0, 1.0]),    # cluster 1 seed
+        (2, [0.99, 0.01]),  # ~= v0 -> dropped at threshold .95
+        (3, [0.6, 0.8]),    # cluster 1, cos(v1,v3)=0.8 -> kept
+        (4, [1.0, 0.001]),  # ~= v0 -> dropped
+    ]
+    d = str(tmp_path)
+    _write(d, "embeddings", pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array([v[1] for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    ))
+    t = semdedup(d, k=2, threshold=0.95).to_pandas()
+    got = dict(zip(t["vec_id"], t["keep"]))
+    assert got == {0: 1, 1: 1, 2: 0, 3: 1, 4: 0}
+    clusters = dict(zip(t["vec_id"], t["cluster"]))
+    assert clusters[2] == clusters[0] and clusters[4] == clusters[0]
+    assert clusters[3] == clusters[1] and clusters[0] != clusters[1]
+
+
+def test_semdedup_min_id_always_kept(ray_session):
+    from raycrawl.pipelines.dedup import semdedup
+
+    t = semdedup(SF).to_pandas()
+    firsts = t.loc[t.groupby("cluster")["vec_id"].idxmin()]
+    assert (firsts["keep"] == 1).all()
+    assert set(t["keep"].unique()) <= {0, 1}
+
+
+def test_crawl_url_filter_suffix_semantics(ray_session):
+    """example.net blocks every *.example.net subdomain (suffix rule);
+    unlisted corpus hosts are never domain-blocked; counts are closed."""
+    from raycrawl.pipelines.crawlqueries import crawl_url_filter
+
+    t = crawl_url_filter("/root/testdata/sf0.001").to_pandas()
+    assert len(t) > 0
+    for _, r in t.iterrows():
+        host = r["dst_host"]
+        if host == "example.net" or host.endswith(".example.net"):
+            assert r["n_domain_blocked"] == r["n_cands"]
+            assert r["n_allowed"] == 0
+        elif host != "h2.example.com":
+            assert r["n_domain_blocked"] == 0
+        assert r["n_allowed"] <= r["n_cands"]
+        # every candidate is exactly one of: allowed, or blocked by >=1 rule
+        assert (r["n_allowed"] < r["n_cands"]) == (
+            r["n_domain_blocked"] + r["n_path_blocked"] > 0
+        ) or r["n_allowed"] == r["n_cands"]
+
+
+def test_phrase_search_planted(ray_session, tmp_path):
+    from raycrawl.pipelines.retrieval import docs_phrase_search
+
+    d = str(tmp_path)
+    _write(d, "documents", pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "a hash join b hash join",   # two hits, first at pos 1
+                "hash x join",               # adjacency required: no hit
+                "HASH  JOIN c",              # lowercase + multi-space: pos 0
+                "join hash",                 # order matters: no hit
+            ]),
+        }
+    ))
+    t = docs_phrase_search(d).to_pandas().set_index("doc_id")
+    assert set(t.index) == {1, 3}
+    assert t.loc[1, "n_hits"] == 2 and t.loc[1, "first_pos"] == 1
+    assert t.loc[3, "n_hits"] == 1 and t.loc[3, "first_pos"] == 0
+
+
+def test_q19_planted(ray_session, tmp_path):
+    """One lineitem inside each band, one failing only the quantity
+    coupling, one failing only the size — the disjunction must resolve
+    per (part attrs x lineitem attrs) row, never per side."""
+    from raycrawl.pipelines.relops import q19_disjunctive_revenue
+
+    d = str(tmp_path)
+    _write(d, "part", pa.table(
+        {
+            "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "p_brand": pa.array(["Brand#1", "Brand#2", "Brand#3", "Brand#1"]),
+            "p_size": pa.array([10, 20, 30, 40], pa.int32()),
+        }
+    ))
+    # (partkey, qty, price, disc): rows 1-3 hit bands 1-3; row 4's part
+    # size 40 fails band 1; row 5 couples Brand#1/size10 with qty 25 (out
+    # of band 1's qty range) — both must be excluded
+    _write(d, "lineitem", pa.table(
+        {
+            "l_partkey": pa.array([1, 2, 3, 4, 1], pa.int64()),
+            "l_quantity": pa.array([5.0, 15.0, 25.0, 5.0, 25.0]),
+            "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0, 50.0]),
+            "l_discount": pa.array([0.0, 0.05, 0.1, 0.0, 0.0]),
+        }
+    ))
+    t = q19_disjunctive_revenue(d).to_pandas()
+    assert len(t) == 1
+    # 1000*100 + 2000*95 + 3000*90 = 100000 + 190000 + 270000
+    assert int(t["revenue_ccents"].iloc[0]) == 560000
+    assert int(t["n_items"].iloc[0]) == 3
