@@ -50,6 +50,7 @@ from raycrawl.pipelines.crawlqueries import (
     crawl_host_stats,
     crawl_pagerank,
     crawl_components,
+    crawl_frontier_priority,
     crawl_text_identity,
     crawl_triangles,
     crawl_url_filter,
@@ -85,13 +86,16 @@ WHERE (CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
 """
 
 
-def _pagerank_sql(iters: int = 4, k: int = 20) -> str:
+def _pagerank_sql(iters: int = 4, k: int = 20, final: str | None = None) -> str:
     """Unrolled exact-integer PageRank oracle (crawl_pagerank twin).
 
     The iteration count is FIXED, so the oracle is ``iters`` chained CTE
     levels instead of a recursive CTE (standard SQL forbids aggregates
     over the recursive reference). All arithmetic is BIGINT floor
-    division — bit-identical to the pipeline's int64 pyarrow kernels."""
+    division — bit-identical to the pipeline's int64 pyarrow kernels.
+    ``final`` swaps the closing SELECT (it may reference ``r{iters}`` and
+    every graph CTE) — the frontier-priority twin reuses the whole
+    iteration this way."""
     scale, base = 10**12, 15 * 10**12 // 100
     step = """
 r{i} AS (
@@ -130,9 +134,25 @@ edges AS (
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
 r0 AS (SELECT url, CAST({scale} AS BIGINT) AS r FROM pages),
 {levels}
-SELECT url, CAST(r AS BIGINT) AS rank_scaled FROM r{iters}
-ORDER BY rank_scaled DESC, url LIMIT {k}
+{final or f'''SELECT url, CAST(r AS BIGINT) AS rank_scaled FROM r{iters}
+ORDER BY rank_scaled DESC, url LIMIT {k}'''}
 """
+
+
+def _frontier_priority_sql(iters: int = 4, k: int = 20) -> str:
+    """crawl_frontier_priority twin: the full PageRank iteration, closed
+    with a dead-target (NOT IN pages) join summing referrer ranks."""
+    final = f"""
+, dead AS (
+  SELECT src, dst FROM cand
+  WHERE dst NOT IN (SELECT url FROM pages) AND src <> dst
+)
+SELECT d.dst, CAST(SUM(r.r) AS BIGINT) AS priority_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n_refs
+FROM dead d JOIN r{iters} r ON d.src = r.url
+GROUP BY d.dst
+ORDER BY priority_scaled DESC, dst LIMIT {k}"""
+    return _pagerank_sql(iters=iters, final=final)
 
 
 def _hits_sql(iters: int = 2, k: int = 20) -> str:
@@ -353,6 +373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_filter": crawl_url_filter,
         "docs_phrase_search": retrieval.docs_phrase_search,
         "q19_banded_revenue": relops.q19_disjunctive_revenue,
+        "crawl_frontier_priority": crawl_frontier_priority,
+        "multimodal_resize": multimodal.multimodal_resize,
+        "docs_code_score": textops.code_score,
     }
 
 
@@ -2496,5 +2519,50 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
        AND qty BETWEEN 10 AND 30)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
        AND qty BETWEEN 20 AND 40)
+"""
+    sql["crawl_frontier_priority"] = _frontier_priority_sql()
+    # resize twin: source dims in closed form (the dims oracle already
+    # proves header->parse is an exact inverse), nearest-neighbor source
+    # coordinates t*dim//16, stand-in plane (doc_id*31+y*7+x*13)%256
+    sql["multimodal_resize"] = """
+WITH d AS (
+  SELECT doc_id, 16 + (doc_id * 7) % 1000 AS w, 16 + (doc_id * 13) % 800 AS h
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         (doc_id * 31 + ((y.y * h) // 16) * 7 + ((x.x * w) // 16) * 13) % 256
+           AS px
+  FROM d, range(0, 16) y(y), range(0, 16) x(x)
+)
+SELECT doc_id, CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+       CAST(SUM(px) AS BIGINT) AS px_sum, CAST(MIN(px) AS BIGINT) AS px_min,
+       CAST(MAX(px) AS BIGINT) AS px_max
+FROM g GROUP BY doc_id
+"""
+    # code-vs-prose twin: the shared doc_id-derived snippet augmentation
+    # (the pii_scrub device), then the same three counting kernels
+    sql["docs_code_score"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0
+           THEN chr(10) || 'def f' || doc_id || '(x) {' || chr(10)
+                || '    return x + ' || doc_id || ';' || chr(10) || '}'
+           ELSE '' END AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+         CAST(length(regexp_extract_all(t, '[{}();=\[\]]')) AS BIGINT)
+           AS n_symbols,
+         CAST(length(t) - length(replace(t, chr(10) || '    ', ''))
+              AS BIGINT) // 5 AS n_indent_lines
+  FROM aug
+)
+SELECT doc_id, n_chars, n_symbols, n_indent_lines,
+       4096 * n_symbols // GREATEST(n_chars, 1) AS score_4096,
+       CAST(4096 * n_symbols // GREATEST(n_chars, 1) >= 64 AS BIGINT)
+         AS is_code
+FROM s
 """
     return sql

@@ -156,6 +156,9 @@ def run_queries() -> dict:
         "events_mode_type": lambda: analytics.events_mode_type(SF_DIR),
         "events_wau": lambda: analytics.events_wau(SF_DIR),
         "docs_hash_sample": lambda: textops.hash_sample(SF_DIR),
+        "embeddings_semdedup": lambda: dedup.semdedup(SF_DIR),
+        "docs_phrase_search": lambda: retrieval.docs_phrase_search(SF_DIR),
+        "q19_banded_revenue": lambda: relops.q19_disjunctive_revenue(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
         # as the headline: a burst during one 1-3 s query would otherwise

@@ -617,7 +617,15 @@ def crawl_pagerank(sf_dir: str, iters: int = 4, k: int = 20) -> rd.Dataset:
     """(url, rank_scaled): top-k pages by PageRank over the FULL resolved
     link graph (cross-host edges kept — ``parse_page_hrefs`` with
     ``filter_authority=False``), in pure int64 arithmetic so a DuckDB
-    oracle reproduces every bit.
+    oracle reproduces every bit. See :func:`_pagerank_ranks` for the plan."""
+    ranks = _pagerank_ranks(sf_dir, iters)
+    return ranks.sort(["rank_scaled", "url"], descending=[True, False]).limit(k)
+
+
+def _pagerank_ranks(sf_dir: str, iters: int = 4,
+                    graph=None) -> rd.Dataset:
+    """(url, rank_scaled) for EVERY page — the full rank table the top-k
+    query and the frontier-priority composition both consume.
 
     r_0 = 1e12 per node; r_{i+1}(v) = 0.15e12 + (85 * sum over in-edges
     of r_i(u) // outdeg(u)) // 100, dangling mass dropped — an explicit,
@@ -636,7 +644,7 @@ def crawl_pagerank(sf_dir: str, iters: int = 4, k: int = 20) -> rd.Dataset:
 
     scale = 10**12
     base = 15 * scale // 100
-    edges, nodes, n_parts = _link_edges(sf_dir)
+    edges, nodes, n_parts = graph if graph is not None else _link_edges(sf_dir)
     deg_schema = pa.schema([("src", pa.string()), ("deg", pa.int64())])
     deg = clean_blocks(
         edges.groupby("src").aggregate(Count(alias_name="deg")), deg_schema
@@ -705,7 +713,7 @@ def crawl_pagerank(sf_dir: str, iters: int = 4, k: int = 20) -> rd.Dataset:
             rank_schema,
         ).materialize()
 
-    return ranks.sort(["rank_scaled", "url"], descending=[True, False]).limit(k)
+    return ranks
 
 
 def crawl_host_matrix(sf_dir: str) -> rd.Dataset:
@@ -945,4 +953,67 @@ def crawl_url_filter(
             Sum("n_path_blocked", alias_name="n_path_blocked"),
             Sum("n_allowed", alias_name="n_allowed"),
         )
+    )
+
+
+def crawl_frontier_priority(sf_dir: str, iters: int = 4,
+                            k: int = 20) -> rd.Dataset:
+    """(dst, priority_scaled, n_refs): frontier PRIORITIZATION — the
+    uncrawled link targets (dead links) ranked by the summed PageRank of
+    the pages that reference them. This is the classic crawl-scheduling
+    policy (OPIC / PageRank-ordered frontier: Cho, Garcia-Molina & Page
+    1998): expand the frontier where the authoritative mass points first.
+
+    Composition of two shared plans, nothing new materializes twice:
+    :func:`_cand_edges` (one extraction pass) feeds BOTH the left_anti
+    dead-target join and, closed over pages, the PageRank iteration
+    (:func:`_pagerank_ranks` over the same graph handle); referrer scores
+    reach dead edges by ONE hash join on src, then a dst-partitioned
+    grouped sum. All integer arithmetic — the oracle reuses the unrolled
+    PageRank CTE with the final SELECT swapped for the dead-target join.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from raycrawl.pipelines.dedup import clean_blocks
+
+    cand, nodes, n_parts = _cand_edges(sf_dir)
+    node_tbl = nodes.map_batches(
+        lambda t: pa.table({"node": t["url"]}), batch_format="pyarrow"
+    )
+    dead = cand.join(
+        node_tbl,
+        join_type="left_anti",
+        num_partitions=n_parts,
+        on=("dst",),
+        right_on=("node",),
+    )
+    # resolved graph = the SAME cand closed over pages (shared handle —
+    # the extraction pass, already distinct, feeds both consumers)
+    edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    edges = clean_blocks(
+        cand.join(
+            node_tbl,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("dst",),
+            right_on=("node",),
+        ).select_columns(["src", "dst"]),
+        edge_schema,
+    )
+    ranks = _pagerank_ranks(sf_dir, iters, graph=(edges, nodes, n_parts))
+    scored = dead.join(
+        ranks,
+        join_type="inner",  # every referrer is a corpus page by construction
+        num_partitions=n_parts,
+        on=("src",),
+        right_on=("url",),
+    )
+    return (
+        scored.groupby("dst")
+        .aggregate(
+            Sum("rank_scaled", alias_name="priority_scaled"),
+            Count(alias_name="n_refs"),
+        )
+        .sort(["priority_scaled", "dst"], descending=[True, False])
+        .limit(k)
     )

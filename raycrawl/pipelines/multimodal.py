@@ -49,6 +49,8 @@ __all__ = [
     "audio_payloads",
     "multimodal_wav_meta",
     "WavMeta",
+    "multimodal_resize",
+    "PlaneResizer",
 ]
 
 
@@ -510,6 +512,78 @@ def multimodal_wav_meta(sf_dir: str, batch_size: int = 256) -> rd.Dataset:
     RIFF chunk walk (small batches: binary rows are the memory unit)."""
     return audio_payloads(sf_dir).map_batches(
         WavMeta,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resize — round 4 (the remaining stage of the decode / feature-extract /
+# resize / frame-sample quartet)
+# ---------------------------------------------------------------------------
+
+
+class PlaneResizer:
+    """Actor-pool nearest-neighbor resize stage over image payloads.
+
+    The source dimensions come from the REAL header parse
+    (:func:`parse_image_dims` over the payload bytes); the pixel plane
+    itself is the documented codec-free stand-in (same seam as
+    ImageDecoder): plane(y, x) = (doc_id*31 + y*7 + x*13) % 256 — a
+    deterministic function a SQL twin reproduces, standing where a pillow
+    decode would put real pixels. What IS real and tested end to end is
+    everything a resize stage must get right at scale: the header-derived
+    source dims, the nearest-neighbor coordinate map src = t * src_dim //
+    out_dim, the gather, and the integer output aggregates. The gather is
+    vectorized across the whole batch — (n, out_h, out_w) index math, no
+    per-pixel Python and the full source plane NEVER materializes (only
+    the out_h x out_w sampled coordinates are computed)."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ws = np.zeros(n, np.int64)
+        hs = np.zeros(n, np.int64)
+        for i, payload in enumerate(t["payload"].to_pylist()):
+            _, w, h, _ = parse_image_dims(bytes(payload or b""))
+            ws[i], hs[i] = w, h
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (ws > 0) & (hs > 0)
+        tw, th = self.out_w, self.out_h
+        # nearest-neighbor source coordinates, batch-vectorized
+        sy = (np.arange(th, dtype=np.int64)[None, :] * hs[:, None]) // th
+        sx = (np.arange(tw, dtype=np.int64)[None, :] * ws[:, None]) // tw
+        px = (
+            ids[:, None, None] * 31 + sy[:, :, None] * 7 + sx[:, None, :] * 13
+        ) % 256
+        px_sum = np.where(ok, px.sum(axis=(1, 2)), 0)
+        px_min = np.where(ok, px.min(axis=(1, 2)), 0)
+        px_max = np.where(ok, px.max(axis=(1, 2)), 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "out_w": pa.array(np.where(ok, tw, 0), pa.int64()),
+                "out_h": pa.array(np.where(ok, th, 0), pa.int64()),
+                "px_sum": pa.array(px_sum, pa.int64()),
+                "px_min": pa.array(px_min, pa.int64()),
+                "px_max": pa.array(px_max, pa.int64()),
+            }
+        )
+
+
+def multimodal_resize(sf_dir: str, out_w: int = 16, out_h: int = 16,
+                      batch_size: int = 256) -> rd.Dataset:
+    """image_payloads -> per-doc resized-thumbnail integer summary
+    (nearest-neighbor to ``out_w`` x ``out_h``; dims from the REAL header
+    parse). Small batches: binary rows are the memory unit."""
+    return image_payloads(sf_dir).map_batches(
+        PlaneResizer,
+        fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=pool_size(),

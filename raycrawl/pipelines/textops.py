@@ -58,6 +58,7 @@ __all__ = [
     "prepare",
     "pii_scrub",
     "mix_upsample",
+    "code_score",
     "bpe_encode",
     "hash_sample",
 ]
@@ -2887,4 +2888,70 @@ def hash_sample(sf_dir: str, k: int = 64) -> rd.Dataset:
         .map_batches(local_topk, batch_format="pyarrow")
         .sort(["h63", "doc_id"])
         .limit(k)
+    )
+
+
+def code_score(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_chars, n_symbols, n_indent_lines, score_4096, is_code):
+    code-vs-prose detection — the curation signal that routes documents
+    to a code pipeline vs a prose pipeline (StarCoder/Pile-style corpus
+    splitting): density of code punctuation ({}();=[]) plus
+    indented-line counts, thresholded into an integer flag. score_4096 =
+    4096 * n_symbols // n_chars (the 4096ths convention — no float ever
+    leaves the operator).
+
+    The synthetic corpus is prose-only, so both engines first AUGMENT a
+    deterministic fraction (doc_id % 4 == 0) with a doc_id-derived code
+    snippet — the pii_scrub device: the generator is shared, the KERNEL
+    is what the oracle checks.
+
+    Scale shape: one stateless map_batches pass, three counting kernels
+    per batch — no shuffle, no state; streams at any corpus size."""
+
+    def _mod(col, k: int):
+        return pc.subtract(col, pc.multiply(pc.divide(col, k), k))
+
+    def score(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        sid = pc.cast(did, pa.string())
+        empty = pa.scalar("")
+        nl = "\n"
+        snippet = pc.if_else(
+            pc.equal(_mod(did, 4), 0),
+            pc.binary_join_element_wise(
+                pa.scalar(f"{nl}def f"), sid, pa.scalar(f"(x) {{{nl}"),
+                pa.scalar("    return x + "), sid,
+                pa.scalar(f";{nl}}}"), empty,
+            ),
+            empty,
+        )
+        text = pc.binary_join_element_wise(t["text"], snippet, empty)
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_symbols = pc.cast(
+            pc.count_substring_regex(text, r"[{}();=\[\]]"), pa.int64()
+        )
+        # an indented line = newline followed by 4 spaces (plain substring
+        # count — identical bytes on both engines, no multiline-regex
+        # dialect risk)
+        n_indent = pc.cast(
+            pc.count_substring(text, "\n    "), pa.int64()
+        )
+        score_4096 = pc.divide(
+            pc.multiply(n_symbols, 4096), pc.max_element_wise(n_chars, 1)
+        )
+        return pa.table(
+            {
+                "doc_id": did,
+                "n_chars": n_chars,
+                "n_symbols": n_symbols,
+                "n_indent_lines": n_indent,
+                "score_4096": score_4096,
+                "is_code": pc.cast(
+                    pc.greater_equal(score_4096, 64), pa.int64()
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
     )

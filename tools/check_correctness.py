@@ -2,7 +2,7 @@
 
 Runs every queries() entry at a given sf against its oracle_sql() twin in
 DuckDB: row-count + column-name + order-insensitive value comparison.
-Usage: python tools/check_correctness.py [sf_dir]
+Usage: python tools/check_correctness.py [sf_dir] [--only q1,q2,...]
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: set | None = None):
     import ray
 
     if not ray.is_initialized():
@@ -61,6 +61,8 @@ def main(sf_dir: str):
     at_pinned_sf = os.path.basename(os.path.normpath(sf_dir)) == pinned
     failures = []
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         if name.startswith("crawl_") and not at_pinned_sf:
             print(f"skip  {name}: crawl oracle pinned to {pinned}")
             continue
@@ -99,4 +101,10 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    main(args[0] if args else "/root/testdata/sf0.01", only)
