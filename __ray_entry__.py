@@ -35,6 +35,7 @@ from raycrawl.pipelines import (
     relops,
     retrieval,
     textops,
+    tpch,
 )
 from raycrawl.pipelines.crawlqueries import (
     corpus_for,
@@ -376,6 +377,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier_priority": crawl_frontier_priority,
         "multimodal_resize": multimodal.multimodal_resize,
         "docs_code_score": textops.code_score,
+        # ---- round 4: TPC-H multi-dim snowflake join batch ----
+        "q5_local_supplier_volume": tpch.q5_local_supplier_volume,
+        "q7_nation_trade_volume": tpch.q7_nation_trade_volume,
+        "q8_market_share": tpch.q8_market_share,
+        "q9_product_profit": tpch.q9_product_profit,
+        "q10_returned_revenue": tpch.q10_returned_revenue,
+        "q4_late_ship_priority": tpch.q4_late_ship_priority,
+        "q16_supplier_variety": tpch.q16_supplier_variety,
+        "q20_dominant_suppliers": tpch.q20_dominant_suppliers,
     }
 
 
@@ -2564,5 +2574,101 @@ SELECT doc_id, n_chars, n_symbols, n_indent_lines,
        CAST(4096 * n_symbols // GREATEST(n_chars, 1) >= 64 AS BIGINT)
          AS is_code
 FROM s
+"""
+    # ---- TPC-H snowflake-join batch (centi-cents = price_cents *
+    # (100 - disc_pct); shares in integer 4096ths) ----
+    ccents = ("CAST(ROUND(l_extendedprice*100) AS BIGINT)"
+              " * (100 - CAST(ROUND(l_discount*100) AS BIGINT))")
+    sql["q5_local_supplier_volume"] = f"""
+SELECT n_name, SUM({ccents}) AS revenue_ccents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA' AND EXTRACT(YEAR FROM o_orderdate) = 1997
+GROUP BY n_name
+"""
+    sql["q7_nation_trade_volume"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       SUM({ccents}) AS revenue_ccents
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+"""
+    sql["q8_market_share"] = f"""
+WITH j AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         {ccents} AS ccents,
+         CASE WHEN s_nationkey =
+              (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+           THEN 1 ELSE 0 END AS is_nat
+  FROM lineitem, orders, customer, supplier, part, nation n, region r
+  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+    AND p_type = 'ECONOMY' AND c_nationkey = n.n_nationkey
+    AND n.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+)
+SELECT o_year, SUM(ccents * is_nat) AS nation_revenue_ccents,
+       SUM(ccents) AS total_revenue_ccents,
+       SUM(ccents * is_nat) * 4096 // GREATEST(SUM(ccents), 1) AS share_4096
+FROM j GROUP BY o_year
+"""
+    sql["q9_product_profit"] = f"""
+SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       SUM({ccents}
+           - CAST(ROUND(p_retailprice*100) AS BIGINT)
+             * CAST(l_quantity AS BIGINT) * 100) AS profit_ccents
+FROM lineitem, orders, supplier, part, nation
+WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND l_partkey = p_partkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+    sql["q10_returned_revenue"] = f"""
+SELECT c_custkey, c_name, n_name, SUM({ccents}) AS revenue_ccents
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY revenue_ccents DESC, c_custkey LIMIT 20
+"""
+    sql["q4_late_ship_priority"] = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1
+"""
+    sql["q16_supplier_variety"] = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem, part
+WHERE l_partkey = p_partkey AND p_brand <> 'Brand#5'
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20
+"""
+    sql["q20_dominant_suppliers"] = """
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey AND p_name LIKE '%red%'
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, SUM(qty) AS tq FROM pairs GROUP BY 1),
+win AS (
+  SELECT p.l_suppkey FROM pairs p JOIN tot t USING (l_partkey)
+  WHERE 8 * p.qty > t.tq
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM win JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
 """
     return sql
