@@ -53,6 +53,7 @@ from raycrawl.pipelines.crawlqueries import (
     crawl_components,
     crawl_frontier_priority,
     crawl_text_identity,
+    crawl_url_depth_hist,
     crawl_triangles,
     crawl_url_filter,
 )
@@ -386,6 +387,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_late_ship_priority": tpch.q4_late_ship_priority,
         "q16_supplier_variety": tpch.q16_supplier_variety,
         "q20_dominant_suppliers": tpch.q20_dominant_suppliers,
+        # ---- round 4: webtext analytics batch ----
+        "crawl_url_depth_hist": crawl_url_depth_hist,
+        "docs_ttr": textops.ttr,
+        "docs_readability": textops.readability,
     }
 
 
@@ -2670,5 +2675,49 @@ win AS (
 SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_parts
 FROM win JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY 1, 2
+"""
+    # ---- webtext analytics batch ----
+    sql["crawl_url_depth_hist"] = f"""
+WITH cand AS (
+  SELECT DISTINCT url AS src,
+         CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+              ELSE 'http://' || host || h1 END AS dst
+  FROM (
+    SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+           split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                      '?', 1) AS h1
+    FROM read_parquet('{_SF001_CORPUS}')
+    WHERE {_HTML_FILTER} AND text <> ''
+  )
+),
+urls AS (SELECT DISTINCT dst FROM cand WHERE src <> dst)
+SELECT regexp_extract(dst, '^http://([^/]+)', 1) AS host,
+       CAST(length(dst) - length(replace(dst, '/', '')) - 2 AS BIGINT)
+         AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM urls GROUP BY 1, 2
+"""
+    sql["docs_ttr"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+)
+SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(ts)) AS BIGINT) AS n_types,
+       4096 * len(list_distinct(ts)) // GREATEST(len(ts), 1) AS ttr_4096
+FROM toks
+"""
+    sql["docs_readability"] = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS sy
+  FROM documents
+)
+SELECT doc_id, w AS n_words, s AS n_sentences, sy AS n_syllables,
+       (390 * w * GREATEST(w, 1) + 11800 * sy * GREATEST(s, 1))
+         // (GREATEST(s, 1) * GREATEST(w, 1)) - 15590 AS fk_grade_1000
+FROM c
 """
     return sql

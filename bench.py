@@ -95,7 +95,7 @@ def run_headline() -> dict:
 def run_queries() -> dict:
     """Representative operator timings over $GRAFT_SF_DIR."""
     from raycrawl.pipelines import (analytics, ann, dedup, multimodal,
-                                    relops, retrieval, textops)
+                                    relops, retrieval, textops, tpch)
 
     def consume(x):
         import pyarrow as pa
@@ -159,6 +159,8 @@ def run_queries() -> dict:
         "embeddings_semdedup": lambda: dedup.semdedup(SF_DIR),
         "docs_phrase_search": lambda: retrieval.docs_phrase_search(SF_DIR),
         "q19_banded_revenue": lambda: relops.q19_disjunctive_revenue(SF_DIR),
+        "q5_local_supplier_volume": lambda: tpch.q5_local_supplier_volume(SF_DIR),
+        "q10_returned_revenue": lambda: tpch.q10_returned_revenue(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
         # as the headline: a burst during one 1-3 s query would otherwise

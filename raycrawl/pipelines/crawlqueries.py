@@ -1017,3 +1017,46 @@ def crawl_frontier_priority(sf_dir: str, iters: int = 4,
         .sort(["priority_scaled", "dst"], descending=[True, False])
         .limit(k)
     )
+
+
+def crawl_url_depth_hist(sf_dir: str) -> rd.Dataset:
+    """(host, depth, n_urls): DISTINCT candidate-link URLs per host and
+    path depth (depth = path segments = '/'-count minus the scheme's two)
+    — the URL-space shape report a crawl operator reads before setting
+    per-host depth budgets (deep dynamic trees vs flat sites).
+
+    Plan: the shared distinct candidate-edge set (:func:`_cand_edges`)
+    already carries one row per (referrer, url); each batch computes
+    host + depth with two RE2/substring kernels and dedupes locally, then
+    ONE groupby on (dst, host, depth) — distinct-by-dst since host and
+    depth are functions of dst — collapses cross-referrer duplicates;
+    the final (host, depth) count is partial-aggregated per batch and
+    bounded by the host x depth domain."""
+    from ray.data.aggregate import Count, Sum
+
+    cand, _nodes, _n_parts = _cand_edges(sf_dir)
+    pat = r"^http://(?P<h>[^/]+)"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        host = pc.struct_field(pc.extract_regex(t["dst"], pat), "h")
+        depth = pc.subtract(
+            pc.cast(pc.count_substring(t["dst"], "/"), pa.int64()), 2
+        )
+        return (
+            pa.table({"dst": t["dst"], "host": host, "depth": depth})
+            .group_by(["dst", "host", "depth"])
+            .aggregate([])
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["host", "depth"]).aggregate([("host", "count")])
+        return g.rename_columns(["host", "depth", "n_urls"])
+
+    return (
+        cand.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["dst", "host", "depth"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["host", "depth"])
+        .aggregate(Sum("n_urls", alias_name="n_urls"))
+    )

@@ -56,6 +56,8 @@ __all__ = [
     "shuffle_shards",
     "boilerplate_strip",
     "prepare",
+    "ttr",
+    "readability",
     "pii_scrub",
     "mix_upsample",
     "code_score",
@@ -2954,4 +2956,100 @@ def code_score(sf_dir: str) -> rd.Dataset:
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
+    )
+
+
+def ttr(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, n_types, ttr_4096): per-document type-token
+    ratio — the lexical-diversity quality signal (low TTR flags
+    keyword-stuffed / template pages in web-corpus filtering), reported
+    in integer 4096ths so no float leaves the operator.
+
+    Tokenization is the shared \\S+ contract (split on whitespace, drop
+    empties — identical to the vocab/bigram family and its SQL twin).
+    Scale shape: one stateless map_batches pass; the per-doc distinct
+    count is a batch-local C hash aggregation over (doc_id, token) —
+    every token of a document lives in its row, so no shuffle ever."""
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(t["text"], r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        rep = np.repeat(did, lens)
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table(
+            {"doc_id": pa.array(rep, pa.int64()), "token": flat}
+        ).filter(keep)
+        tot = pairs.group_by("doc_id").aggregate([("token", "count")])
+        typ = (
+            pairs.group_by(["doc_id", "token"]).aggregate([])
+            .group_by("doc_id").aggregate([("token", "count")])
+        )
+        # map both (keyed by doc_id, only docs with >=1 token) back onto
+        # the batch's row order; zero-token docs stay at 0
+        n_tok = np.zeros(len(did), np.int64)
+        n_typ = np.zeros(len(did), np.int64)
+        order = np.argsort(did, kind="stable")
+        sorted_ids = did[order]
+        for tbl, out in ((tot, n_tok), (typ, n_typ)):
+            k = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            v = tbl.column(1).to_numpy(zero_copy_only=False)
+            pos = order[np.searchsorted(sorted_ids, k)]
+            out[pos] = v
+        ttr_4096 = 4096 * n_typ // np.maximum(n_tok, 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_types": pa.array(n_typ, pa.int64()),
+                "ttr_4096": pa.array(ttr_4096, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pyarrow"
+    )
+
+
+def readability(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, n_sentences, n_syllables, fk_grade_1000):
+    integer Flesch-Kincaid-style readability — the classic prose-quality
+    gate (a C4/Gopher-adjacent signal for dropping word-salad or
+    machine-generated pages). Syllables are the standard vowel-run
+    approximation ([aeiouy]+ runs, lowercased); sentences are terminal
+    punctuation runs ([.!?]+). Grade in integer thousandths:
+
+        fk_1000 = (390*w*w1 + 11800*sy*s1) // (s1*w1) - 15590
+
+    with w1 = max(w, 1), s1 = max(s, 1) — one fused non-negative floor
+    division, bit-identical in DuckDB. One stateless map_batches pass,
+    three RE2 counting kernels per batch; streams at any corpus size."""
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        w = pc.count_substring_regex(text, r"\S+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        s = pc.count_substring_regex(text, r"[.!?]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        sy = pc.count_substring_regex(
+            pc.utf8_lower(text), r"[aeiouy]+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        w1 = np.maximum(w, 1)
+        s1 = np.maximum(s, 1)
+        fk = (390 * w * w1 + 11800 * sy * s1) // (s1 * w1) - 15590
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(w, pa.int64()),
+                "n_sentences": pa.array(s, pa.int64()),
+                "n_syllables": pa.array(sy, pa.int64()),
+                "fk_grade_1000": pa.array(fk, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pyarrow"
     )
