@@ -52,6 +52,7 @@ from raycrawl.pipelines.crawlqueries import (
     crawl_pagerank,
     crawl_components,
     crawl_frontier_priority,
+    crawl_robots_coverage,
     crawl_text_identity,
     crawl_url_depth_hist,
     crawl_triangles,
@@ -391,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_depth_hist": crawl_url_depth_hist,
         "docs_ttr": textops.ttr,
         "docs_readability": textops.readability,
+        "crawl_robots_coverage": crawl_robots_coverage,
     }
 
 
@@ -2719,5 +2721,49 @@ SELECT doc_id, w AS n_words, s AS n_sentences, sy AS n_syllables,
        (390 * w * GREATEST(w, 1) + 11800 * sy * GREATEST(s, 1))
          // (GREATEST(s, 1) * GREATEST(w, 1)) - 15590 AS fk_grade_1000
 FROM c
+"""
+    # robots coverage: the '*' group's Disallow prefixes vs the distinct
+    # candidate URL set; EXISTS = the pipeline's per-URL multi-rule MAX
+    sql["crawl_robots_coverage"] = f"""
+WITH cand AS (
+  SELECT DISTINCT url AS src,
+         CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+              ELSE 'http://' || host || h1 END AS dst
+  FROM (
+    SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+           split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                      '?', 1) AS h1
+    FROM read_parquet('{_SF001_CORPUS}')
+    WHERE {_HTML_FILTER} AND text <> ''
+  )
+),
+u AS (
+  SELECT dst, regexp_extract(dst, '^http://([^/]+)', 1) AS host,
+         regexp_replace(dst, '^http://[^/]+', '') AS path
+  FROM (SELECT DISTINCT dst FROM cand WHERE src <> dst)
+),
+r AS (
+  -- RE2 has no lookahead: split at 'User-agent:' group boundaries and
+  -- keep the groups whose first line is '*'
+  SELECT regexp_extract(url, '^http://([^/]+)', 1) AS host,
+         trim(x.pfx) AS pfx
+  FROM read_parquet('{_SF001_CORPUS}'),
+       LATERAL unnest(string_split(text, 'User-agent:')) AS g(grp),
+       LATERAL unnest(regexp_extract_all(g.grp, 'Disallow: ([^\\n]+)', 1))
+         AS x(pfx)
+  WHERE url LIKE '%/robots.txt'
+    AND trim(split_part(g.grp, chr(10), 1)) = '*'
+    AND trim(x.pfx) <> ''
+)
+SELECT u.host,
+       CAST(SUM(CASE WHEN EXISTS (
+         SELECT 1 FROM r WHERE r.host = u.host
+           AND starts_with(u.path, r.pfx)) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocked,
+       CAST(SUM(CASE WHEN EXISTS (
+         SELECT 1 FROM r WHERE r.host = u.host
+           AND starts_with(u.path, r.pfx)) THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_allowed
+FROM u GROUP BY 1
 """
     return sql

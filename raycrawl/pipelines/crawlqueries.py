@@ -1060,3 +1060,128 @@ def crawl_url_depth_hist(sf_dir: str) -> rd.Dataset:
         .groupby(["host", "depth"])
         .aggregate(Sum("n_urls", alias_name="n_urls"))
     )
+
+
+def crawl_robots_coverage(sf_dir: str) -> rd.Dataset:
+    """(host, n_blocked, n_allowed): how much of each host's candidate
+    URL space its own robots.txt fences off — the pre-crawl coverage
+    audit (how much of the frontier a polite crawler may fetch at all).
+
+    Rules come from the corpus's own robots.txt rows: the ``*`` group's
+    ``Disallow:`` path prefixes (the C4-style audit convention — the
+    full longest-match Allow/Disallow engine lives in state/robots.py
+    and governs the actual crawl; this operator reports raw Disallow
+    coverage). Distinct candidate URLs come from the shared
+    :func:`_cand_edges` plan.
+
+    Scale shape: the rules table is O(hosts x rules-per-host) — tiny
+    rows, never text; URLs meet rules by ONE hash join on the host
+    (left_outer keeps robots-less hosts), the per-URL verdict is a
+    vectorized prefix match, the multi-rule OR resolves in a
+    (dst, host)-keyed groupby MAX, and the final host counts are
+    partial-aggregated per batch."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from raycrawl.pipelines.dedup import clean_blocks
+
+    info = corpus_for(sf_dir)
+
+    def rules_fn(t: pa.Table) -> pa.Table:
+        hosts, pfxs = [], []
+        for url, text in zip(t["url"].to_pylist(), t["text"].to_pylist()):
+            if not url.endswith("/robots.txt"):
+                continue
+            host = url.split("://", 1)[-1].split("/", 1)[0]
+            in_star = False
+            for line in (text or "").splitlines():
+                ls = line.strip()
+                low = ls.lower()
+                if low.startswith("user-agent:"):
+                    in_star = ls.split(":", 1)[1].strip() == "*"
+                elif in_star and low.startswith("disallow:"):
+                    p = ls.split(":", 1)[1].strip()
+                    if p:
+                        hosts.append(host)
+                        pfxs.append(p)
+        return pa.table(
+            {"r_host": pa.array(hosts, pa.string()),
+             "pfx": pa.array(pfxs, pa.string())}
+        )
+
+    rules_schema = pa.schema([("r_host", pa.string()), ("pfx", pa.string())])
+    rules = clean_blocks(
+        rd.read_parquet(info["corpus"], columns=["url", "text"]).map_batches(
+            rules_fn, batch_format="pyarrow"
+        ),
+        rules_schema,
+    )
+
+    cand, _nodes, n_parts = _cand_edges(sf_dir)
+    pat = r"^http://(?P<h>[^/]+)"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        host = pc.struct_field(pc.extract_regex(t["dst"], pat), "h")
+        path = pc.replace_substring_regex(t["dst"], r"^http://[^/]+", "")
+        return (
+            pa.table({"dst": t["dst"], "host": host, "path": path})
+            .group_by(["dst", "host", "path"])
+            .aggregate([])
+        )
+
+    urls = clean_blocks(
+        cand.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["dst", "host", "path"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["dst", "host", "path"]),
+        pa.schema([("dst", pa.string()), ("host", pa.string()),
+                   ("path", pa.string())]),
+    )
+    joined = urls.join(
+        rules,
+        join_type="left_outer",
+        num_partitions=n_parts,
+        on=("host",),
+        right_on=("r_host",),
+    )
+
+    def verdict(t: pa.Table) -> pa.Table:
+        # starts_with takes a SCALAR pattern: run one vectorized kernel
+        # per DISTINCT prefix in the batch (robots vocabularies are a
+        # handful of paths — '/private', '/admin' — not per-URL strings)
+        pfx_np = np.asarray(t["pfx"].to_numpy(zero_copy_only=False), object)
+        blocked = np.zeros(t.num_rows, bool)
+        for u in {x for x in pfx_np.tolist() if x}:
+            sw = pc.starts_with(t["path"], pattern=u).to_numpy(
+                zero_copy_only=False
+            )
+            blocked |= (pfx_np == u) & sw
+        return pa.table(
+            {
+                "dst": t["dst"],
+                "host": t["host"],
+                "blocked": pa.array(blocked.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        allowed = pc.subtract(pa.scalar(1, pa.int64()), t["blocked"])
+        g = (
+            pa.table(
+                {"host": t["host"], "b": t["blocked"], "a": allowed}
+            )
+            .group_by("host")
+            .aggregate([("b", "sum"), ("a", "sum")])
+        )
+        return g.rename_columns(["host", "n_blocked", "n_allowed"])
+
+    return (
+        joined.map_batches(verdict, batch_format="pyarrow")
+        .groupby(["dst", "host"])  # OR across a host's multiple rules
+        .aggregate(Max("blocked", alias_name="blocked"))
+        .map_batches(host_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_blocked", alias_name="n_blocked"),
+            Sum("n_allowed", alias_name="n_allowed"),
+        )
+    )
