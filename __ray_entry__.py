@@ -52,6 +52,7 @@ from raycrawl.pipelines.crawlqueries import (
     crawl_pagerank,
     crawl_components,
     crawl_frontier_priority,
+    crawl_host_rank,
     crawl_robots_coverage,
     crawl_text_identity,
     crawl_url_depth_hist,
@@ -89,7 +90,8 @@ WHERE (CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
 """
 
 
-def _pagerank_sql(iters: int = 4, k: int = 20, final: str | None = None) -> str:
+def _pagerank_sql(iters: int = 4, k: int = 20, final: str | None = None,
+                  host_graph: bool = False) -> str:
     """Unrolled exact-integer PageRank oracle (crawl_pagerank twin).
 
     The iteration count is FIXED, so the oracle is ``iters`` chained CTE
@@ -98,7 +100,9 @@ def _pagerank_sql(iters: int = 4, k: int = 20, final: str | None = None) -> str:
     division — bit-identical to the pipeline's int64 pyarrow kernels.
     ``final`` swaps the closing SELECT (it may reference ``r{iters}`` and
     every graph CTE) — the frontier-priority twin reuses the whole
-    iteration this way."""
+    iteration this way. ``host_graph`` swaps the node/edge CTEs for the
+    domain-level projection (distinct host pairs, self-loops dropped) —
+    the crawl_host_rank twin runs the SAME iteration over that graph."""
     scale, base = 10**12, 15 * 10**12 // 100
     step = """
 r{i} AS (
@@ -114,8 +118,33 @@ r{i} AS (
     levels = ",".join(
         step.format(i=i, j=i - 1, base=base) for i in range(1, iters + 1)
     )
+    h = "regexp_extract({0}, '^http://([^/]+)', 1)"
+    if host_graph:
+        # the CANDIDATE host graph: every extracted link's host pair,
+        # unfetched hosts included as nodes (the resolved page graph has
+        # no cross-host edges — see crawl_host_rank's docstring)
+        graph_block = f"""
+pages AS (
+  SELECT DISTINCT h AS url FROM (
+    SELECT {h.format('src')} AS h FROM cand
+    UNION ALL SELECT {h.format('dst')} AS h FROM cand)
+),
+edges AS (
+  SELECT DISTINCT {h.format('src')} AS src, {h.format('dst')} AS dst
+  FROM cand
+  WHERE {h.format('src')} <> {h.format('dst')}
+)"""
+    else:
+        graph_block = """
+pages AS (
+  SELECT url FROM pageset
+),
+edges AS (
+  SELECT src, dst FROM cand
+  WHERE dst IN (SELECT url FROM pages) AND src <> dst
+)"""
     return f"""
-WITH pages AS (
+WITH pageset AS (
   SELECT url FROM read_parquet('{_SF001_CORPUS}')
 ),
 cand AS (
@@ -130,10 +159,7 @@ cand AS (
     WHERE {_HTML_FILTER} AND text <> ''
   )
 ),
-edges AS (
-  SELECT src, dst FROM cand
-  WHERE dst IN (SELECT url FROM pages) AND src <> dst
-),
+{graph_block},
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
 r0 AS (SELECT url, CAST({scale} AS BIGINT) AS r FROM pages),
 {levels}
@@ -393,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ttr": textops.ttr,
         "docs_readability": textops.readability,
         "crawl_robots_coverage": crawl_robots_coverage,
+        "crawl_host_rank": crawl_host_rank,
     }
 
 
@@ -2766,4 +2793,9 @@ SELECT u.host,
          AS n_allowed
 FROM u GROUP BY 1
 """
+    sql["crawl_host_rank"] = _pagerank_sql(
+        host_graph=True,
+        final="""SELECT url AS host, CAST(r AS BIGINT) AS rank_scaled FROM r4
+ORDER BY rank_scaled DESC, host LIMIT 10""",
+    )
     return sql

@@ -1185,3 +1185,73 @@ def crawl_robots_coverage(sf_dir: str) -> rd.Dataset:
             Sum("n_allowed", alias_name="n_allowed"),
         )
     )
+
+
+def crawl_host_rank(sf_dir: str, iters: int = 4, k: int = 10) -> rd.Dataset:
+    """(host, rank_scaled): top-k DOMAINS by integer PageRank over the
+    host-level projection of the CANDIDATE link graph (distinct host
+    pairs over every extracted link, intra-host self-loops dropped;
+    unfetched target hosts are nodes too) — domain authority the way a
+    crawl scheduler ranks it: over what the crawl has SEEN, fetched or
+    not (the resolved page graph here has zero cross-host edges — every
+    cross-host link points at an unfetched host, so projecting the
+    resolved graph would rank nothing).
+
+    Reuses :func:`_pagerank_ranks` wholesale: only the graph handle
+    changes — host edges are the per-batch host projection of the shared
+    distinct candidate edges with a local dedup, one (src, dst) shuffle
+    making them globally distinct; host nodes are the melted distinct
+    hosts of BOTH edge ends. The oracle runs the SAME unrolled integer
+    iteration over the host-projected CTEs
+    (``_pagerank_sql(host_graph=True)``)."""
+    from ray.data.aggregate import Count
+
+    from raycrawl.pipelines.dedup import clean_blocks
+
+    cand, _nodes, n_parts = _cand_edges(sf_dir)
+    pat = r"^http://(?P<h>[^/]+)"
+
+    def hostify_edges(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "src": pc.struct_field(pc.extract_regex(t["src"], pat), "h"),
+                "dst": pc.struct_field(pc.extract_regex(t["dst"], pat), "h"),
+            }
+        )
+        g = g.filter(pc.invert(pc.equal(g["src"], g["dst"])))
+        return g.group_by(["src", "dst"]).aggregate([])
+
+    edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    host_edges = clean_blocks(
+        cand.map_batches(hostify_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"]),
+        edge_schema,
+    )
+
+    def melt_hosts(t: pa.Table) -> pa.Table:
+        s = pc.struct_field(pc.extract_regex(t["src"], pat), "h")
+        d = pc.struct_field(pc.extract_regex(t["dst"], pat), "h")
+        h = pa.concat_tables([pa.table({"url": s}), pa.table({"url": d})])
+        return h.group_by("url").aggregate([])
+
+    node_schema = pa.schema([("url", pa.string())])
+    host_nodes = clean_blocks(
+        cand.map_batches(melt_hosts, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["url"]),
+        node_schema,
+    )
+    ranks = _pagerank_ranks(
+        sf_dir, iters, graph=(host_edges, host_nodes, n_parts)
+    )
+    return (
+        ranks.map_batches(
+            lambda t: t.rename_columns(["host", "rank_scaled"]),
+            batch_format="pyarrow",
+        )
+        .sort(["rank_scaled", "host"], descending=[True, False])
+        .limit(k)
+    )
