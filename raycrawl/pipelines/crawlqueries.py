@@ -1062,6 +1062,25 @@ def crawl_url_depth_hist(sf_dir: str) -> rd.Dataset:
     )
 
 
+def star_disallow_prefixes(text: str) -> list[str]:
+    """The ``*`` group's non-empty Disallow path prefixes from a
+    robots.txt body, in file order (duplicates kept — the coverage OR is
+    resolved downstream). Groups restart at every User-agent line; only
+    groups whose agent is exactly ``*`` contribute (the audit convention;
+    the full longest-match engine lives in state/robots.py)."""
+    out, in_star = [], False
+    for line in text.splitlines():
+        ls = line.strip()
+        low = ls.lower()
+        if low.startswith("user-agent:"):
+            in_star = ls.split(":", 1)[1].strip() == "*"
+        elif in_star and low.startswith("disallow:"):
+            p = ls.split(":", 1)[1].strip()
+            if p:
+                out.append(p)
+    return out
+
+
 def crawl_robots_coverage(sf_dir: str) -> rd.Dataset:
     """(host, n_blocked, n_allowed): how much of each host's candidate
     URL space its own robots.txt fences off — the pre-crawl coverage
@@ -1092,17 +1111,9 @@ def crawl_robots_coverage(sf_dir: str) -> rd.Dataset:
             if not url.endswith("/robots.txt"):
                 continue
             host = url.split("://", 1)[-1].split("/", 1)[0]
-            in_star = False
-            for line in (text or "").splitlines():
-                ls = line.strip()
-                low = ls.lower()
-                if low.startswith("user-agent:"):
-                    in_star = ls.split(":", 1)[1].strip() == "*"
-                elif in_star and low.startswith("disallow:"):
-                    p = ls.split(":", 1)[1].strip()
-                    if p:
-                        hosts.append(host)
-                        pfxs.append(p)
+            for p in star_disallow_prefixes(text or ""):
+                hosts.append(host)
+                pfxs.append(p)
         return pa.table(
             {"r_host": pa.array(hosts, pa.string()),
              "pfx": pa.array(pfxs, pa.string())}

@@ -189,3 +189,20 @@ def test_q20_share_boundary(ray_session, planted_q20):
     rows = q20_dominant_suppliers(planted_q20, name_word="red").take_all()
     got = {(r["s_suppkey"], r["s_name"], r["n_parts"]) for r in rows}
     assert got == {(2, "S2", 1), (3, "S3", 1)}
+
+
+def test_star_disallow_prefixes_groups_and_edges():
+    from raycrawl.pipelines.crawlqueries import star_disallow_prefixes
+
+    text = (
+        "User-agent: EvilBot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /private\nDisallow: /tmp\nAllow: /\n"
+        "Disallow:\n\n"          # empty prefix ignored
+        "User-agent: Other\nDisallow: /other\n\n"
+        "User-agent: *\nDisallow: /second-group\n"
+    )
+    assert star_disallow_prefixes(text) == [
+        "/private", "/tmp", "/second-group"
+    ]
+    assert star_disallow_prefixes("") == []
+    assert star_disallow_prefixes("Disallow: /orphan\n") == []
