@@ -348,13 +348,19 @@ def _cand_edges(sf_dir: str):
             }
         )
 
+    from raycrawl.pipelines.dedup import coarse_distinct, coarse_parts
+
     edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    # distinct edges: coarse-hash partition + pandas C drop_duplicates —
+    # a native groupby((src, dst)) emits one group per DISTINCT EDGE and
+    # Ray's aggregate costs ~10 s per 0.4M groups (see coarse_distinct)
     cand = clean_blocks(
-        rd.read_parquet(info["corpus"], columns=["url", "html"])
-        .map_batches(flow, batch_format="pyarrow")
-        .groupby(["src", "dst"])  # distinct edges
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["src", "dst"]),
+        coarse_distinct(
+            rd.read_parquet(info["corpus"], columns=["url", "html"])
+            .map_batches(flow, batch_format="pyarrow"),
+            ["src", "dst"],
+            coarse_parts(sf_dir) - 1,
+        ),
         edge_schema,
     )
     return cand, nodes, n_parts
@@ -1032,7 +1038,9 @@ def crawl_url_depth_hist(sf_dir: str) -> rd.Dataset:
     depth are functions of dst — collapses cross-referrer duplicates;
     the final (host, depth) count is partial-aggregated per batch and
     bounded by the host x depth domain."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
+
+    from raycrawl.pipelines.dedup import coarse_distinct, coarse_parts
 
     cand, _nodes, _n_parts = _cand_edges(sf_dir)
     pat = r"^http://(?P<h>[^/]+)"
@@ -1052,11 +1060,15 @@ def crawl_url_depth_hist(sf_dir: str) -> rd.Dataset:
         g = t.group_by(["host", "depth"]).aggregate([("host", "count")])
         return g.rename_columns(["host", "depth", "n_urls"])
 
+    # distinct-by-dst via the coarse partition (host/depth are functions
+    # of dst); output cardinality = URL count, never a native aggregate
+    urls = coarse_distinct(
+        cand.map_batches(keyed, batch_format="pyarrow"),
+        ["dst", "host", "depth"],
+        coarse_parts(sf_dir) - 1,
+    )
     return (
-        cand.map_batches(keyed, batch_format="pyarrow")
-        .groupby(["dst", "host", "depth"])
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(partial, batch_format="pyarrow")
+        urls.map_batches(partial, batch_format="pyarrow")
         .groupby(["host", "depth"])
         .aggregate(Sum("n_urls", alias_name="n_urls"))
     )
@@ -1099,9 +1111,13 @@ def crawl_robots_coverage(sf_dir: str) -> rd.Dataset:
     vectorized prefix match, the multi-rule OR resolves in a
     (dst, host)-keyed groupby MAX, and the final host counts are
     partial-aggregated per batch."""
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Sum
 
-    from raycrawl.pipelines.dedup import clean_blocks
+    from raycrawl.pipelines.dedup import (
+        clean_blocks,
+        coarse_distinct,
+        coarse_parts,
+    )
 
     info = corpus_for(sf_dir)
 
@@ -1140,10 +1156,11 @@ def crawl_robots_coverage(sf_dir: str) -> rd.Dataset:
         )
 
     urls = clean_blocks(
-        cand.map_batches(keyed, batch_format="pyarrow")
-        .groupby(["dst", "host", "path"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["dst", "host", "path"]),
+        coarse_distinct(
+            cand.map_batches(keyed, batch_format="pyarrow"),
+            ["dst", "host", "path"],
+            coarse_parts(sf_dir) - 1,
+        ),
         pa.schema([("dst", pa.string()), ("host", pa.string()),
                    ("path", pa.string())]),
     )
@@ -1154,6 +1171,8 @@ def crawl_robots_coverage(sf_dir: str) -> rd.Dataset:
         on=("host",),
         right_on=("r_host",),
     )
+
+    mask = coarse_parts(sf_dir) - 1
 
     def verdict(t: pa.Table) -> pa.Table:
         # starts_with takes a SCALAR pattern: run one vectorized kernel
@@ -1166,13 +1185,16 @@ def crawl_robots_coverage(sf_dir: str) -> rd.Dataset:
                 zero_copy_only=False
             )
             blocked |= (pfx_np == u) & sw
-        return pa.table(
+        out = pd.DataFrame(
             {
-                "dst": t["dst"],
-                "host": t["host"],
-                "blocked": pa.array(blocked.astype(np.int64), pa.int64()),
+                "dst": t["dst"].to_numpy(zero_copy_only=False),
+                "host": t["host"].to_numpy(zero_copy_only=False),
+                "blocked": blocked.astype(np.int64),
             }
         )
+        from raycrawl.pipelines.dedup import coarse_key
+
+        return out.assign(pp=coarse_key(out, ["dst"], mask))
 
     def host_partial(t: pa.Table) -> pa.Table:
         allowed = pc.subtract(pa.scalar(1, pa.int64()), t["blocked"])
@@ -1185,10 +1207,21 @@ def crawl_robots_coverage(sf_dir: str) -> rd.Dataset:
         )
         return g.rename_columns(["host", "n_blocked", "n_allowed"])
 
+    def or_rules(g: pd.DataFrame) -> pd.DataFrame:
+        # OR across a host's multiple rules — URL-cardinality output, so
+        # resolved inside coarse dst partitions, never a native aggregate
+        a = (
+            g.groupby(["dst", "host"], sort=False)["blocked"]
+            .max()
+            .reset_index()
+        )
+        a["blocked"] = a["blocked"].astype("int64")
+        return a[["dst", "host", "blocked"]]
+
     return (
         joined.map_batches(verdict, batch_format="pyarrow")
-        .groupby(["dst", "host"])  # OR across a host's multiple rules
-        .aggregate(Max("blocked", alias_name="blocked"))
+        .groupby("pp")
+        .map_groups(or_rules, batch_format="pandas")
         .map_batches(host_partial, batch_format="pyarrow")
         .groupby("host")
         .aggregate(
@@ -1215,12 +1248,15 @@ def crawl_host_rank(sf_dir: str, iters: int = 4, k: int = 10) -> rd.Dataset:
     hosts of BOTH edge ends. The oracle runs the SAME unrolled integer
     iteration over the host-projected CTEs
     (``_pagerank_sql(host_graph=True)``)."""
-    from ray.data.aggregate import Count
-
-    from raycrawl.pipelines.dedup import clean_blocks
+    from raycrawl.pipelines.dedup import (
+        clean_blocks,
+        coarse_distinct,
+        coarse_parts,
+    )
 
     cand, _nodes, n_parts = _cand_edges(sf_dir)
     pat = r"^http://(?P<h>[^/]+)"
+    mask = coarse_parts(sf_dir) - 1
 
     def hostify_edges(t: pa.Table) -> pa.Table:
         g = pa.table(
@@ -1234,10 +1270,11 @@ def crawl_host_rank(sf_dir: str, iters: int = 4, k: int = 10) -> rd.Dataset:
 
     edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
     host_edges = clean_blocks(
-        cand.map_batches(hostify_edges, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["src", "dst"]),
+        coarse_distinct(
+            cand.map_batches(hostify_edges, batch_format="pyarrow"),
+            ["src", "dst"],
+            mask,
+        ),
         edge_schema,
     )
 
@@ -1249,10 +1286,11 @@ def crawl_host_rank(sf_dir: str, iters: int = 4, k: int = 10) -> rd.Dataset:
 
     node_schema = pa.schema([("url", pa.string())])
     host_nodes = clean_blocks(
-        cand.map_batches(melt_hosts, batch_format="pyarrow")
-        .groupby("url")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["url"]),
+        coarse_distinct(
+            cand.map_batches(melt_hosts, batch_format="pyarrow"),
+            ["url"],
+            mask,
+        ),
         node_schema,
     )
     ranks = _pagerank_ranks(

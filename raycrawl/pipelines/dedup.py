@@ -116,6 +116,46 @@ def _arrow_block_task(blk, names):
     return t.select(list(names)), t.num_rows
 
 
+def coarse_key(df, cols, mask) -> "np.ndarray":
+    """Coarse partition key over column tuples: per-column
+    ``pd.util.hash_array`` mixed NUMERICALLY (never string-concatenated —
+    hash_array truncates object strings at embedded NULs, the boilerplate
+    lesson), masked to the coarse width."""
+    acc = np.zeros(len(df), np.uint64)
+    for c in cols:
+        h = pd.util.hash_array(df[c].to_numpy(), categorize=False)
+        acc = acc * np.uint64(1000003) + h
+    return (acc & np.uint64(mask)).astype(np.int64)
+
+
+def coarse_distinct(ds: rd.Dataset, cols, mask: int) -> rd.Dataset:
+    """DISTINCT rows over ``cols`` via one coarse-hash shuffle + pandas'
+    C ``drop_duplicates`` per partition.
+
+    The native ``groupby(cols).aggregate(...)`` route emits one group per
+    distinct row — and Ray's hash aggregate costs ~10 s per 0.4M groups
+    even on clean Arrow blocks (170 s measured on pandas-origin blocks in
+    the n-gram pair pipeline). A distinct whose output cardinality scales
+    with the corpus must therefore never be a native aggregate; this is
+    the repo's standard coarse-partition resolution applied to DISTINCT.
+    Output blocks are pandas-origin — wrap in :func:`clean_blocks` before
+    a native join."""
+    cols = list(cols)
+
+    def add_pp(df: pd.DataFrame) -> pd.DataFrame:
+        f = df[cols].drop_duplicates()
+        return f.assign(pp=coarse_key(f, cols, mask))
+
+    def dd_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(cols)[cols]
+
+    return (
+        ds.map_batches(add_pp, batch_format="pandas")
+        .groupby("pp")
+        .map_groups(dd_part, batch_format="pandas")
+    )
+
+
 def clean_blocks(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
     """Rebuild ``ds`` from only its NON-EMPTY blocks, as Arrow tables with
     ``schema``'s columns.

@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Sum
 
 from raycrawl.pipelines.dedup import clean_blocks
 from raycrawl.pipelines.relops import (
@@ -646,22 +646,49 @@ def q4_late_ship_priority(sf_dir: str, year: int = 1997) -> rd.Dataset:
     EXISTS(shipdate > odate) == (MAX(shipdate) > odate), so the plan is
     a per-orderkey MAX — per-batch partial first, one row per (batch,
     order) into the shuffle — then ONE join against the year's orders and
-    a domain-bounded priority count."""
+    a domain-bounded priority count. The global MAX's output cardinality
+    is the ORDER count, so it resolves inside coarse orderkey partitions
+    (pandas C groupby-max on integer epoch-micros), never a native
+    aggregate (~10 s per 0.4M groups). All-integer timestamps end to
+    end."""
+    import pandas as pd
+
+    from raycrawl.pipelines.dedup import coarse_parts
+
+    mask = coarse_parts(sf_dir) - 1
 
     def li_partial(t: pa.Table) -> pa.Table:
         g = (
-            t.select(["l_orderkey", "l_shipdate"])
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+                }
+            )
             .group_by("l_orderkey")
-            .aggregate([("l_shipdate", "max")])
+            .aggregate([("ship_us", "max")])
         )
-        return g.rename_columns(["l_orderkey", "max_ship"])
+        g = g.rename_columns(["l_orderkey", "max_ship_us"])
+        return g.append_column(
+            "op", pc.cast(pc.bit_wise_and(g["l_orderkey"], mask), pa.int32())
+        )
+
+    def max_part(g: pd.DataFrame) -> pd.DataFrame:
+        a = (
+            g.groupby("l_orderkey", sort=False)["max_ship_us"]
+            .max()
+            .reset_index()
+        )
+        a["l_orderkey"] = a["l_orderkey"].astype("int64")
+        a["max_ship_us"] = a["max_ship_us"].astype("int64")
+        return a[["l_orderkey", "max_ship_us"]]
 
     per_order = clean_blocks(
         _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
         .map_batches(li_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Max("max_ship", alias_name="max_ship")),
-        pa.schema([("l_orderkey", pa.int64()), ("max_ship", pa.timestamp("us"))]),
+        .groupby("op")
+        .map_groups(max_part, batch_format="pandas"),
+        pa.schema([("l_orderkey", pa.int64()), ("max_ship_us", pa.int64())]),
     )
 
     def order_side(t: pa.Table) -> pa.Table:
@@ -686,7 +713,9 @@ def q4_late_ship_priority(sf_dir: str, year: int = 1997) -> rd.Dataset:
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["max_ship"], t["o_orderdate"]))
+        t = t.filter(
+            pc.greater(t["max_ship_us"], pc.cast(t["o_orderdate"], pa.int64()))
+        )
         g = t.group_by("o_orderpriority").aggregate([("o_orderkey", "count")])
         return g.rename_columns(["o_orderpriority", "n_orders"])
 
@@ -744,19 +773,24 @@ def q16_supplier_variety(
             ).aggregate([])
             return g
 
-    distinct = (
+    from raycrawl.pipelines.dedup import coarse_distinct, coarse_parts
+
+    # distinct (group, supplier): output cardinality scales with the
+    # part x supplier domain — coarse-hash partition + pandas C
+    # drop_duplicates, never a native aggregate (~10 s per 0.4M groups)
+    distinct = coarse_distinct(
         _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
         .map_batches(
             GroupKey, batch_format="pyarrow", concurrency=pool_size(), num_cpus=1
-        )
-        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
-        .aggregate(Count(alias_name="n"))
+        ),
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+        coarse_parts(sf_dir) - 1,
     )
 
     def count_partial(t: pa.Table) -> pa.Table:
         g = (
             t.group_by(["p_brand", "p_type", "p_size"])
-            .aggregate([("n", "count")])
+            .aggregate([("l_suppkey", "count")])
         )
         return g.rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
 
