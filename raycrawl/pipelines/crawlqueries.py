@@ -693,10 +693,26 @@ def _pagerank_ranks(sf_dir: str, iters: int = 4,
             }
         )
 
-    def damp(t: pa.Table) -> pa.Table:
-        s = t["contrib"]
-        r = pc.add(base, pc.divide(pc.multiply(85, s), 100))
-        return pa.table({"url": t["dst"], "rank_scaled": r})
+    from raycrawl.pipelines.dedup import coarse_key, coarse_parts
+
+    cmask = coarse_parts(sf_dir) - 1
+
+    def add_np(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(npart=coarse_key(df, ["dst"], cmask))
+
+    def sum_damp(g: pd.DataFrame) -> pd.DataFrame:
+        # per-node SUM has node-cardinality output: resolved inside
+        # coarse dst partitions (pandas C groupby), never a native
+        # aggregate; damping fused in (int64 floor on non-negatives)
+        a = g.groupby("dst", sort=False)["contrib"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "url": a["dst"],
+                "rank_scaled": (
+                    base + (85 * a["contrib"].astype("int64")) // 100
+                ).astype("int64"),
+            }
+        )
 
     ranks = clean_blocks(
         nodes.map_batches(init_ranks, batch_format="pyarrow"), rank_schema
@@ -713,9 +729,9 @@ def _pagerank_ranks(sf_dir: str, iters: int = 4,
         )
         ranks = clean_blocks(
             zeros.union(contribs)
-            .groupby("dst")
-            .aggregate(Sum("contrib", alias_name="contrib"))
-            .map_batches(damp, batch_format="pyarrow"),
+            .map_batches(add_np, batch_format="pandas")
+            .groupby("npart")
+            .map_groups(sum_damp, batch_format="pandas"),
             rank_schema,
         ).materialize()
 
@@ -818,10 +834,25 @@ def crawl_hits(sf_dir: str, iters: int = 2, k: int = 20) -> rd.Dataset:
                 batch_format="pyarrow",
             )
         )
+        # per-node SUM output scales with the node count: coarse url
+        # partitions + pandas C groupby, not a native aggregate
+        from raycrawl.pipelines.dedup import coarse_key, coarse_parts
+
+        cmask = coarse_parts(sf_dir) - 1
+
+        def add_np(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(npart=coarse_key(df, ["url"], cmask))
+
+        def sum_part(g: pd.DataFrame) -> pd.DataFrame:
+            a = g.groupby("url", sort=False)["v"].sum().reset_index()
+            a["v"] = a["v"].astype("int64")
+            return a[["url", "v"]]
+
         summed = clean_blocks(
             zeros.union(contrib)
-            .groupby("url")
-            .aggregate(Sum("v", alias_name="v")),
+            .map_batches(add_np, batch_format="pandas")
+            .groupby("npart")
+            .map_groups(sum_part, batch_format="pandas"),
             vs,
         ).materialize()
         m = summed.max("v")
