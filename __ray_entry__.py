@@ -420,6 +420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_readability": textops.readability,
         "crawl_robots_coverage": crawl_robots_coverage,
         "crawl_host_rank": crawl_host_rank,
+        "multimodal_ahash": multimodal.multimodal_ahash,
+        "events_gap_hist": relops.events_gap_hist,
     }
 
 
@@ -2798,4 +2800,50 @@ FROM u GROUP BY 1
         final="""SELECT url AS host, CAST(r AS BIGINT) AS rank_scaled FROM r4
 ORDER BY rank_scaled DESC, host LIMIT 10""",
     )
+    # aHash twin: same closed-form dims/plane as the resize oracle;
+    # strict px*256 > sum(px) threshold; bit 63 of each word folds in as
+    # the two's-complement sign so BIGINT packing matches int64 exactly
+    sql["multimodal_ahash"] = """
+WITH d AS (
+  SELECT doc_id, 16 + (doc_id * 7) % 1000 AS w, 16 + (doc_id * 13) % 800 AS h
+  FROM documents
+),
+g AS (
+  SELECT doc_id, (y.y * 16 + x.x) AS fi,
+         (doc_id * 31 + ((y.y * h) // 16) * 7 + ((x.x * w) // 16) * 13) % 256
+           AS px
+  FROM d, range(0, 16) y(y), range(0, 16) x(x)
+),
+tot AS (SELECT doc_id, SUM(px) AS s FROM g GROUP BY doc_id),
+bits AS (
+  SELECT g.doc_id, fi // 64 AS wd, fi % 64 AS j,
+         CASE WHEN px * 256 > s THEN 1 ELSE 0 END AS b
+  FROM g JOIN tot USING (doc_id)
+),
+words AS (
+  SELECT doc_id, wd,
+         CAST(SUM(CASE WHEN j < 63
+                       THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              + MAX(CASE WHEN j = 63 THEN b ELSE 0 END)
+                * (-9223372036854775807 - 1) AS BIGINT) AS v
+  FROM bits GROUP BY doc_id, wd
+)
+SELECT doc_id,
+       MAX(CASE WHEN wd = 0 THEN v END) AS h0,
+       MAX(CASE WHEN wd = 1 THEN v END) AS h1,
+       MAX(CASE WHEN wd = 2 THEN v END) AS h2,
+       MAX(CASE WHEN wd = 3 THEN v END) AS h3
+FROM words GROUP BY doc_id
+"""
+    sql["events_gap_hist"] = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+)
+SELECT LEAST((tus - prev) // 60000000, 240) AS gap_minutes,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM o WHERE prev IS NOT NULL
+GROUP BY 1
+"""
     return sql

@@ -589,3 +589,68 @@ def multimodal_resize(sf_dir: str, out_w: int = 16, out_h: int = 16,
         concurrency=pool_size(),
         num_cpus=1,
     )
+
+
+class AHasher(PlaneResizer):
+    """Average-hash (aHash) stage: the classic perceptual image-dedup
+    fingerprint — resize to 16x16 (nearest-neighbor over the header-real
+    dims, same seam as PlaneResizer), threshold each pixel against the
+    plane MEAN, and pack the 256 bits into four int64 words. Two images
+    are near-duplicates when the Hamming distance of their hashes is
+    small; the hash itself is the join/blocking key. Bit packing is one
+    vectorized matmul against a power-of-two vector per word — no
+    per-pixel Python."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ws = np.zeros(n, np.int64)
+        hs = np.zeros(n, np.int64)
+        for i, payload in enumerate(t["payload"].to_pylist()):
+            _, w, h, _ = parse_image_dims(bytes(payload or b""))
+            ws[i], hs[i] = w, h
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (ws > 0) & (hs > 0)
+        tw, th = self.out_w, self.out_h
+        sy = (np.arange(th, dtype=np.int64)[None, :] * hs[:, None]) // th
+        sx = (np.arange(tw, dtype=np.int64)[None, :] * ws[:, None]) // tw
+        px = (
+            ids[:, None, None] * 31 + sy[:, :, None] * 7 + sx[:, None, :] * 13
+        ) % 256
+        flat = px.reshape(n, th * tw)
+        # strict > mean, in exact integers: px * n_px > sum(px)
+        n_px = th * tw
+        bits = (flat * n_px) > flat.sum(axis=1, keepdims=True)
+        words = bits.reshape(n, 4, 64).astype(np.int64)
+        pows = (np.int64(1) << np.arange(63, dtype=np.int64))
+        # bit 63 would overflow signed int64 via 1<<63: fold it in as the
+        # sign bit (two's complement) so SQL BIGINT reproduces it exactly
+        lo63 = (words[:, :, :63] * pows).sum(axis=2)
+        hash_words = np.where(
+            words[:, :, 63] == 1, lo63 + np.int64(-(2**63)), lo63
+        )
+        hash_words = np.where(ok[:, None], hash_words, 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h0": pa.array(hash_words[:, 0], pa.int64()),
+                "h1": pa.array(hash_words[:, 1], pa.int64()),
+                "h2": pa.array(hash_words[:, 2], pa.int64()),
+                "h3": pa.array(hash_words[:, 3], pa.int64()),
+            }
+        )
+
+
+def multimodal_ahash(sf_dir: str, out_w: int = 16, out_h: int = 16,
+                     batch_size: int = 256) -> rd.Dataset:
+    """image_payloads -> (doc_id, h0..h3): 256-bit perceptual aHash per
+    image (dims from the REAL header parse, plane from the documented
+    codec-free stand-in). The image-dedup primitive: exact-dup images
+    collide on all four words; near-dups differ in few bits."""
+    return image_payloads(sf_dir).map_batches(
+        AHasher,
+        fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )

@@ -36,6 +36,7 @@ __all__ = [
     "events_asof_join",
     "events_range_join",
     "events_distinct_users",
+    "events_gap_hist",
     "events_hll_users",
     "brand_revenue",
     "supplier_nation_balance",
@@ -1416,4 +1417,41 @@ def q19_disjunctive_revenue(sf_dir: str, bands: tuple = Q19_BANDS) -> rd.Dataset
             Sum("n_items", alias_name="n_items"),
         )
         .select_columns(["revenue_ccents", "n_items"])
+    )
+
+
+def events_gap_hist(sf_dir: str, cap_minutes: int = 240) -> rd.Dataset:
+    """(gap_minutes, n_gaps): histogram of per-user inter-event gaps in
+    whole minutes, capped at ``cap_minutes`` — the engagement-cadence
+    report behind session-gap tuning (where does the 30-minute
+    sessionization threshold actually sit in the distribution?).
+
+    Same scale shape as sessionize: coarse user partitions, ONE
+    vectorized pandas pass per partition (sort + per-user diff), per-
+    partition bincount partials, then a gap-domain-bounded final groupby.
+    Gaps are order-insensitive under ts ties (equal timestamps give zero
+    gaps whatever the tie order), so no tiebreak column is needed."""
+    from ray.data.aggregate import Sum
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[["user_id", "ts"]].copy()
+        f["ts"] = f["ts"].astype("int64")  # epoch micros (timestamp[us])
+        f = f.sort_values(["user_id", "ts"], kind="mergesort")
+        d = f.groupby("user_id")["ts"].diff().dropna()
+        m = np.minimum((d.to_numpy(np.int64) // 60_000_000), cap_minutes)
+        vals, counts = np.unique(m, return_counts=True)
+        return pd.DataFrame(
+            {
+                "gap_minutes": vals.astype("int64"),
+                "n_gaps": counts.astype("int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(_add_upart, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(gaps, batch_format="pandas")
+        .groupby("gap_minutes")
+        .aggregate(Sum("n_gaps", alias_name="n_gaps"))
     )
