@@ -129,8 +129,8 @@ def coarse_key(df, cols, mask) -> "np.ndarray":
 
 
 def coarse_distinct(ds: rd.Dataset, cols, mask: int) -> rd.Dataset:
-    """DISTINCT rows over ``cols`` via one coarse-hash shuffle + pandas'
-    C ``drop_duplicates`` per partition.
+    """DISTINCT rows over ``cols`` via one coarse-hash shuffle + Arrow's
+    C hash dedup per partition.
 
     The native ``groupby(cols).aggregate(...)`` route emits one group per
     distinct row — and Ray's hash aggregate costs ~10 s per 0.4M groups
@@ -138,19 +138,27 @@ def coarse_distinct(ds: rd.Dataset, cols, mask: int) -> rd.Dataset:
     the n-gram pair pipeline). A distinct whose output cardinality scales
     with the corpus must therefore never be a native aggregate; this is
     the repo's standard coarse-partition resolution applied to DISTINCT.
-    Output blocks are pandas-origin — wrap in :func:`clean_blocks` before
-    a native join."""
+
+    Dedup runs through pyarrow ``group_by`` — NEVER pandas
+    drop_duplicates/groupby on string keys: pandas' khash factorization
+    treats object strings as C strings, so 'a', 'a\\x00b' and 'a\\x00c'
+    all COLLAPSE to one "distinct" row (measured; the broader form of the
+    boilerplate-batch hash_array lesson — hash_array itself hashes the
+    full bytes). Output blocks are pandas-origin — wrap in
+    :func:`clean_blocks` before a native join."""
     cols = list(cols)
 
-    def add_pp(df: pd.DataFrame) -> pd.DataFrame:
-        f = df[cols].drop_duplicates()
-        return f.assign(pp=coarse_key(f, cols, mask))
+    def add_pp(t: pa.Table) -> pa.Table:
+        f = t.select(cols).group_by(cols).aggregate([])  # local, NUL-safe
+        pp = coarse_key(f.to_pandas(), cols, mask)
+        return f.append_column("pp", pa.array(pp, pa.int64()))
 
     def dd_part(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(cols)[cols]
+        t = pa.Table.from_pandas(g[cols], preserve_index=False)
+        return t.group_by(cols).aggregate([]).to_pandas()
 
     return (
-        ds.map_batches(add_pp, batch_format="pandas")
+        ds.map_batches(add_pp, batch_format="pyarrow")
         .groupby("pp")
         .map_groups(dd_part, batch_format="pandas")
     )

@@ -846,22 +846,31 @@ def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
 def events_distinct_users(sf_dir: str) -> rd.Dataset:
     """(event_type, n_users): COUNT-DISTINCT via two-level aggregation —
     the distributed distinct pattern (Ray Data has no distinct aggregate):
-    per-batch local dedup shrinks the shuffle, groupby over the composite
-    key finishes the dedup, then a count per event_type."""
-    from ray.data.aggregate import Count, Sum
+    per-batch local dedup shrinks the shuffle, the global dedup runs in
+    coarse partitions (its output cardinality is users x types — the
+    native-aggregate cost rule, BASELINE.md r4), then per-batch partial
+    counts into a type-domain-bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    from raycrawl.pipelines.dedup import coarse_distinct, coarse_parts
 
     def local_dedup(t: pa.Table) -> pa.Table:
-        g = t.group_by(["event_type", "user_id"]).aggregate([])
-        return g
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    def type_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "n_users"])
 
     return (
-        _read(sf_dir, "events", ["event_type", "user_id"])
-        .map_batches(local_dedup, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="n"))
-        .select_columns(["event_type"])
+        coarse_distinct(
+            _read(sf_dir, "events", ["event_type", "user_id"])
+            .map_batches(local_dedup, batch_format="pyarrow"),
+            ["event_type", "user_id"],
+            coarse_parts(sf_dir) - 1,
+        )
+        .map_batches(type_partial, batch_format="pyarrow")
         .groupby("event_type")
-        .aggregate(Count(alias_name="n_users"))
+        .aggregate(Sum("n_users", alias_name="n_users"))
     )
 
 

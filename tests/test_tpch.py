@@ -206,3 +206,40 @@ def test_star_disallow_prefixes_groups_and_edges():
     ]
     assert star_disallow_prefixes("") == []
     assert star_disallow_prefixes("Disallow: /orphan\n") == []
+
+
+def test_coarse_distinct_exact_with_nul_strings(ray_session):
+    """coarse_distinct must equal the TRUE distinct set on mixed
+    int/string keys including embedded NULs. The reference is a Python
+    set — NOT pandas drop_duplicates, whose khash factorization treats
+    object strings as C strings and collapses 'a', 'a\\x00b' and
+    'a\\x00c' into one row (the sharp edge coarse_distinct's Arrow dedup
+    exists to avoid)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycrawl.pipelines.dedup import coarse_distinct
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    strs = ["a\x00b", "a\x00c", "a", "b", "x\x00", "x"]
+    df = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 40, n).astype("int64"),
+            "k2": [strs[i] for i in rng.integers(0, len(strs), n)],
+        }
+    )
+    # document the pandas sharp edge itself so a behavior change surfaces:
+    # the MULTI-column dedup path collapses NUL-distinct strings
+    tiny = pd.DataFrame({"k1": [0, 0, 0], "k": ["a", "a\x00b", "a\x00c"]})
+    assert len(tiny.drop_duplicates(["k1", "k"])) == 1
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = {
+        (r["k1"], r["k2"])
+        for r in coarse_distinct(ds, ["k1", "k2"], 15).take_all()
+    }
+    want = set(zip(df["k1"].tolist(), df["k2"].tolist()))
+    assert got == want
