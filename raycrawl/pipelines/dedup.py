@@ -164,6 +164,36 @@ def coarse_distinct(ds: rd.Dataset, cols, mask: int) -> rd.Dataset:
     )
 
 
+def coarse_sum(ds: rd.Dataset, key_cols, val_cols, mask: int) -> rd.Dataset:
+    """Grouped integer SUM over ``key_cols`` whose OUTPUT cardinality
+    scales with the data (token/n-gram/pair count tables) — the
+    :func:`coarse_distinct` plan with an in-partition Arrow sum instead
+    of a dedup: per-batch partial aggregate, coarse-hash shuffle, pyarrow
+    ``group_by`` per partition (binary-safe on string keys — pandas'
+    multi-key factorization NUL-truncates). Native aggregates stay for
+    domain-bounded groups only (the cost rule, BASELINE.md r4)."""
+    keys, vals = list(key_cols), list(val_cols)
+
+    def add_pp(t: pa.Table) -> pa.Table:
+        g = t.select(keys + vals).group_by(keys).aggregate(
+            [(v, "sum") for v in vals]
+        )
+        g = g.rename_columns(keys + vals)  # arrow emits keys first
+        pp = coarse_key(g.to_pandas(), keys, mask)
+        return g.append_column("pp", pa.array(pp, pa.int64()))
+
+    def sum_part(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(g[keys + vals], preserve_index=False)
+        out = t.group_by(keys).aggregate([(v, "sum") for v in vals])
+        return out.rename_columns(keys + vals).to_pandas()
+
+    return (
+        ds.map_batches(add_pp, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(sum_part, batch_format="pandas")
+    )
+
+
 def clean_blocks(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
     """Rebuild ``ds`` from only its NON-EMPTY blocks, as Arrow tables with
     ``schema``'s columns.

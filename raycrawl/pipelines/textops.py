@@ -721,11 +721,14 @@ def vocab_topk(sf_dir: str, k: int = 50) -> rd.Dataset:
 
     from ray.data.aggregate import Sum
 
+    from raycrawl.pipelines.dedup import coarse_parts, coarse_sum
+
     return (
-        _read_docs(sf_dir, ["text"])
-        .map_batches(explode_count, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+        coarse_sum(
+            _read_docs(sf_dir, ["text"])
+            .map_batches(explode_count, batch_format="pyarrow"),
+            ["token"], ["n"], coarse_parts(sf_dir) - 1,
+        )
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )
@@ -762,11 +765,14 @@ def bigrams_topk(sf_dir: str, k: int = 20) -> pa.Table:
             }
         )
 
+    from raycrawl.pipelines.dedup import coarse_parts, coarse_sum
+
     ds = (
-        _read_docs(sf_dir, ["text"])
-        .map_batches(explode_count, batch_format="pyarrow")
-        .groupby("gram")
-        .aggregate(Sum("n", alias_name="n"))
+        coarse_sum(
+            _read_docs(sf_dir, ["text"])
+            .map_batches(explode_count, batch_format="pyarrow"),
+            ["gram"], ["n"], coarse_parts(sf_dir) - 1,
+        )
         .sort(["n", "gram"], descending=[True, False])
         .limit(k)
     )
@@ -1343,10 +1349,13 @@ def cooccur_topk(sf_dir: str, window: int = 2, k: int = 20) -> pa.Table:
     """
     from ray.data.aggregate import Sum
 
+    from raycrawl.pipelines.dedup import coarse_parts, coarse_sum
+
     ds = (
-        _cooccur_counts(_read_docs(sf_dir, ["text"]), window)
-        .groupby("pair")
-        .aggregate(Sum("n", alias_name="n"))
+        coarse_sum(
+            _cooccur_counts(_read_docs(sf_dir, ["text"]), window),
+            ["pair"], ["n"], coarse_parts(sf_dir) - 1,
+        )
         .sort(["n", "pair"], descending=[True, False])
         .limit(k)
     )
@@ -1447,11 +1456,16 @@ def pmi_topk(
             }
         )
 
+    from raycrawl.pipelines.dedup import coarse_parts, coarse_sum
+
+    cmask = coarse_parts(sf_dir) - 1
     uni_schema = pa.schema([("token", pa.string()), ("n_tok", pa.int64())])
+    # vocabulary-cardinality sum -> coarse partitions (the cost rule)
     uni = clean_blocks(
-        docs.map_batches(uni_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n_tok", alias_name="n_tok")),
+        coarse_sum(
+            docs.map_batches(uni_partial, batch_format="pyarrow"),
+            ["token"], ["n_tok"], cmask,
+        ),
         uni_schema,
     ).materialize()  # joined twice below; blocks stay in plasma
     total = int(uni.sum("n_tok") or 0)
@@ -1472,9 +1486,7 @@ def pmi_topk(
         )
 
     pairs = clean_blocks(
-        _cooccur_counts(docs, window)
-        .groupby("pair")
-        .aggregate(Sum("n", alias_name="n"))
+        coarse_sum(_cooccur_counts(docs, window), ["pair"], ["n"], cmask)
         .map_batches(split_pair, batch_format="pyarrow"),
         pair_schema,
     )
