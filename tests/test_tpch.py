@@ -243,3 +243,32 @@ def test_coarse_distinct_exact_with_nul_strings(ray_session):
     }
     want = set(zip(df["k1"].tolist(), df["k2"].tolist()))
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def planted_docs(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("planted_docs"))
+    _write(d, "documents", pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["", "Hi.", "a a b"]),
+        }
+    ))
+    return d
+
+
+def test_ttr_and_readability_edges(ray_session, planted_docs):
+    """Zero-token and zero-sentence documents must hit the GREATEST
+    guards, not divide by zero; TTR counts distinct vs total tokens."""
+    from raycrawl.pipelines.textops import readability, ttr
+
+    t = {r["doc_id"]: r for r in ttr(planted_docs).take_all()}
+    assert (t[1]["n_tokens"], t[1]["n_types"], t[1]["ttr_4096"]) == (0, 0, 0)
+    assert (t[3]["n_tokens"], t[3]["n_types"]) == (3, 2)
+    assert t[3]["ttr_4096"] == 4096 * 2 // 3
+
+    r = {x["doc_id"]: x for x in readability(planted_docs).take_all()}
+    assert r[1]["fk_grade_1000"] == -15590  # empty doc: all guards at 1
+    # "Hi.": w=1 s=1 sy=1 -> 390 + 11800 - 15590
+    assert (r[2]["n_words"], r[2]["n_sentences"], r[2]["n_syllables"]) == (1, 1, 1)
+    assert r[2]["fk_grade_1000"] == 390 + 11800 - 15590
