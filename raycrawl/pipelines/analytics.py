@@ -35,7 +35,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from raycrawl.pipelines.dedup import clean_blocks
+from raycrawl.pipelines.dedup import clean_blocks, coarse_parts, coarse_sum
 from raycrawl.pipelines.relops import (
     _add_upart,
     _cents,
@@ -357,10 +357,11 @@ def small_quantity_revenue(sf_dir: str) -> pa.Table:
         return _rename(g, {"qty_sum": "s", "one_sum": "n"})
 
     per_part = clean_blocks(
-        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
-        .map_batches(qty_partial, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")),
+        coarse_sum(
+            _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+            .map_batches(qty_partial, batch_format="pyarrow"),
+            ["l_partkey"], ["s", "n"], coarse_parts(sf_dir) - 1,
+        ),
         pa.schema([("l_partkey", pa.int64()), ("s", pa.int64()),
                    ("n", pa.int64())]),
     )
@@ -775,14 +776,11 @@ def events_pivot(sf_dir: str) -> rd.Dataset:
             g, {f"{c}_sum": c for c in list(cols) if c != "user_id"}
         )
 
-    aggs = [
-        Sum(f"{et}_cents", alias_name=f"{et}_cents") for et in _EVENT_TYPES
-    ] + [Sum("n_events", alias_name="n_events")]
-    return (
+    vals = [f"{et}_cents" for et in _EVENT_TYPES] + ["n_events"]
+    return coarse_sum(
         _read(sf_dir, "events", ["user_id", "event_type", "value"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(*aggs)
+        .map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], vals, coarse_parts(sf_dir) - 1,
     )
 
 
@@ -820,11 +818,13 @@ def orders_count_distribution(sf_dir: str) -> pa.Table:
         g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
         return _rename(g, {"o_custkey_count": "n"})
 
-    per_cust = (
+    per_cust = coarse_sum(
         _read(sf_dir, "orders", ["o_custkey"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("n", alias_name="n_orders"))
+        .map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], ["n"], coarse_parts(sf_dir) - 1,
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "n_orders"]),
+        batch_format="pyarrow",
     )
 
     def hist_partial(t: pa.Table) -> pa.Table:
@@ -887,11 +887,11 @@ def top_customer_orders(
         return t.filter(pc.greater(t["total_qty"], min_qty))
 
     big = clean_blocks(
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .map_batches(qty_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("total_qty", alias_name="total_qty"))
-        .map_batches(keep_big, batch_format="pyarrow"),
+        coarse_sum(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+            .map_batches(qty_partial, batch_format="pyarrow"),
+            ["l_orderkey"], ["total_qty"], coarse_parts(sf_dir) - 1,
+        ).map_batches(keep_big, batch_format="pyarrow"),
         _BIG_SCHEMA,
     )
 

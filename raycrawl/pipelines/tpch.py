@@ -624,10 +624,13 @@ def q10_returned_revenue(
                 }
             )
 
+    from raycrawl.pipelines.dedup import coarse_parts, coarse_sum
+
     return (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(Sum("revenue_ccents", alias_name="revenue_ccents"))
+        coarse_sum(
+            joined.map_batches(partial, batch_format="pyarrow"),
+            ["c_custkey"], ["revenue_ccents"], coarse_parts(sf_dir) - 1,
+        )
         .map_batches(
             Name, batch_format="pyarrow", concurrency=pool_size(), num_cpus=0.5
         )
