@@ -243,17 +243,18 @@ def docs_dup_ngrams(sf_dir: str, n: int = 5,
             ]
         )
 
-    return (
+    per_doc = (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(gram_rows, batch_format="pyarrow")
         .groupby("gpart")
         .map_groups(shared_only, batch_format="pandas")
         .map_batches(doc_partial, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("n_shared_grams", alias_name="n_shared_grams"),
-            Sum("n_shared_positions", alias_name="n_shared_positions"),
-        )
+    )
+    from raycrawl.pipelines.dedup import coarse_sum
+
+    return coarse_sum(
+        per_doc, ["doc_id"], ["n_shared_grams", "n_shared_positions"],
+        coarse_parts(sf_dir) - 1,
     )
 
 

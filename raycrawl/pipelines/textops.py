@@ -1229,13 +1229,13 @@ def common_token_ratio(sf_dir: str, k_hh: int = 32) -> rd.Dataset:
         )
         return g.rename_columns(["token", "n"])
 
-    vocab = (
+    from raycrawl.pipelines.dedup import coarse_parts, coarse_sum
+
+    vocab = coarse_sum(
         _read_docs(sf_dir, ["text"])
-        .map_batches(explode_count, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-        .materialize()  # aggregated vocab, read twice (total + filter)
-    )
+        .map_batches(explode_count, batch_format="pyarrow"),
+        ["token"], ["n"], coarse_parts(sf_dir) - 1,
+    ).materialize()  # aggregated vocab, read twice (total + filter)
     total = int(vocab.sum("n"))
 
     def hh_only(t: pa.Table) -> pa.Table:
@@ -1995,11 +1995,14 @@ def oov_rate(sf_dir: str, v: int = 16) -> rd.Dataset:
         )
         return g.rename_columns(["token", "n"])
 
+    from raycrawl.pipelines.dedup import coarse_parts, coarse_sum
+
     top = (
-        _read_docs(sf_dir, ["text"])
-        .map_batches(explode_count, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+        coarse_sum(
+            _read_docs(sf_dir, ["text"])
+            .map_batches(explode_count, batch_format="pyarrow"),
+            ["token"], ["n"], coarse_parts(sf_dir) - 1,
+        )
         .sort(["n", "token"], descending=[True, False])
         .limit(v)
         .take_all()  # O(v) rows
@@ -2170,12 +2173,19 @@ def fluency(sf_dir: str) -> rd.Dataset:
             }
         )
 
+    from raycrawl.pipelines.dedup import coarse_parts, coarse_sum
+
+    cmask = coarse_parts(sf_dir) - 1
     gram_schema = pa.schema([("gram", pa.string()), ("n_gram", pa.int64())])
     gc = clean_blocks(
-        _read_docs(sf_dir, ["text"])
-        .map_batches(gram_partial, batch_format="pyarrow")
-        .groupby("gram")
-        .aggregate(Sum("n", alias_name="n_gram")),
+        coarse_sum(
+            _read_docs(sf_dir, ["text"])
+            .map_batches(gram_partial, batch_format="pyarrow"),
+            ["gram"], ["n"], cmask,
+        ).map_batches(
+            lambda t: t.rename_columns(["gram", "n_gram"]),
+            batch_format="pyarrow",
+        ),
         gram_schema,
     )
 
@@ -2238,13 +2248,14 @@ def fluency(sf_dir: str) -> rd.Dataset:
         pa.schema([("doc_id", pa.int64()), ("gram", pa.string()),
                    ("tf", pa.int64()), ("n_gram", pa.int64())]),
     )
-    return (
-        joined.map_batches(weight, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("n_bigrams", alias_name="n_bigrams"),
-                   Sum("freq", alias_name="sum_freq"))
-        .map_batches(finish, batch_format="pyarrow")
+    per_doc = coarse_sum(
+        joined.map_batches(weight, batch_format="pyarrow"),
+        ["doc_id"], ["n_bigrams", "freq"], cmask,
+    ).map_batches(
+        lambda t: t.rename_columns(["doc_id", "n_bigrams", "sum_freq"]),
+        batch_format="pyarrow",
     )
+    return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
 # independent draw from hash_split/stratified_sample: splitmix64's
