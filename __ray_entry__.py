@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_rank": crawl_host_rank,
         "multimodal_ahash": multimodal.multimodal_ahash,
         "events_gap_hist": relops.events_gap_hist,
+        "embeddings_top_direction": ann.power_iteration,
     }
 
 
@@ -2845,5 +2846,33 @@ SELECT LEAST((tus - prev) // 60000000, 240) AS gap_minutes,
        CAST(COUNT(*) AS BIGINT) AS n_gaps
 FROM o WHERE prev IS NOT NULL
 GROUP BY 1
+"""
+    # integer power-iteration twin: Gram matrix from the quantized
+    # vectors, 3 unrolled multiply+truncating-normalize steps in HUGEINT
+    # (DuckDB // truncates toward zero; the magnitude form matches the
+    # pipeline's Python-int iteration bit for bit)
+    step = """
+w{k} AS (SELECT g.i, SUM(g.gv * v{p}.v) AS w FROM g
+         JOIN v{p} ON g.j = v{p}.i GROUP BY 1),
+m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}),
+v{k} AS (SELECT i, CASE WHEN w < 0 THEN -((-w * 1000) // m)
+                        ELSE (w * 1000) // m END AS v FROM w{k}, m{k})"""
+    steps = ",".join(step.format(k=k, p=k - 1) for k in range(2, 4))
+    sql["embeddings_top_direction"] = f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v
+  FROM embeddings
+),
+g AS (
+  SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.v * b.v) AS HUGEINT) AS gv
+  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2
+),
+w1 AS (SELECT i, SUM(gv) AS w FROM g GROUP BY i),
+m1 AS (SELECT MAX(ABS(w)) AS m FROM w1),
+v1 AS (SELECT i, CASE WHEN w < 0 THEN -((-w * 1000) // m)
+                      ELSE (w * 1000) // m END AS v FROM w1, m1),
+{steps}
+SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_scaled FROM v3
 """
     return sql

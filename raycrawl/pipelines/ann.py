@@ -488,3 +488,73 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
             [("query_id", pa.int64()), ("rank", pa.int64()), ("vec_id", pa.int64())]
         )
     )
+
+
+def power_iteration(
+    sf_dir: str, iters: int = 3, scale: int = 1000
+) -> pa.Table:
+    """(dim, v_scaled): the corpus's top PRINCIPAL DIRECTION by integer
+    power iteration over the (uncentered) Gram matrix — the PageRank/
+    k-means exact-integer trick applied to PCA: quantize vectors to
+    fixed-point int64, accumulate G = X^T X from per-batch d x d integer
+    partials, then iterate v <- trunc(G v * scale / max|G v|) from the
+    ones vector in exact arbitrary-precision integers on the driver.
+
+    Scale shape: ONE streaming pass over the vectors; each batch ships a
+    melted d^2-row partial (d = embedding dim, fixed), the global sum is
+    a d^2-DOMAIN-bounded native aggregate, and the driver holds only the
+    d x d Gram matrix and the d-vector — never a row count. Python ints
+    make the iteration overflow-free at any corpus size; the SQL twin
+    reproduces every step in HUGEINT with the same truncating division
+    (sign(w) * (|w| * scale // m) — DuckDB's // truncates toward zero,
+    Python's floors, so the magnitude form is used on both engines).
+    Sign convention: iteration from the all-ones vector is deterministic,
+    so both engines land on the same of the two +-eigendirections."""
+    from ray.data.aggregate import Sum
+
+    dims_schema = pa.schema(
+        [("i", pa.int64()), ("j", pa.int64()), ("gv", pa.int64())]
+    )
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return dims_schema.empty_table()
+        x = _scaled_batch(t, scale)
+        g = x.T @ x
+        d = g.shape[0]
+        return pa.table(
+            {
+                "i": pa.array(np.repeat(np.arange(1, d + 1), d), pa.int64()),
+                "j": pa.array(np.tile(np.arange(1, d + 1), d), pa.int64()),
+                "gv": pa.array(g.reshape(-1), pa.int64()),
+            }
+        )
+
+    rows = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )
+        .map_batches(gram_partial, batch_format="pyarrow")
+        .groupby(["i", "j"])  # d^2 groups: domain-bounded, native is fine
+        .aggregate(Sum("gv", alias_name="gv"))
+        .take_all()  # O(d^2)
+    )
+    d = max(int(r["i"]) for r in rows)
+    G = [[0] * d for _ in range(d)]
+    for r in rows:
+        G[int(r["i"]) - 1][int(r["j"]) - 1] = int(r["gv"])
+
+    def trunc_div(w: int, m: int) -> int:
+        return -((-w * scale) // m) if w < 0 else (w * scale) // m
+
+    v = [1] * d
+    for _ in range(iters):
+        w = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w) or 1
+        v = [trunc_div(x, m) for x in w]
+    return pa.table(
+        {
+            "dim": pa.array(range(1, d + 1), pa.int64()),
+            "v_scaled": pa.array(v, pa.int64()),
+        }
+    )
