@@ -423,6 +423,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_ahash": multimodal.multimodal_ahash,
         "events_gap_hist": relops.events_gap_hist,
         "embeddings_top_direction": ann.power_iteration,
+        "q6_forecast_revenue": tpch.q6_forecast_revenue,
+        "q3_shipping_priority": tpch.q3_shipping_priority,
+        "q11_important_stock": tpch.q11_important_stock,
     }
 
 
@@ -2874,5 +2877,36 @@ v1 AS (SELECT i, CASE WHEN w < 0 THEN -((-w * 1000) // m)
                       ELSE (w * 1000) // m END AS v FROM w1, m1),
 {steps}
 SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_scaled FROM v3
+"""
+    sql["q6_forecast_revenue"] = """
+SELECT COALESCE(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * CAST(ROUND(l_discount*100) AS BIGINT)), 0)
+         AS revenue_ccents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+  AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 4 AND 6
+  AND CAST(l_quantity AS BIGINT) < 24
+"""
+    sql["q3_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate, SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS revenue_ccents
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+ORDER BY revenue_ccents DESC, l_orderkey LIMIT 10
+"""
+    sql["q11_important_stock"] = """
+WITH pv AS (
+  SELECT l_partkey, SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS value_ccents
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT l_partkey, value_ccents FROM pv
+WHERE value_ccents * 1000000 > 1000 * (SELECT SUM(value_ccents) FROM pv)
 """
     return sql

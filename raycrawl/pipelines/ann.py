@@ -24,6 +24,7 @@ __all__ = [
     "ivf_topk",
     "label_centroids",
     "kmeans_assign",
+    "power_iteration",
 ]
 
 

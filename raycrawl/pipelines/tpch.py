@@ -56,6 +56,9 @@ __all__ = [
     "q4_late_ship_priority",
     "q16_supplier_variety",
     "q20_dominant_suppliers",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "q11_important_stock",
 ]
 
 
@@ -911,4 +914,192 @@ def q20_dominant_suppliers(
             Name, batch_format="pyarrow", concurrency=pool_size(), num_cpus=0.5
         )
         .sort(["n_parts", "s_suppkey"], descending=[True, False])
+    )
+
+
+def q6_forecast_revenue(
+    sf_dir: str, year: int = 1997, disc_pct: int = 5, max_qty: int = 24
+) -> rd.Dataset:
+    """One row (revenue_ccents, n_items): revenue change from dropping
+    small discounts on small quantities — TPC-H Q6, the pure
+    filter-and-aggregate: shipdate in one year, discount within +-1pp of
+    ``disc_pct``, quantity < ``max_qty``; revenue = price * discount in
+    centi-cents. One stateless pass, ONE partial row per batch."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        keep = pc.and_(
+            pc.and_(
+                pc.equal(pc.year(t["l_shipdate"]), year),
+                pc.and_(
+                    pc.greater_equal(disc, disc_pct - 1),
+                    pc.less_equal(disc, disc_pct + 1),
+                ),
+            ),
+            pc.less(pc.cast(t["l_quantity"], pa.int64()), max_qty),
+        )
+        t = t.filter(keep)
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(_cents(t["l_extendedprice"]), disc)
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "revenue_ccents": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+                "n_items": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    return (
+        _read(
+            sf_dir, "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("one")
+        .aggregate(
+            Sum("revenue_ccents", alias_name="revenue_ccents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+        .select_columns(["revenue_ccents", "n_items"])
+    )
+
+
+def q3_shipping_priority(
+    sf_dir: str, segment: str = "BUILDING", cut: str = "1998-01-01", k: int = 10
+) -> rd.Dataset:
+    """(l_orderkey, o_orderdate, revenue_ccents): top-k unshipped orders
+    of one customer segment by outstanding revenue — the TPC-H Q3 shape
+    (ADAPTED: the schema has no o_shippriority, so the grouping key is
+    (orderkey, orderdate)): orders placed before ``cut``, lines shipped
+    after it.
+
+    Plan: orders prune to the segment (broadcast custkey -> segment bit)
+    and the date BEFORE the one orderkey hash join; the per-order revenue
+    sum has order-cardinality output, so it resolves in coarse orderkey
+    partitions; top-k via distributed sort."""
+    cutoff = dt.datetime.fromisoformat(cut)
+    cust = _dim(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    is_seg = pc.cast(pc.equal(cust["c_mktsegment"], segment), pa.int64())
+    dims_ref = ray.put(
+        (cust["c_custkey"].combine_chunks(), is_seg.combine_chunks())
+    )
+
+    class OrderSide:
+        def __init__(self):
+            ck, self.bits = ray.get(dims_ref)
+            self.cidx = _DimIndex(ck)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff)))
+            keep = pc.equal(self.bits.take(self.cidx.lookup(t["o_custkey"])), 1)
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "o_orderdate": t["o_orderdate"],
+                }
+            ).filter(keep)
+
+    def line_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        return pa.table({"l_orderkey": t["l_orderkey"], "ccents": _ccents(t)})
+
+    orders = clean_blocks(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            OrderSide, batch_format="pyarrow", concurrency=pool_size(), num_cpus=1
+        ),
+        pa.schema([("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]),
+    )
+    lines = clean_blocks(
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        ).map_batches(line_side, batch_format="pyarrow"),
+        pa.schema([("l_orderkey", pa.int64()), ("ccents", pa.int64())]),
+    )
+    joined = orders.join(
+        lines,
+        join_type="inner",
+        num_partitions=join_parts(),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    from raycrawl.pipelines.dedup import coarse_parts, coarse_sum
+
+    return (
+        coarse_sum(
+            joined.select_columns(["o_orderkey", "o_orderdate", "ccents"]),
+            ["o_orderkey", "o_orderdate"], ["ccents"],
+            coarse_parts(sf_dir) - 1,
+        )
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["l_orderkey", "o_orderdate", "revenue_ccents"]
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["revenue_ccents", "l_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def q11_important_stock(
+    sf_dir: str, nation: str = "NATION_3", fraction_ppm: int = 1000
+) -> rd.Dataset:
+    """(l_partkey, value_ccents): parts whose shipped value from one
+    nation's suppliers exceeds ``fraction_ppm`` parts-per-million of that
+    nation's total shipped value — the TPC-H Q11 shape, ADAPTED: no
+    partsupp/availqty, so "stock value" is shipped lineitem value
+    (price * (100 - disc)) from the nation's suppliers (the
+    share-of-global-threshold structure is Q11's).
+
+    Plan: lineitem prunes to the nation's suppliers via the broadcast
+    dim; per-part sums resolve in coarse partkey partitions; the global
+    total is ONE scalar aggregate over the same per-part table
+    (O(parts)); the threshold filter broadcasts the scalar."""
+    nat_t = _dim(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nkey = nat_t.filter(pc.equal(nat_t["n_name"], nation))["n_nationkey"][0].as_py()
+    supp = _dim(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sel = supp.filter(pc.equal(supp["s_nationkey"], nkey))["s_suppkey"]
+    sel_ref = ray.put(sel.combine_chunks())
+
+    class LineSide:
+        def __init__(self):
+            self.sidx = _DimIndex(ray.get(sel_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(self.sidx.lookup(t["l_suppkey"])))
+            return pa.table(
+                {"l_partkey": t["l_partkey"], "ccents": _ccents(t)}
+            )
+
+    from raycrawl.pipelines.dedup import clean_blocks as _cb
+    from raycrawl.pipelines.dedup import coarse_parts, coarse_sum
+
+    per_part = _cb(
+        coarse_sum(
+            _read(
+                sf_dir, "lineitem",
+                ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+            ).map_batches(
+                LineSide, batch_format="pyarrow",
+                concurrency=pool_size(), num_cpus=1,
+            ),
+            ["l_partkey"], ["ccents"], coarse_parts(sf_dir) - 1,
+        ),
+        pa.schema([("l_partkey", pa.int64()), ("ccents", pa.int64())]),
+    ).materialize()  # bounded by the part domain; read twice
+    total = int(per_part.sum("ccents") or 0)
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.greater(
+                pc.multiply(t["ccents"], 1_000_000),
+                pa.scalar(fraction_ppm * total, pa.int64()),
+            )
+        )
+        return t.rename_columns(["l_partkey", "value_ccents"])
+
+    return per_part.map_batches(keep, batch_format="pyarrow").sort(
+        ["value_ccents", "l_partkey"], descending=[True, False]
     )
