@@ -272,3 +272,33 @@ def test_ttr_and_readability_edges(ray_session, planted_docs):
     # "Hi.": w=1 s=1 sy=1 -> 390 + 11800 - 15590
     assert (r[2]["n_words"], r[2]["n_sentences"], r[2]["n_syllables"]) == (1, 1, 1)
     assert r[2]["fk_grade_1000"] == 390 + 11800 - 15590
+
+
+def test_coarse_sum_exact_with_nul_strings(ray_session):
+    """coarse_sum must equal a Python-dict grouped sum, including
+    NUL-embedded string keys (same Arrow-dedup contract as
+    coarse_distinct)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycrawl.pipelines.dedup import coarse_sum
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    keys = ["t", "t\x00a", "t\x00b", "u", "v\x00"]
+    df = pd.DataFrame(
+        {
+            "k": [keys[i] for i in rng.integers(0, len(keys), n)],
+            "n": rng.integers(1, 9, n).astype("int64"),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    got = {
+        r["k"]: r["n"] for r in coarse_sum(ds, ["k"], ["n"], 7).take_all()
+    }
+    want: dict = {}
+    for k, v in zip(df["k"], df["n"]):
+        want[k] = want.get(k, 0) + int(v)
+    assert got == want
