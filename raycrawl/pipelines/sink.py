@@ -25,7 +25,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-__all__ = ["resumable_transform_write", "read_partitioned", "shard_key"]
+__all__ = ["resumable_transform_write", "read_partitioned",
+           "shard_key", "compact_shards"]
 
 
 def shard_key(path: str) -> str:
@@ -116,3 +117,74 @@ def read_partitioned(out_dir: str):
         if os.path.exists(os.path.join(d, "_SUCCESS"))
     ]
     return rd.read_parquet(parts)
+
+
+@ray.remote(num_cpus=1)
+def _compact_task(paths: list, out_dir: str, shard: str) -> int:
+    out = pa.concat_tables([pq.read_table(p) for p in paths])
+    sdir = os.path.join(out_dir, f"shard={shard}")
+    os.makedirs(sdir, exist_ok=True)
+    pq.write_table(out, os.path.join(sdir, "part.parquet"))
+    tmp = os.path.join(sdir, "_SUCCESS.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(paths))
+    os.replace(tmp, os.path.join(sdir, "_SUCCESS"))
+    return out.num_rows
+
+
+def compact_shards(
+    input_glob: str,
+    out_dir: str,
+    target_rows: int = 1_000_000,
+    max_in_flight: int = 64,
+) -> dict:
+    """Merge many SMALL parquet fragments into marker-committed shards of
+    ~``target_rows`` each — the small-files compaction every long-running
+    partitioned sink eventually needs (a 100 TB dataset written by
+    thousands of tasks ends up as millions of tiny files; readers then
+    pay per-file open/footer costs that dwarf the scan).
+
+    The driver reads only parquet FOOTERS (row counts — O(files)
+    metadata, no data), packs fragments greedily in sorted order into
+    buckets of >= target_rows, and runs one merge task per bucket with
+    the same atomic ``_SUCCESS``-rename commit and ray.wait backpressure
+    as :func:`resumable_transform_write`. Buckets are keyed by a stable
+    hash of their member paths, so a re-run after a crash redoes only
+    uncommitted buckets — and reruns over a GROWN input re-use committed
+    buckets whose membership is unchanged. Row order within a shard
+    follows the sorted fragment order (deterministic)."""
+    files = sorted(glob.glob(input_glob))
+    if not files:
+        raise FileNotFoundError(f"no inputs match {input_glob!r}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    buckets, cur, cur_rows = [], [], 0
+    for path in files:
+        cur.append(path)
+        cur_rows += pq.read_metadata(path).num_rows
+        if cur_rows >= target_rows:
+            buckets.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        buckets.append(cur)
+
+    pending, skipped = [], 0
+    for bucket in buckets:
+        key = hashlib.blake2b("\n".join(bucket).encode(),
+                              digest_size=6).hexdigest()
+        marker = os.path.join(out_dir, f"shard={key}", "_SUCCESS")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if f.read() == "\n".join(bucket):
+                    skipped += 1
+                    continue
+        pending.append((key, bucket))
+
+    rows, in_flight = 0, []
+    for key, bucket in pending:
+        if len(in_flight) >= max_in_flight:
+            done, in_flight = ray.wait(in_flight, num_returns=1)
+            rows += sum(ray.get(done))
+        in_flight.append(_compact_task.remote(bucket, out_dir, key))
+    rows += sum(ray.get(in_flight))
+    return {"buckets": len(buckets), "skipped": skipped, "rows": rows}

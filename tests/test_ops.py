@@ -1829,3 +1829,46 @@ def test_watermark_late_planted(ray_session, tmp_path):
         wm = max(wm, t)
     assert got == want
     assert sum(v[2] for v in want.values()) > 0  # non-vacuous: some late
+
+
+def test_compact_shards_roundtrip_and_resume(ray_session, tmp_path):
+    """Compaction preserves every row, shrinks the file count, skips
+    committed buckets on re-run, and redoes exactly one bucket after its
+    marker is removed (crash simulation)."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycrawl.pipelines.sink import compact_shards, read_partitioned
+
+    src = tmp_path / "small"
+    src.mkdir()
+    total = 0
+    for i in range(12):
+        n = 10 + i
+        pq.write_table(
+            pa.table({"x": pa.array(range(total, total + n), pa.int64())}),
+            str(src / f"frag-{i:02d}.parquet"),
+        )
+        total += n
+    out = str(tmp_path / "compacted")
+    r1 = compact_shards(str(src / "*.parquet"), out, target_rows=50)
+    assert r1["rows"] == total and r1["skipped"] == 0
+    got = read_partitioned(out).to_pandas()["x"].sort_values().tolist()
+    assert got == list(range(total))
+    n_shards = len(_glob.glob(out + "/shard=*"))
+    assert 1 < n_shards < 12  # actually compacted
+
+    r2 = compact_shards(str(src / "*.parquet"), out, target_rows=50)
+    assert r2["skipped"] == n_shards and r2["rows"] == 0
+
+    # crash simulation: drop one marker -> exactly that bucket redone
+    victim = sorted(_glob.glob(out + "/shard=*/_SUCCESS"))[0]
+    import os as _os
+
+    _os.remove(victim)
+    r3 = compact_shards(str(src / "*.parquet"), out, target_rows=50)
+    assert r3["skipped"] == n_shards - 1 and r3["rows"] > 0
+    got = read_partitioned(out).to_pandas()["x"].sort_values().tolist()
+    assert got == list(range(total))
