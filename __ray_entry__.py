@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": tpch.q6_forecast_revenue,
         "q3_shipping_priority": tpch.q3_shipping_priority,
         "q11_important_stock": tpch.q11_important_stock,
+        "orders_price_median": relops.orders_price_median,
     }
 
 
@@ -2908,5 +2909,12 @@ WITH pv AS (
 )
 SELECT l_partkey, value_ccents FROM pv
 WHERE value_ccents * 1000000 > 1000 * (SELECT SUM(value_ccents) FROM pv)
+"""
+    sql["orders_price_median"] = """
+SELECT o_orderpriority,
+       quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5)
+         AS median_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
 """
     return sql

@@ -42,6 +42,7 @@ __all__ = [
     "supplier_nation_balance",
     "region_nation_counts",
     "orders_price_quantiles",
+    "orders_price_median",
     "events_cms_counts",
     "q19_disjunctive_revenue",
 ]
@@ -1463,4 +1464,55 @@ def events_gap_hist(sf_dir: str, cap_minutes: int = 240) -> rd.Dataset:
         .map_groups(gaps, batch_format="pandas")
         .groupby("gap_minutes")
         .aggregate(Sum("n_gaps", alias_name="n_gaps"))
+    )
+
+
+def orders_price_median(sf_dir: str) -> rd.Dataset:
+    """(o_orderpriority, median_cents, n_orders): EXACT per-group lower
+    median (the element at index (n-1)//2 — DuckDB's quantile_disc(0.5)
+    convention, probed) of order price in cents, per priority.
+
+    Scale shape: the group's values never assemble anywhere — per-batch
+    (priority, cents) histogram partials merge through coarse partitions
+    (distinct price values can scale with the corpus), then each
+    priority's MEDIAN is one cumulative-count pass over its
+    histogram-compressed rows inside a domain-bounded map_groups (5
+    priorities)."""
+    from raycrawl.pipelines.dedup import coarse_parts, coarse_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "o_orderpriority": t["o_orderpriority"],
+                    "cents": _cents(t["o_totalprice"]),
+                    "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            )
+            .group_by(["o_orderpriority", "cents"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["o_orderpriority", "cents", "n"])
+
+    hist = coarse_sum(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority", "cents"], ["n"], coarse_parts(sf_dir) - 1,
+    )
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        total = int(g["n"].sum())
+        cum = g["n"].cumsum()
+        v = int(g.loc[cum >= (total - 1) // 2 + 1, "cents"].iloc[0])
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "median_cents": pd.array([v], "int64"),
+                "n_orders": pd.array([total], "int64"),
+            }
+        )
+
+    return hist.groupby("o_orderpriority").map_groups(
+        med, batch_format="pandas"
     )
