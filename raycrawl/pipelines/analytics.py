@@ -914,13 +914,29 @@ def top_customer_orders(
         _read(sf_dir, "customer", ["c_custkey", "c_name"]), _CNAME_SCHEMA
     )
 
-    joined = orders.join(
-        big,
-        join_type="inner",
-        num_partitions=join_parts(),
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
-    ).join(
+    # clean_blocks between the chained joins: a join's empty output
+    # partitions are SCHEMA-LESS blocks, and when one reaches the second
+    # join's aggregator first the key resolution rejects the whole
+    # partition ("No match ... FieldRef.Name(o_custkey)") — the Ray 2.49
+    # empty-block sharp edge, racy because it depends on bundle order
+    big_orders = clean_blocks(
+        orders.join(
+            big,
+            join_type="inner",
+            num_partitions=join_parts(),
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        ),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_totalprice_cents", pa.int64()),
+                ("total_qty", pa.int64()),
+            ]
+        ),
+    )
+    joined = big_orders.join(
         cust,
         join_type="inner",
         num_partitions=join_parts(),

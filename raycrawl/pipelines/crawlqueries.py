@@ -439,8 +439,16 @@ def crawl_triangles(sf_dir: str) -> pa.Table:
         ),
         pa.schema([("b", pa.string()), ("c", pa.string())]),
     )
-    wedges = und.join(hop, join_type="inner", num_partitions=n_parts,
-                      on=("b",))
+    # clean_blocks before the closing join: empty wedge partitions are
+    # schema-less and racily poison the composite-key join (the Ray 2.49
+    # empty-block join edge)
+    wedges = clean_blocks(
+        und.join(hop, join_type="inner", num_partitions=n_parts,
+                 on=("b",)),
+        pa.schema(
+            [("a", pa.string()), ("b", pa.string()), ("c", pa.string())]
+        ),
+    )
     # closing edge: (a, c) must be an edge — composite-key hash join
     closer = clean_blocks(
         und.map_batches(
@@ -1017,12 +1025,18 @@ def crawl_frontier_priority(sf_dir: str, iters: int = 4,
     node_tbl = nodes.map_batches(
         lambda t: pa.table({"node": t["url"]}), batch_format="pyarrow"
     )
-    dead = cand.join(
-        node_tbl,
-        join_type="left_anti",
-        num_partitions=n_parts,
-        on=("dst",),
-        right_on=("node",),
+    # clean_blocks: the anti-join's empty partitions are schema-less and
+    # racily poison the downstream score join (the Ray 2.49 empty-block
+    # join edge)
+    dead = clean_blocks(
+        cand.join(
+            node_tbl,
+            join_type="left_anti",
+            num_partitions=n_parts,
+            on=("dst",),
+            right_on=("node",),
+        ),
+        pa.schema([("src", pa.string()), ("dst", pa.string())]),
     )
     # resolved graph = the SAME cand closed over pages (shared handle —
     # the extraction pass, already distinct, feeds both consumers)
