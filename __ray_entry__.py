@@ -427,6 +427,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": tpch.q3_shipping_priority,
         "q11_important_stock": tpch.q11_important_stock,
         "orders_price_median": relops.orders_price_median,
+        # ---- round 4: profiling / grouped-sketch / fuzzy-linkage batch ----
+        "docs_profile": analytics.table_profile,
+        "events_hll_by_type": _hll_by_type_checked,
+        "customers_edit1_pairs": dedup.edit1_pairs,
     }
 
 
@@ -464,6 +468,37 @@ def _hll_checked(sf_dir: str):
     # m=2^14 registers -> sigma ~0.8%; 4% is ~5 sigma and still catches a
     # broken register/merge path instantly
     assert err <= 0.04, f"HLL {got} vs exact {exact}: error {err:.3f} > 0.04"
+    return approx
+
+
+def _hll_by_type_checked(sf_dir: str):
+    """Per-group HyperLogLog distinct users with every group's error bound
+    CHECKED vs the exact per-type distinct count — same no-SQL-oracle
+    reasoning as :func:`_hll_checked`; the assertion failing loudly inside
+    the driver's rows-only check IS the correctness signal."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    approx = relops.events_hll_by_type(sf_dir)
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    exact = {
+        r["event_type"]: r["user_id_distinct"]
+        for r in t.group_by("event_type")
+        .aggregate([("user_id", "count_distinct")])
+        .rename_columns(["event_type", "user_id_distinct"])
+        .to_pylist()
+    }
+    assert set(approx["event_type"].to_pylist()) == set(exact)
+    for ty, got in zip(approx["event_type"].to_pylist(),
+                       approx["n_users_hll"].to_pylist()):
+        err = abs(got - exact[ty]) / max(exact[ty], 1)
+        # p=12 -> sigma ~1.6%; 6% is ~4 sigma per group
+        assert err <= 0.06, (
+            f"HLL[{ty}] {got} vs exact {exact[ty]}: error {err:.3f} > 0.06"
+        )
     return approx
 
 
@@ -2916,5 +2951,45 @@ SELECT o_orderpriority,
          AS median_cents,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1
+"""
+
+    # per-column profile of the documents table: value min/max for integer
+    # columns, BYTE-length min/max + total byte volume (strlen = bytes in
+    # DuckDB) for string columns; n_distinct exact
+    sql["docs_profile"] = """
+SELECT 'doc_id' AS col, CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(doc_id) AS BIGINT) AS lo, CAST(MAX(doc_id) AS BIGINT) AS hi,
+       CAST(0 AS BIGINT) AS total_len
+FROM documents
+UNION ALL
+SELECT 'text', COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+       MIN(strlen(text)), MAX(strlen(text)),
+       CAST(COALESCE(SUM(strlen(text)), 0) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+       MIN(strlen(lang)), MAX(strlen(lang)),
+       CAST(COALESCE(SUM(strlen(lang)), 0) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+       MIN(strlen(source)), MAX(strlen(source)),
+       CAST(COALESCE(SUM(strlen(source)), 0) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+       MIN(n_chars), MAX(n_chars), CAST(0 AS BIGINT)
+FROM documents
+ORDER BY col
+"""
+
+    # symmetric-delete-blocked edit-distance-1 linkage; the oracle is the
+    # quadratic scan the Ray plan exists to avoid (fine at gate scale)
+    sql["customers_edit1_pairs"] = """
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM (SELECT DISTINCT c_name FROM customer) a
+JOIN (SELECT DISTINCT c_name FROM customer) b
+  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
 """
     return sql

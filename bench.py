@@ -161,6 +161,9 @@ def run_queries() -> dict:
         "q19_banded_revenue": lambda: relops.q19_disjunctive_revenue(SF_DIR),
         "q5_local_supplier_volume": lambda: tpch.q5_local_supplier_volume(SF_DIR),
         "q10_returned_revenue": lambda: tpch.q10_returned_revenue(SF_DIR),
+        "docs_profile": lambda: analytics.table_profile(SF_DIR),
+        "events_hll_by_type": lambda: relops.events_hll_by_type(SF_DIR),
+        "customers_edit1_pairs": lambda: dedup.edit1_pairs(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
         # as the headline: a burst during one 1-3 s query would otherwise

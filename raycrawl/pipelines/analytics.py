@@ -70,6 +70,7 @@ __all__ = [
     "part_cheapest_supplier",
     "events_mode_type",
     "events_wau",
+    "table_profile",
 ]
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -1796,4 +1797,129 @@ def events_wau(sf_dir: str, window_days: int = 7) -> rd.Dataset:
         .map_groups(window_counts, batch_format="pandas")
         .groupby("day")
         .aggregate(Sum("wau", alias_name="wau"))
+    )
+
+
+def table_profile(sf_dir: str, table: str = "documents") -> pa.Table:
+    """(col, n_nulls, n_distinct, lo, hi, total_len): per-column data
+    profile of ``table`` — the ingest-time audit every pipeline run wants
+    before trusting a new drop (null rates, key uniqueness, value ranges,
+    payload volume). Integer columns report value min/max; string columns
+    report BYTE-length min/max plus the total byte volume (so ``lo=hi``
+    on a fixed-width key column or ``total_len`` doubling overnight are
+    one-glance anomalies).
+
+    Scale shape: min/max/null/volume partials for EVERY column come from
+    ONE melted pass over the table (one row per batch per column, final
+    groupby bounded by the COLUMN domain). Distinct counts are exact and
+    per-column: each runs the standard coarse-hash dedup
+    (:func:`raycrawl.pipelines.dedup.coarse_distinct` — output
+    cardinality scales with the data, so never a native aggregate) over a
+    single pruned column read; `Dataset.count` then sums per-block row
+    counts without collecting rows. Total IO = two column-pruned passes
+    over the table.
+    """
+    import pyarrow.parquet as pq
+
+    from raycrawl.pipelines.dedup import coarse_distinct
+
+    schema = pq.read_schema(os.path.join(sf_dir, f"{table}.parquet"))
+    cols = list(schema.names)
+    kinds: dict[str, str] = {}
+    for f in schema:
+        if pa.types.is_integer(f.type):
+            kinds[f.name] = "int"
+        elif pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+            kinds[f.name] = "str"
+        else:
+            raise NotImplementedError(
+                f"table_profile supports int/string columns, got "
+                f"{f.name}: {f.type}"
+            )
+
+    def partials(t: pa.Table) -> pa.Table:
+        names, nulls, los, his, lens = [], [], [], [], []
+        for c in cols:
+            arr = t[c]
+            n_null = int(arr.null_count)
+            if kinds[c] == "int":
+                vals = pc.cast(arr, pa.int64())
+                total = 0
+            else:
+                vals = pc.binary_length(arr)  # bytes, = SQL OCTET_LENGTH
+                s = pc.sum(vals)
+                total = int(s.as_py() or 0)
+            mn, mx = pc.min(vals), pc.max(vals)
+            if mn.as_py() is None and not n_null:  # empty batch
+                continue
+            names.append(c)
+            nulls.append(n_null)
+            # all-null batch: identity elements so min/max still reduce
+            los.append(
+                int(mn.as_py()) if mn.as_py() is not None else 2**63 - 1
+            )
+            his.append(
+                int(mx.as_py()) if mx.as_py() is not None else -(2**63)
+            )
+            lens.append(total)
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "n_nulls": pa.array(nulls, pa.int64()),
+                "lo": pa.array(los, pa.int64()),
+                "hi": pa.array(his, pa.int64()),
+                "total_len": pa.array(lens, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    stats = {
+        r["col"]: r
+        for r in (
+            _read(sf_dir, table, cols)
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("col")
+            .aggregate(
+                Sum("n_nulls", alias_name="n_nulls"),
+                Min("lo", alias_name="lo"),
+                Max("hi", alias_name="hi"),
+                Sum("total_len", alias_name="total_len"),
+            )
+            .take_all()  # bounded by the column domain
+        )
+    }
+    mask = coarse_parts(sf_dir) - 1
+
+    def _drop_nulls(c):
+        # SQL COUNT(DISTINCT x) semantics: nulls are not a distinct value
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_valid(t[c]))
+        return f
+
+    distinct = {
+        c: coarse_distinct(
+            _read(sf_dir, table, [c]).map_batches(
+                _drop_nulls(c), batch_format="pyarrow"
+            ),
+            [c], mask,
+        ).count()
+        for c in cols
+    }
+    order = sorted(cols)
+    return pa.table(
+        {
+            "col": pa.array(order, pa.string()),
+            "n_nulls": pa.array(
+                [int(stats[c]["n_nulls"]) for c in order], pa.int64()
+            ),
+            "n_distinct": pa.array(
+                [int(distinct[c]) for c in order], pa.int64()
+            ),
+            "lo": pa.array([int(stats[c]["lo"]) for c in order], pa.int64()),
+            "hi": pa.array([int(stats[c]["hi"]) for c in order], pa.int64()),
+            "total_len": pa.array(
+                [int(stats[c]["total_len"]) for c in order], pa.int64()
+            ),
+        }
     )

@@ -41,6 +41,7 @@ __all__ = [
     "incremental_dedup",
     "containment_pairs",
     "semdedup",
+    "edit1_pairs",
     "shingles",
     "jaccard",
     "MinHasher",
@@ -1165,3 +1166,187 @@ def semdedup(
 
     return assigned.groupby("cluster").map_groups(
         prune, batch_format="pandas")
+
+
+def _byte_mat(arr: pa.Array, reverse: bool = False):
+    """(n, Lmax) zero-padded uint8 matrix + int64 lengths for a binary
+    array, built by one vectorized gather over the Arrow data buffer (no
+    per-row Python). ``reverse=True`` flips each row by its OWN length
+    (for suffix-match scans)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.binary())
+    off = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, np.uint8) if buf is not None
+        else np.zeros(0, np.uint8)
+    )
+    lens = off[1:] - off[:-1]
+    n = len(arr)
+    L = int(lens.max()) if n else 0
+    if L == 0:
+        return np.zeros((n, 0), np.uint8), lens
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    if reverse:
+        idx = off[1:, None] - 1 - pos
+        valid = idx >= off[:-1, None]
+    else:
+        idx = off[:-1, None] + pos
+        valid = idx < off[1:, None]
+    mat = np.zeros((n, L), np.uint8)
+    mat[valid] = data[idx[valid]]
+    return mat, lens
+
+
+def _match_len(ma: np.ndarray, la: np.ndarray, mb: np.ndarray,
+               lb: np.ndarray) -> np.ndarray:
+    """Per-row length of the common prefix of rows of two byte matrices
+    (pass reversed matrices for common-suffix lengths)."""
+    L = max(ma.shape[1], mb.shape[1])
+    if ma.shape[1] < L:
+        ma = np.pad(ma, ((0, 0), (0, L - ma.shape[1])))
+    if mb.shape[1] < L:
+        mb = np.pad(mb, ((0, 0), (0, L - mb.shape[1])))
+    lim = np.minimum(la, lb)
+    if L == 0:
+        return np.zeros(len(la), np.int64)
+    mism = (ma != mb) & (np.arange(L)[None, :] < lim[:, None])
+    has = mism.any(axis=1)
+    return np.where(has, mism.argmax(axis=1), lim).astype(np.int64)
+
+
+def edit1_pairs(sf_dir: str, table: str = "customer",
+                col: str = "c_name") -> rd.Dataset:
+    """(name_a, name_b): every UNORDERED pair of distinct ``col`` values at
+    Levenshtein distance <= 1 — record linkage / fuzzy key matching by the
+    symmetric-delete blocking of FastSS (Bocek et al. 2007) / SymSpell:
+    two strings are within one edit iff they share an element of
+    {s} ∪ deletions1(s), so blocking on those keys has PERFECT recall and
+    the quadratic all-pairs scan never happens.
+
+    Scale shape: per batch, every deletion variant is built by vectorized
+    Arrow slice+join kernels (L+1 keys per string — meant for short key
+    columns: names, titles, hosts); candidate groups resolve inside
+    coarse-hash partitions (variant-key cardinality scales with the data —
+    the native-aggregate cost rule), pairs are globally deduped the same
+    way, and the final lev<=1 check is a vectorized prefix/suffix
+    match-length pass over byte matrices (equal lengths: p + s >= L - 1;
+    lengths off by one: p + s >= min-L) — no per-row DP, no Python loop
+    over candidates."""
+    from raycrawl.pipelines.relops import _read
+
+    mask = coarse_parts(sf_dir) - 1
+    _BIG = 1 << 30
+
+    def variants(t: pa.Table) -> pa.Table:
+        s = pc.unique(pc.cast(t[col], pa.binary()))
+        if len(s) == 0:
+            return pa.table(
+                {"vkey": pa.array([], pa.binary()),
+                 "name": pa.array([], pa.binary())}
+            )
+        lens = pc.binary_length(s).to_numpy(zero_copy_only=False)
+        keys = [s]
+        names = [s]
+        for i in range(int(lens.max())):
+            sub = pc.filter(s, pa.array(lens > i))
+            keys.append(
+                pc.binary_join_element_wise(
+                    pc.binary_slice(sub, 0, i),
+                    pc.binary_slice(sub, i + 1, _BIG),
+                    b"",
+                )
+            )
+            names.append(sub)
+        tbl = pa.table(
+            {
+                "vkey": pa.concat_arrays(
+                    [k.combine_chunks() if isinstance(k, pa.ChunkedArray)
+                     else k for k in keys]
+                ),
+                "name": pa.concat_arrays(
+                    [k.combine_chunks() if isinstance(k, pa.ChunkedArray)
+                     else k for k in names]
+                ),
+            }
+        )
+        # zero-runs: deleting any char of a same-char run yields the same
+        # variant — local dedup keeps one (vkey, name) row
+        return tbl.group_by(["vkey", "name"]).aggregate([])
+
+    def add_pp(t: pa.Table) -> pa.Table:
+        pp = coarse_key(t.to_pandas(), ["vkey"], mask)
+        return t.append_column("pp", pa.array(pp, pa.int64()))
+
+    def pairs_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vkey", kind="mergesort")
+        vk = df["vkey"].to_numpy()
+        nm = df["name"].to_numpy()
+        empty = pd.DataFrame(
+            {"name_a": pd.Series([], dtype=object),
+             "name_b": pd.Series([], dtype=object)}
+        )
+        if len(vk) == 0:
+            return empty
+        new = np.r_[True, vk[1:] != vk[:-1]]
+        counts = np.diff(np.r_[np.flatnonzero(new), len(vk)])
+        starts = np.cumsum(counts) - counts
+        a_out, b_out = [], []
+        for st, c in zip(starts[counts > 1], counts[counts > 1]):
+            # candidate groups are alphabet-bounded (strings sharing one
+            # deletion variant), so the per-group pair expansion is tiny
+            ii, jj = np.triu_indices(int(c), 1)
+            ga, gb = nm[st + ii], nm[st + jj]
+            lo = np.minimum(ga, gb)
+            hi = np.maximum(ga, gb)
+            a_out.append(lo)
+            b_out.append(hi)
+        if not a_out:
+            return empty
+        return pd.DataFrame(
+            {"name_a": np.concatenate(a_out),
+             "name_b": np.concatenate(b_out)}
+        ).drop_duplicates()
+
+    cand = (
+        _read(sf_dir, table, [col])
+        .map_batches(variants, batch_format="pyarrow")
+        .map_batches(add_pp, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(pairs_part, batch_format="pandas")
+    )
+    # a lev-2 candidate (e.g. a transposition) can share TWO variant keys
+    # and surface in two partitions — dedup pairs before the verify
+    cand = coarse_distinct(cand, ["name_a", "name_b"], mask)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"name_a": pa.array([], pa.string()),
+                 "name_b": pa.array([], pa.string())}
+            )
+        a, b = t["name_a"], t["name_b"]
+        ma, la = _byte_mat(a)
+        mb, lb = _byte_mat(b)
+        ra, _ = _byte_mat(a, reverse=True)
+        rb, _ = _byte_mat(b, reverse=True)
+        p = _match_len(ma, la, mb, lb)
+        s = _match_len(ra, la, rb, lb)
+        dl = np.abs(la - lb)
+        ok = np.where(
+            dl == 0,
+            p + s >= np.maximum(la - 1, 0),
+            (dl == 1) & (p + s >= np.minimum(la, lb)),
+        )
+        kept = t.filter(pa.array(ok.astype(bool)))
+        return pa.table(
+            {
+                "name_a": pc.cast(kept["name_a"], pa.string()),
+                "name_b": pc.cast(kept["name_b"], pa.string()),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")

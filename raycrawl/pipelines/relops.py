@@ -38,6 +38,7 @@ __all__ = [
     "events_distinct_users",
     "events_gap_hist",
     "events_hll_users",
+    "events_hll_by_type",
     "brand_revenue",
     "supplier_nation_balance",
     "region_nation_counts",
@@ -945,6 +946,96 @@ def events_hll_users(sf_dir: str, p: int = 14) -> pa.Table:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return pa.table({"n_users_hll": pa.array([int(round(est))], pa.int64())})
+
+
+def events_hll_by_type(sf_dir: str, p: int = 12) -> pa.Table:
+    """(event_type, n_users_hll): PER-GROUP HyperLogLog user cardinality —
+    the grouped twin of :func:`events_hll_users` for dashboards that need a
+    distinct count per segment without shuffling one row per distinct
+    (group, key) pair (what :func:`events_distinct_users`, the exact twin,
+    must move). Data moved: one 2^p-byte register row per (block, group)
+    — bounded by the GROUP domain, never by user cardinality.
+
+    Same deterministic splitmix hash and two-level merge as the global
+    sketch; the only change is registers/merges keyed by event_type, and
+    the driver finalize is bounded by types x 64 salted rows. The query
+    wrapper asserts every group's estimate against its exact distinct
+    count at gate time (no SQL oracle: DuckDB's approx sketch differs).
+    """
+    m = 1 << p
+    _MIX1 = 0x9E3779B97F4A7C15
+    _MIX2 = 0xBF58476D1CE4E5B9
+    _ADD = 0xD1B54A32D192ED03
+
+    def registers(t: pa.Table) -> pa.Table:
+        ids = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ids * np.uint64(_MIX1) + np.uint64(_ADD)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(_MIX2)
+        h ^= h >> np.uint64(32)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = (h & np.uint64((1 << 50) - 1)).astype(np.float64)
+        rho = np.where(w > 0, 50 - np.floor(np.log2(w)), 51).astype(np.int8)
+        # one register row per DISTINCT type in this batch (type domain is
+        # small; np.unique + per-type maximum.at keeps it one pass)
+        types, inv = np.unique(
+            t["event_type"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        regs = np.zeros((len(types), m), np.int8)
+        np.maximum.at(regs, (inv, idx), rho)
+        salt = int(h[0] % np.uint64(64)) if len(h) else 0
+        return pa.table(
+            {
+                "event_type": pa.array(types.astype(object), pa.string()),
+                "salt": pa.array([salt] * len(types), pa.int64()),
+                "regs": pa.array(list(regs), pa.list_(pa.int8(), m)),
+            }
+        )
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        stacked = (
+            t["regs"].combine_chunks().flatten().to_numpy().reshape(-1, m)
+        )
+        merged = np.maximum.reduce(stacked).astype(np.int8)
+        return pa.table(
+            {
+                "event_type": t["event_type"][:1],
+                "salt": t["salt"][:1],
+                "regs": pa.array([merged], pa.list_(pa.int8(), m)),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(registers, batch_format="pyarrow")
+        .groupby(["event_type", "salt"])
+        .map_groups(merge_group, batch_format="pyarrow")
+        .take_all()  # bounded: <= types x 64 rows of 2^p bytes
+    )
+    by_type: dict[str, np.ndarray] = {}
+    for r in rows:
+        regs = np.asarray(r["regs"], np.int8)
+        key = r["event_type"]
+        if key in by_type:
+            np.maximum(by_type[key], regs, out=by_type[key])
+        else:
+            by_type[key] = regs.copy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out_t, out_n = [], []
+    for key in sorted(by_type):
+        regs = by_type[key].astype(np.float64)
+        est = alpha * m * m / np.sum(np.power(2.0, -regs))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        out_t.append(key)
+        out_n.append(int(round(est)))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "n_users_hll": pa.array(out_n, pa.int64()),
+        }
+    )
 
 
 def events_range_join(sf_dir: str, window_s: int = 3600,

@@ -461,3 +461,95 @@ def test_q19_planted(ray_session, tmp_path):
     # 1000*100 + 2000*95 + 3000*90 = 100000 + 190000 + 270000
     assert int(t["revenue_ccents"].iloc[0]) == 560000
     assert int(t["n_items"].iloc[0]) == 3
+
+
+# ---- profiling / grouped HLL / edit-distance-1 linkage batch ----
+
+
+def test_table_profile_planted_nulls(ray_session, tmp_path):
+    """Null handling the gate corpus can't exercise: nulls counted, never
+    a distinct value, min/max/volume over the valid rows only."""
+    from raycrawl.pipelines.analytics import table_profile
+
+    d = str(tmp_path)
+    _write(d, "documents", pa.table(
+        {
+            "k": pa.array([7, None, 7, 3], pa.int64()),
+            "s": pa.array(["ab", "wxyz", None, "ab"], pa.string()),
+        }
+    ))
+    rows = {r["col"]: r for r in table_profile(d).to_pylist()}
+    assert rows["k"] == {"col": "k", "n_nulls": 1, "n_distinct": 2,
+                        "lo": 3, "hi": 7, "total_len": 0}
+    assert rows["s"] == {"col": "s", "n_nulls": 1, "n_distinct": 2,
+                        "lo": 2, "hi": 4, "total_len": 8}
+
+
+def test_events_hll_by_type_bounds(ray_session):
+    """Every per-type estimate within the 4-sigma band of its exact
+    distinct count on the gate table (p=12 -> sigma ~1.6%)."""
+    from raycrawl.pipelines.relops import events_hll_by_type
+
+    got = {r["event_type"]: r["n_users_hll"]
+           for r in events_hll_by_type(SF).to_pylist()}
+    t = pq.read_table(os.path.join(SF, "events.parquet"),
+                      columns=["event_type", "user_id"])
+    g = t.group_by("event_type").aggregate([("user_id", "count_distinct")])
+    exact = {k: n for k, n in zip(g["event_type"].to_pylist(),
+                                  g["user_id_count_distinct"].to_pylist())}
+    assert set(got) == set(exact)
+    for ty, est in got.items():
+        assert abs(est - exact[ty]) / exact[ty] <= 0.06, (ty, est, exact[ty])
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit1_pairs_planted_edges(ray_session, tmp_path):
+    """The semantic edges of symmetric-delete blocking: substitution,
+    insertion into a same-char run, and the transposition FALSE candidate
+    (shares two variant keys yet lev=2 — must be verified away)."""
+    from raycrawl.pipelines.dedup import edit1_pairs
+
+    d = str(tmp_path)
+    names = ["ab", "ba", "abc", "abcd", "aaa", "aa", "xyz", "xz", "qqq"]
+    _write(d, "customer", pa.table({"c_name": pa.array(names)}))
+    got = {(r["name_a"], r["name_b"])
+           for r in edit1_pairs(d).take_all()}
+    want = {(a, b) for i, a in enumerate(names) for b in names[i + 1:]
+            if _lev(a, b) <= 1}
+    want = {tuple(sorted(p)) for p in want}
+    assert ("ab", "ba") not in got          # transposition rejected
+    assert tuple(sorted(("aaa", "aa"))) in got   # run deletion found
+    assert got == want
+
+
+def test_edit1_pairs_fuzz_vs_dp(ray_session, tmp_path):
+    """Randomized cross-check vs the DP distance on short low-alphabet
+    strings (dense near-pair space: inserts, deletes, substitutions,
+    transpositions, duplicates-after-dedup)."""
+    from raycrawl.pipelines.dedup import edit1_pairs
+
+    rng = np.random.default_rng(7)
+    names = list({
+        "".join(rng.choice(list("abc"), size=rng.integers(1, 6)))
+        for _ in range(120)
+    })
+    d = str(tmp_path)
+    _write(d, "customer", pa.table({"c_name": pa.array(names)}))
+    got = {(r["name_a"], r["name_b"])
+           for r in edit1_pairs(d).take_all()}
+    want = set()
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if _lev(a, b) <= 1:
+                want.add(tuple(sorted((a, b))))
+    assert got == want
