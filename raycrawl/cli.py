@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser(
         "ingest",
-        help="normalize a JSONL/CSV/Parquet crawl archive into the "
+        help="normalize a JSONL/CSV/Parquet/WARC crawl archive into the "
              "bucketed corpus layout crawl expects",
     )
     i.add_argument("input", help="archive file or directory")

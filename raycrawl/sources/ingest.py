@@ -42,10 +42,16 @@ _READERS = {
 def _format_of(path: str) -> str:
     if os.path.isdir(path):
         for entry in sorted(os.listdir(path)):
+            if entry.endswith((".warc", ".warc.gz")):
+                return ".warc"
             ext = os.path.splitext(entry)[1]
             if ext in _READERS:
                 return ext
-        raise ValueError(f"no supported files (.parquet/.csv/.jsonl) in {path!r}")
+        raise ValueError(
+            f"no supported files (.parquet/.csv/.jsonl/.warc) in {path!r}"
+        )
+    if path.endswith((".warc", ".warc.gz")):
+        return ".warc"
     ext = os.path.splitext(path)[1]
     if ext not in _READERS:
         raise ValueError(f"unsupported source format {ext!r} for {path!r}")
@@ -60,7 +66,12 @@ def read_table(path: str, columns=None) -> rd.Dataset:
     ext = _format_of(path)
     if ext == ".parquet":
         return rd.read_parquet(path, columns=columns)
-    ds = _READERS[ext](path)
+    if ext == ".warc":
+        from raycrawl.sources.warc import read_warc
+
+        ds = read_warc(path)
+    else:
+        ds = _READERS[ext](path)
     return ds.select_columns(columns) if columns else ds
 
 

@@ -350,3 +350,83 @@ def test_ingest_csv_defaults(ray_session, tmp_path):
         assert got[u] == host_bucket(host, 4)
     assert set(t["html"].to_pylist()) == {b""}
     assert set(t["lang"].to_pylist()) == {""}
+
+
+def test_warc_roundtrip_bytes():
+    """Writer -> parser round-trip is bit-exact (incl. binary payloads
+    with embedded CRLFCRLF and gzip), and non-response records skip."""
+    from raycrawl.sources.warc import (format_warc_record, parse_warc,
+                                       write_warc)
+
+    body = b"<html>\r\n\r\nbinary\x00payload</html>"
+    recs = [
+        {"url": "http://a.example.com/", "warc_ts": 1_700_000_000_000_000,
+         "html": body, "status": 301, "mime": "text/html; charset=utf-8"},
+        {"url": "http://b.example.com/x", "warc_ts": 0, "html": b""},
+    ]
+    raw = b"".join(
+        format_warc_record(r["url"], r["warc_ts"], r["html"],
+                           r.get("status", 200),
+                           r.get("mime", "text/html"))
+        for r in recs
+    )
+    # splice in a request record the reader must skip
+    req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+           b"Content-Length: 4\r\n\r\nGET \r\n\r\n")
+    got = parse_warc(req + raw)
+    assert [g["url"] for g in got] == [r["url"] for r in recs]
+    assert got[0]["html"] == body
+    assert got[0]["status"] == 301
+    assert got[0]["mime"] == "text/html; charset=utf-8"
+    assert got[0]["warc_ts"] == recs[0]["warc_ts"]
+    assert got[1]["html"] == b""
+
+    import gzip as _gz
+
+    assert parse_warc(_gz.compress(raw)) == parse_warc(raw)
+
+    # file writer round-trip
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/x.warc.gz"
+        assert write_warc(recs, p) == 2
+        with open(p, "rb") as f:
+            assert parse_warc(f.read()) == parse_warc(raw)
+
+
+def test_ingest_warc_crawl_parity(ray_session, corpus, tmp_path):
+    """A WARC archive (Common Crawl's container) ingested through
+    sources.ingest crawls to IDENTICAL done/seen sets as the native
+    parquet corpus — same bar as the JSONL/CSV formats."""
+    import pyarrow.dataset as pads
+
+    from raycrawl.sources.ingest import ingest_corpus
+    from raycrawl.sources.warc import write_warc
+
+    src = pads.dataset(corpus["corpus"], partitioning="hive").to_table()
+    rows = [
+        {"url": src["url"][i].as_py(),
+         "warc_ts": src["warc_ts"][i].value,
+         "html": src["html"][i].as_py(),
+         # a real crawl export records robots.txt as text/plain — the
+         # reader must route it into the text column the robots cache reads
+         "mime": ("text/plain"
+                  if src["url"][i].as_py().endswith("/robots.txt")
+                  else "text/html")}
+        for i in range(src.num_rows)
+    ]
+    # two shard files, one gzipped — exercises the per-file task split
+    mid = len(rows) // 2
+    d = tmp_path / "warcs"
+    d.mkdir()
+    write_warc(rows[:mid], str(d / "shard-00.warc"))
+    write_warc(rows[mid:], str(d / "shard-01.warc.gz"))
+
+    info = ingest_corpus(str(d), str(tmp_path / "ing"))
+    assert info["n_rows"] == src.num_rows
+
+    ref = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE))
+    got = crawl(info["corpus"], corpus["seeds"], CrawlConfig(**BASE))
+    assert got.done_urls() == ref.done_urls()
+    assert got.seen_urls() == ref.seen_urls()
