@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 import ray
 
 __all__ = ["resumable_transform_write", "read_partitioned",
-           "shard_key", "compact_shards"]
+           "shard_key", "compact_shards", "export_warc"]
 
 
 def shard_key(path: str) -> str:
@@ -188,3 +188,67 @@ def compact_shards(
         in_flight.append(_compact_task.remote(bucket, out_dir, key))
     rows += sum(ray.get(in_flight))
     return {"buckets": len(buckets), "skipped": skipped, "rows": rows}
+
+
+@ray.remote(num_cpus=1)
+def _warc_export_task(path: str, out_path: str, columns: list) -> int:
+    import pyarrow.compute as pc
+
+    from raycrawl.sources.warc import write_warc
+
+    t = pq.read_table(path, columns=columns)
+    ts = t["warc_ts"]
+    if pa.types.is_timestamp(ts.type):
+        ts = pc.cast(ts, pa.int64())
+    urls = t["url"].to_pylist()
+    records = (
+        {
+            "url": u,
+            "warc_ts": v or 0,
+            "html": h or b"",
+            # symmetric with the reader: robots/text payloads round-trip
+            # through the text/plain mime into the corpus text column
+            "mime": ("text/plain" if u.endswith("/robots.txt")
+                     else "text/html"),
+        }
+        for u, v, h in zip(urls, ts.to_pylist(), t["html"].to_pylist())
+    )
+    tmp = out_path + ".tmp"
+    n = write_warc(records, tmp, compress=out_path.endswith(".gz"))
+    os.replace(tmp, out_path)  # atomic commit — no partial archives
+    return n
+
+
+def export_warc(
+    input_glob: str,
+    out_dir: str,
+    compress: bool = True,
+    max_in_flight: int = 64,
+) -> dict:
+    """Export a parquet corpus (url / warc_ts / html fragments) as WARC
+    archives — the interchange format every other web-corpus tool reads.
+    One archive per input fragment (the same shard unit the WARC READER
+    parallelizes over), written to a temp name and atomically renamed, so
+    a re-run after a crash redoes only the missing archives. Shard names
+    come from :func:`shard_key` — stable under a grown input set."""
+    files = sorted(glob.glob(input_glob))
+    if not files:
+        raise FileNotFoundError(f"no inputs match {input_glob!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+    pending, skipped = [], 0
+    for path in files:
+        out_path = os.path.join(out_dir, shard_key(path) + ext)
+        if os.path.exists(out_path):
+            skipped += 1
+            continue
+        pending.append((path, out_path))
+    rows, in_flight = 0, []
+    cols = ["url", "warc_ts", "html"]
+    for path, out_path in pending:
+        if len(in_flight) >= max_in_flight:
+            done, in_flight = ray.wait(in_flight, num_returns=1)
+            rows += sum(ray.get(done))
+        in_flight.append(_warc_export_task.remote(path, out_path, cols))
+    rows += sum(ray.get(in_flight))
+    return {"archives": len(files), "skipped": skipped, "records": rows}

@@ -430,3 +430,49 @@ def test_ingest_warc_crawl_parity(ray_session, corpus, tmp_path):
     got = crawl(info["corpus"], corpus["seeds"], CrawlConfig(**BASE))
     assert got.done_urls() == ref.done_urls()
     assert got.seen_urls() == ref.seen_urls()
+
+
+def test_export_warc_roundtrip_and_resume(ray_session, corpus, tmp_path):
+    """Corpus -> WARC export -> re-ingest reproduces url/ts/html exactly;
+    a second export run skips every committed archive."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from raycrawl.pipelines.sink import export_warc
+    from raycrawl.sources.ingest import ingest_corpus
+
+    pattern = corpus["corpus"] + "/bucket=*/*.parquet"
+    out = str(tmp_path / "warcs")
+    info = export_warc(pattern, out)
+    src = pads.dataset(corpus["corpus"], partitioning="hive").to_table()
+    assert info["records"] == src.num_rows
+    assert info["skipped"] == 0
+    n_archives = len(_glob.glob(out + "/*.warc.gz"))
+    assert n_archives == info["archives"]
+
+    # resume: everything committed -> nothing re-exported
+    again = export_warc(pattern, out)
+    assert again["skipped"] == again["archives"] == n_archives
+    assert again["records"] == 0
+
+    # round-trip: re-ingest and compare url/ts/html row sets
+    ing = ingest_corpus(out, str(tmp_path / "reing"))
+    assert ing["n_rows"] == src.num_rows
+    back = pads.dataset(ing["corpus"], partitioning="hive").to_table()
+
+    def key_set(t):
+        ts = t["warc_ts"]
+        if not pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        return {
+            (u, v, bytes(h))
+            for u, v, h in zip(t["url"].to_pylist(),
+                               pc.cast(ts, pa.int64()).to_pylist(),
+                               t["html"].to_pylist())
+        }
+
+    import pyarrow as pa
+
+    assert key_set(back) == key_set(src)
