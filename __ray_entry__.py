@@ -41,6 +41,7 @@ from raycrawl.pipelines.crawlqueries import (
     corpus_for,
     crawl_bfs,
     crawl_bfs_with_query,
+    crawl_budget_alloc,
     crawl_degree_hist,
     crawl_edges,
     crawl_edges_joined,
@@ -431,6 +432,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_profile": analytics.table_profile,
         "events_hll_by_type": _hll_by_type_checked,
         "customers_edit1_pairs": dedup.edit1_pairs,
+        "dedup_source_stats": dedup.dedup_source_stats,
+        "ann_quantized_topk": ann.quantized_topk,
+        "crawl_budget_alloc": crawl_budget_alloc,
     }
 
 
@@ -1632,6 +1636,52 @@ GROUP BY per.doc_id
         + sql["dedup_clusters"]
         + "\n) WHERE doc_id = cluster_id"
     )
+    # per-source duplication report: wrap the same clusters oracle so the
+    # rollup can never disagree with the graph it reports on
+    sql["dedup_source_stats"] = (
+        "WITH cl AS (\n" + sql["dedup_clusters"] + "\n)\n"
+        + """SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cl.cluster_id <> d.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dups,
+       CAST(SUM(CASE WHEN cl.cluster_id <> d.doc_id THEN 1 ELSE 0 END)
+            * 4096 // COUNT(*) AS BIGINT) AS dup_ratio_4096
+FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+GROUP BY 1"""
+    )
+    # int8-quantized dot-product top-k: the quantization contract is
+    # sign * (|FLOOR(v*1e6)| * 127 // max|.|) — magnitude floor-division
+    # because DuckDB's // TRUNCATES toward zero while numpy's floors, so
+    # only the non-negative form is engine-identical
+    sql["ann_quantized_topk"] = """
+WITH f AS (
+  SELECT vec_id, i,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS fi
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+mm AS (SELECT vec_id, MAX(ABS(fi)) AS m FROM f GROUP BY 1),
+q AS (
+  SELECT f.vec_id, f.i,
+         CASE WHEN mm.m = 0 THEN 0
+              WHEN fi < 0 THEN -((-fi) * 127 // mm.m)
+              ELSE fi * 127 // mm.m END AS qi
+  FROM f JOIN mm USING (vec_id)
+),
+s AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         CAST(SUM(a.qi * b.qi) AS BIGINT) AS score_q
+  FROM q a JOIN q b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < 5
+  GROUP BY 1, 2
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_q DESC, vec_id) AS BIGINT)
+         AS rank,
+       vec_id, score_q
+FROM s
+QUALIFY rank <= 10
+"""
     # the fused curation decision: length gate + top-bigram repetition gate
     # + decontamination + hash split computed per doc, survivor flag from
     # the (wrapped) clusters oracle, keep = the AND of the four gates
@@ -1985,6 +2035,51 @@ SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_refs
 FROM cand
 WHERE dst NOT IN (SELECT url FROM pages) AND src <> dst
 GROUP BY dst
+"""
+    # largest-remainder proportional budget allocation over dead-candidate
+    # demand: all quantities non-negative so // and % agree across engines
+    sql["crawl_budget_alloc"] = f"""
+WITH pages AS (
+  SELECT url FROM read_parquet('{_SF001_CORPUS}')
+),
+cand AS (
+  SELECT DISTINCT url AS src,
+         CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+              ELSE 'http://' || host || h1 END AS dst
+  FROM (
+    SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+           split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                      '?', 1) AS h1
+    FROM read_parquet('{_SF001_CORPUS}')
+    WHERE {_HTML_FILTER} AND text <> ''
+  )
+),
+dead AS (
+  SELECT DISTINCT dst FROM cand
+  WHERE dst NOT IN (SELECT url FROM pages) AND src <> dst
+),
+hosts AS (
+  SELECT regexp_extract(dst, '^http://([^/]+)', 1) AS host,
+         COUNT(*) AS n_urls
+  FROM dead GROUP BY 1
+),
+tot AS (SELECT SUM(n_urls) AS n FROM hosts),
+calc AS (
+  SELECT host, n_urls,
+         (1000 * n_urls) // tot.n AS quota,
+         (1000 * n_urls) % tot.n AS rem
+  FROM hosts, tot
+),
+lr AS (SELECT SUM(quota) AS q FROM calc),
+ranked AS (
+  SELECT host, n_urls, quota, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk
+  FROM calc
+)
+SELECT host, CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(quota + CASE WHEN rk <= 1000 - (SELECT q FROM lr)
+                         THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked
 """
     # hashing-trick vectorizer: dim = md5(token)'s LAST BYTE mod 64,
     # recomputed nibble-exactly from the md5 hex string

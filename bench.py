@@ -164,6 +164,8 @@ def run_queries() -> dict:
         "docs_profile": lambda: analytics.table_profile(SF_DIR),
         "events_hll_by_type": lambda: relops.events_hll_by_type(SF_DIR),
         "customers_edit1_pairs": lambda: dedup.edit1_pairs(SF_DIR),
+        "ann_quantized_topk": lambda: ann.quantized_topk(SF_DIR),
+        "dedup_source_stats": lambda: dedup.dedup_source_stats(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
         # as the headline: a burst during one 1-3 s query would otherwise

@@ -25,6 +25,7 @@ __all__ = [
     "label_centroids",
     "kmeans_assign",
     "power_iteration",
+    "quantized_topk",
 ]
 
 
@@ -559,3 +560,96 @@ def power_iteration(
             "v_scaled": pa.array(v, pa.int64()),
         }
     )
+
+
+def quantized_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
+    """(query_id, rank, vec_id, score_q): top-k by int8-QUANTIZED dot
+    product — the scalar-quantization memory/SIMD trade every large ANN
+    index makes (FAISS SQ8: 4x smaller vectors, integer arithmetic). The
+    whole pipeline is exact integer math, so unlike the float ANN family
+    this one has a bit-exact SQL twin rather than a recall bound.
+
+    Quantization contract (identical in numpy and the DuckDB oracle):
+    fixed-point f_i = FLOOR(v_i * 1e6) as int64, per-vector magnitude
+    m = MAX(|f_i|), q_i = sign(f_i) * ((|f_i| * 127) // m) — magnitude
+    floor-division, i.e. TRUNCATION toward zero (DuckDB's ``//`` on
+    signed values), so both engines compute the same int8 codes. Score =
+    integer dot product of codes; ties break by vec_id.
+
+    Scale shape: same plan as :func:`brute_force_topk` — broadcast
+    quantized query codes, per-batch vectorized quantize + int64 matmul,
+    per-batch exact top-k preselect (lexsort on (-score, vec_id)), then
+    an O(batches * k * n_queries) driver merge.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    mask = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False) < n_queries)
+    sub = t.filter(pa.array(mask))
+    q_ids = sub["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(q_ids)
+    q_ids = q_ids[order]
+    q_codes = _quantize_i8(
+        np.stack(sub["embedding"].to_pylist()).astype(np.float64)[order]
+    )
+    q_ref = ray.put((q_ids, q_codes))
+
+    def score(t: pa.Table) -> pa.Table:
+        q_ids, q_codes = ray.get(q_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = _quantize_i8(np.stack(t["embedding"].to_pylist()))
+        sims = q_codes @ codes.T  # exact int64 matmul
+        out_q, out_v, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for qi, qid in enumerate(q_ids):
+            row = sims[qi]
+            top = np.lexsort((ids, -row))[:kk]  # exact tie-broken order
+            for j in top:
+                if ids[j] == qid:
+                    continue
+                out_q.append(qid)
+                out_v.append(ids[j])
+                out_s.append(int(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score_q": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    partials = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    merged = (
+        partials.sort_values(["query_id", "score_q", "vec_id"],
+                             ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+    )
+    merged["rank"] = merged.groupby("query_id").cumcount() + 1
+    out = merged[["query_id", "rank", "vec_id", "score_q"]].reset_index(
+        drop=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema(
+            [("query_id", pa.int64()), ("rank", pa.int64()),
+             ("vec_id", pa.int64()), ("score_q", pa.int64())]
+        )
+    )
+
+
+def _quantize_i8(emb: np.ndarray) -> np.ndarray:
+    """Vectorized int8 scalar quantization (the quantized_topk contract)."""
+    f = np.floor(emb * 1e6).astype(np.int64)
+    m = np.abs(f).max(axis=1)
+    m[m == 0] = 1  # all-zero rows quantize to zero codes anyway
+    return np.sign(f) * ((np.abs(f) * 127) // m[:, None])

@@ -30,7 +30,7 @@ from raycrawl.sources.synth import generate_corpus
 __all__ = ["corpus_for", "crawl_bfs", "crawl_edges", "crawl_text_identity",
            "crawl_host_stats", "crawl_filter_by", "crawl_pagerank",
            "crawl_triangles", "crawl_components", "crawl_degree_hist",
-           "CORPUS_ROOT", "SCALES"]
+           "crawl_budget_alloc", "CORPUS_ROOT", "SCALES"]
 
 CORPUS_ROOT = "/tmp/raycrawl_corpus"
 
@@ -1349,3 +1349,124 @@ def crawl_host_rank(sf_dir: str, iters: int = 4, k: int = 10) -> rd.Dataset:
         .sort(["rank_scaled", "host"], descending=[True, False])
         .limit(k)
     )
+
+
+def crawl_budget_alloc(sf_dir: str, budget: int = 1000) -> rd.Dataset:
+    """(host, n_urls, alloc): split a fixed next-wave fetch budget across
+    hosts PROPORTIONALLY to their uncrawled-candidate demand, by the
+    largest-remainder (Hamilton) method — sum(alloc) == budget exactly,
+    every quantity an integer, deterministic under ties (remainder DESC,
+    host ASC). This is the scheduling step between frontier scoring and
+    the politeness release: a crawl operator's per-host slot table.
+
+    Scale shape: demand = DISTINCT dead candidate urls per host (the
+    shared :func:`_cand_edges` plan anti-joined over pages, dst dedup in
+    coarse partitions, host counts via per-batch partials). The
+    allocator itself needs two scalar aggregates (total demand, total
+    floor-quota) and ONE bounded driver collect: the top-R remainder
+    hosts, R = budget - sum(quota) < min(#hosts, budget) — bounded by a
+    query PARAMETER, never the corpus. No cap at a host's own demand:
+    when budget > total demand every host is over-allocated pro rata
+    (callers cap at fetch time); the method is exact either way.
+    """
+    from ray.data.aggregate import Sum
+
+    from raycrawl.pipelines.dedup import (clean_blocks, coarse_distinct,
+                                          coarse_parts)
+
+    cand, nodes, n_parts = _cand_edges(sf_dir)
+    dead = clean_blocks(
+        cand.join(
+            nodes.map_batches(
+                lambda t: pa.table({"node": t["url"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="left_anti",
+            num_partitions=n_parts,
+            on=("dst",),
+            right_on=("node",),
+        ),
+        pa.schema([("src", pa.string()), ("dst", pa.string())]),
+    )
+    mask = coarse_parts(sf_dir) - 1
+    urls = coarse_distinct(
+        dead.map_batches(
+            lambda t: t.filter(pc.not_equal(t["src"], t["dst"]))
+            .select(["dst"]),
+            batch_format="pyarrow",
+        ),
+        ["dst"], mask,
+    )
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        h = pc.fill_null(
+            pc.struct_field(
+                pc.extract_regex(t["dst"], r"^http://(?P<host>[^/]+)"),
+                "host",
+            ),
+            "",
+        )
+        g = (
+            pa.table({"host": h, "n": pa.array(np.ones(len(t), np.int64))})
+            .group_by("host")
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["host", "n"])
+
+    hosts = (
+        urls.map_batches(host_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n", alias_name="n_urls"))
+    ).materialize()  # reused by three consumers below
+    total = hosts.sum("n_urls")
+    if not total:
+        return rd.from_arrow(pa.table(
+            {"host": pa.array([], pa.string()),
+             "n_urls": pa.array([], pa.int64()),
+             "alloc": pa.array([], pa.int64())}
+        ))
+
+    def quotas(t: pa.Table) -> pa.Table:
+        scaled = pc.multiply(t["n_urls"], budget)
+        return pa.table(
+            {
+                "host": t["host"],
+                "n_urls": t["n_urls"],
+                # all quantities non-negative: // and % agree across
+                # numpy / Arrow / DuckDB (no floor-vs-truncate split)
+                "quota": pc.divide(scaled, total),
+                "rem": pc.subtract(
+                    scaled, pc.multiply(pc.divide(scaled, total), total)
+                ),
+            }
+        )
+
+    qt = hosts.map_batches(quotas, batch_format="pyarrow").materialize()
+    leftover = budget - qt.sum("quota")
+    bonus = set()
+    if leftover > 0:
+        top = (
+            qt.sort(["rem", "host"], descending=[True, False])
+            .limit(int(leftover))
+            .take_all()
+        )  # bounded by the budget parameter
+        bonus = {r["host"] for r in top}
+    import ray as _ray
+
+    bset = _ray.put(bonus)  # budget-bounded broadcast set
+
+    def finish(t: pa.Table) -> pa.Table:
+        bs = _ray.get(bset)
+        extra = pa.array(
+            [1 if h in bs else 0 for h in t["host"].to_pylist()],
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "host": t["host"],
+                "n_urls": t["n_urls"],
+                "alloc": pc.add(t["quota"], extra),
+            }
+        )
+
+    return qt.map_batches(finish, batch_format="pyarrow")

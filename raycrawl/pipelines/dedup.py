@@ -42,6 +42,7 @@ __all__ = [
     "containment_pairs",
     "semdedup",
     "edit1_pairs",
+    "dedup_source_stats",
     "shingles",
     "jaccard",
     "MinHasher",
@@ -1350,3 +1351,65 @@ def edit1_pairs(sf_dir: str, table: str = "customer",
         )
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def dedup_source_stats(sf_dir: str, **cluster_kw) -> rd.Dataset:
+    """(source, n_docs, n_dups, dup_ratio_4096): per-SOURCE duplication
+    report — what fraction of each source's docs a near-dup dedup pass
+    would drop (cluster label != own id). The curation dashboard number
+    that decides which feeds get down-weighted or re-scraped: boilerplate
+    mills show up as high-dup sources instantly.
+
+    Scale shape: one hash-partitioned join ships (doc_id, cluster_id)
+    against the pruned (doc_id, source) read — the only shuffle beyond
+    what clustering already did — then per-batch partial counts into a
+    source-domain-bounded native aggregate. Ratio in integer 4096ths
+    (the repo's no-float contract)."""
+    from ray.data.aggregate import Sum
+
+    from raycrawl.pipelines.relops import join_parts
+
+    clusters = clean_blocks(
+        dedup_clusters(sf_dir, **cluster_kw),
+        pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]),
+    )
+    srcs = clean_blocks(
+        _read_docs(sf_dir, ["doc_id", "source"]),
+        pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        dup = pc.cast(
+            pc.not_equal(t["doc_id"], t["cluster_id"]), pa.int64()
+        )
+        g = (
+            pa.table({"source": t["source"], "n": pa.array(
+                np.ones(len(t), np.int64)), "d": dup})
+            .group_by("source")
+            .aggregate([("n", "sum"), ("d", "sum")])
+        )
+        return g.rename_columns(["source", "n", "d"])
+
+    per_src = (
+        srcs.join(clusters, join_type="inner",
+                  num_partitions=join_parts(), on=("doc_id",),
+                  right_on=("doc_id",))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_docs"),
+                   Sum("d", alias_name="n_dups"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": t["n_docs"],
+                "n_dups": t["n_dups"],
+                "dup_ratio_4096": pc.divide(
+                    pc.multiply(t["n_dups"], 4096), t["n_docs"]
+                ),
+            }
+        )
+
+    return per_src.map_batches(finish, batch_format="pyarrow")

@@ -37,7 +37,8 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "suppliers_sole_returns", "multimodal_wav_meta",
          "supplier_top_revenue", "promo_revenue_share",
          "part_cheapest_supplier", "events_mode_type", "events_wau",
-         "docs_hash_sample"]
+         "docs_hash_sample", "docs_profile", "customers_edit1_pairs",
+         "dedup_source_stats", "ann_quantized_topk", "crawl_budget_alloc"]
 
 
 @pytest.fixture(scope="module")

@@ -553,3 +553,74 @@ def test_edit1_pairs_fuzz_vs_dp(ray_session, tmp_path):
             if _lev(a, b) <= 1:
                 want.add(tuple(sorted((a, b))))
     assert got == want
+
+
+def test_quantize_i8_contract():
+    """The int8 quantization contract: fixed-point floor, magnitude
+    floor-division (truncation toward zero — what DuckDB's // computes on
+    signed values), zero-vector safe."""
+    from raycrawl.pipelines.ann import _quantize_i8
+
+    v = np.array([[0.5, -0.25, 0.125, 0.0],
+                  [0.0, 0.0, 0.0, 0.0],
+                  [-1.0, 1.0, -0.333333, 0.7]])
+    got = _quantize_i8(v)
+
+    def ref(row):
+        f = [int(np.floor(x * 1e6)) for x in row]
+        m = max(abs(x) for x in f)
+        if m == 0:
+            return [0] * len(f)
+        out = []
+        for x in f:
+            q = (abs(x) * 127) // m
+            out.append(-q if x < 0 else q)
+        return out
+
+    for i in range(len(v)):
+        assert list(got[i]) == ref(v[i]), (i, list(got[i]), ref(v[i]))
+    assert got.min() >= -127 and got.max() <= 127
+
+
+def test_quantized_topk_planted(ray_session, tmp_path):
+    """Planted 2-D embeddings where quantized ranking is hand-checkable
+    and DIFFERS from float cosine (quantization collapses near-ties)."""
+    from raycrawl.pipelines.ann import quantized_topk
+
+    vecs = {
+        0: [1.0, 0.0],       # query
+        1: [0.9, 0.1],
+        2: [0.5, 0.5],
+        3: [-1.0, 0.0],
+        4: [0.0, 1.0],
+    }
+    _write(str(tmp_path), "embeddings", pa.table(
+        {
+            "vec_id": pa.array(sorted(vecs), pa.int64()),
+            "embedding": pa.array([vecs[k] for k in sorted(vecs)],
+                                  pa.list_(pa.float32())),
+        }
+    ))
+    t = quantized_topk(str(tmp_path), n_queries=1, k=4).to_pylist()
+    assert [r["vec_id"] for r in t] == [1, 2, 4, 3]
+    # codes: q0=(127,0); v1 f=(900000,100000) m=900000 -> (127,14);
+    # v2 -> (127,127). Both score 127*127 against q0 — float cosine ranks
+    # v1 above v2, quantization collapses them to a tie broken by vec_id.
+    scores = {r["vec_id"]: r["score_q"] for r in t}
+    assert scores[1] == scores[2] == 127 * 127
+    assert scores[3] == -127 * 127
+    assert scores[4] == 0
+
+
+def test_budget_alloc_invariants(ray_session):
+    """sum(alloc) == budget exactly; every host within 1 slot of its real
+    proportional share (the largest-remainder guarantee)."""
+    from raycrawl.pipelines.crawlqueries import crawl_budget_alloc
+
+    B = 137  # deliberately awkward
+    t = crawl_budget_alloc(SF, budget=B).to_pandas()
+    assert int(t["alloc"].sum()) == B
+    N = int(t["n_urls"].sum())
+    for _, r in t.iterrows():
+        exact = B * int(r["n_urls"]) / N
+        assert abs(int(r["alloc"]) - exact) < 1.0, (r["host"], exact)
