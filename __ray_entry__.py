@@ -43,6 +43,7 @@ from raycrawl.pipelines.crawlqueries import (
     crawl_bfs_with_query,
     crawl_budget_alloc,
     crawl_degree_hist,
+    crawl_url_templates,
     crawl_edges,
     crawl_edges_joined,
     crawl_dead_links,
@@ -435,6 +436,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_source_stats": dedup.dedup_source_stats,
         "ann_quantized_topk": ann.quantized_topk,
         "crawl_budget_alloc": crawl_budget_alloc,
+        "docs_vocab_growth": textops.vocab_growth,
+        "docs_lang_source_drift": textops.lang_source_drift,
+        "crawl_url_templates": crawl_url_templates,
     }
 
 
@@ -2080,6 +2084,56 @@ SELECT host, CAST(n_urls AS BIGINT) AS n_urls,
        CAST(quota + CASE WHEN rk <= 1000 - (SELECT q FROM lr)
                          THEN 1 ELSE 0 END AS BIGINT) AS alloc
 FROM ranked
+"""
+    # Heaps'-law vocabulary growth: vocab at T = tokens whose FIRST
+    # occurrence (min doc_id) precedes T — same raw \S+ tokens as
+    # docs_vocab_topk
+    sql["docs_vocab_growth"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\S+')))
+           AS token
+  FROM documents
+),
+first AS (SELECT token, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+t(threshold) AS (VALUES (16), (64), (256), (1024), (4096), (16384),
+                        (65536), (262144))
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       CAST((SELECT COUNT(*) FROM first WHERE fd < threshold) AS BIGINT)
+         AS vocab_size
+FROM t ORDER BY threshold
+"""
+    # lang x source mixing cross-tab: observed/expected-under-independence
+    # ratio in integer 4096ths (all marginals derive from the cell table)
+    sql["docs_lang_source_drift"] = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+),
+l AS (SELECT lang, SUM(n) AS r FROM cells GROUP BY 1),
+s AS (SELECT source, SUM(n) AS c FROM cells GROUP BY 1),
+t AS (SELECT SUM(n) AS tot FROM cells)
+SELECT cells.lang, cells.source, CAST(cells.n AS BIGINT) AS n_docs,
+       CAST(t.tot * cells.n * 4096 // (l.r * s.c) AS BIGINT) AS ratio_4096
+FROM cells JOIN l USING (lang) JOIN s USING (source) CROSS JOIN t
+"""
+    # URL templates over the distinct candidate set: digit runs -> 'N'
+    sql["crawl_url_templates"] = f"""
+WITH cand AS (
+  SELECT DISTINCT url AS src,
+         CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+              ELSE 'http://' || host || h1 END AS dst
+  FROM (
+    SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+           split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                      '?', 1) AS h1
+    FROM read_parquet('{_SF001_CORPUS}')
+    WHERE {_HTML_FILTER} AND text <> ''
+  )
+),
+durls AS (SELECT DISTINCT dst FROM cand WHERE dst <> src)
+SELECT regexp_replace(dst, '[0-9]+', 'N', 'g') AS template,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM durls
+GROUP BY 1 ORDER BY n_urls DESC, template LIMIT 20
 """
     # hashing-trick vectorizer: dim = md5(token)'s LAST BYTE mod 64,
     # recomputed nibble-exactly from the md5 hex string

@@ -96,6 +96,7 @@ def run_queries() -> dict:
     """Representative operator timings over $GRAFT_SF_DIR."""
     from raycrawl.pipelines import (analytics, ann, dedup, multimodal,
                                     relops, retrieval, textops, tpch)
+    from raycrawl.pipelines import crawlqueries as crawlq
 
     def consume(x):
         import pyarrow as pa
@@ -166,6 +167,8 @@ def run_queries() -> dict:
         "customers_edit1_pairs": lambda: dedup.edit1_pairs(SF_DIR),
         "ann_quantized_topk": lambda: ann.quantized_topk(SF_DIR),
         "dedup_source_stats": lambda: dedup.dedup_source_stats(SF_DIR),
+        "docs_vocab_growth": lambda: textops.vocab_growth(SF_DIR),
+        "crawl_url_templates": lambda: crawlq.crawl_url_templates(SF_DIR),
     }.items():
         # best-of-2 (3 on >25% disagreement), same noisy-neighbor policy
         # as the headline: a burst during one 1-3 s query would otherwise

@@ -1807,21 +1807,25 @@ def table_profile(sf_dir: str, table: str = "documents") -> pa.Table:
     payload volume). Integer columns report value min/max; string columns
     report BYTE-length min/max plus the total byte volume (so ``lo=hi``
     on a fixed-width key column or ``total_len`` doubling overnight are
-    one-glance anomalies).
+    one-glance anomalies). Distinct counts are exact, null excluded (SQL
+    COUNT(DISTINCT) semantics).
 
-    Scale shape: min/max/null/volume partials for EVERY column come from
-    ONE melted pass over the table (one row per batch per column, final
-    groupby bounded by the COLUMN domain). Distinct counts are exact and
-    per-column: each runs the standard coarse-hash dedup
-    (:func:`raycrawl.pipelines.dedup.coarse_distinct` — output
-    cardinality scales with the data, so never a native aggregate) over a
-    single pruned column read; `Dataset.count` then sums per-block row
-    counts without collecting rows. Total IO = two column-pruned passes
-    over the table.
+    Scale shape: ONE scan, ONE shuffle. Each batch emits two row kinds
+    into the same stream: its locally-unique (col, val) rows (ints cast
+    to string — bijective, counts unchanged) and one stats-partial row
+    per column (nulls / min / max / byte volume). The coarse-hash
+    partition resolves distincts with Arrow's binary-safe C dedup (the
+    cost rule — distinct cardinality scales with the data) and routes
+    the tiny stats rows through a reserved partition; both collapse into
+    one final aggregate bounded by the COLUMN domain, because every
+    measure is expressed in a shared (nd, n_nulls, lo, hi, total_len)
+    frame where distinct rows carry identity elements for the stats and
+    vice versa.
     """
     import pyarrow.parquet as pq
 
-    from raycrawl.pipelines.dedup import coarse_distinct
+    from raycrawl.pipelines.dedup import coarse_key, coarse_parts
+    from ray.data.aggregate import Max, Min, Sum
 
     schema = pq.read_schema(os.path.join(sf_dir, f"{table}.parquet"))
     cols = list(schema.names)
@@ -1837,89 +1841,115 @@ def table_profile(sf_dir: str, table: str = "documents") -> pa.Table:
                 f"{f.name}: {f.type}"
             )
 
-    def partials(t: pa.Table) -> pa.Table:
-        names, nulls, los, his, lens = [], [], [], [], []
-        for c in cols:
-            arr = t[c]
-            n_null = int(arr.null_count)
-            if kinds[c] == "int":
-                vals = pc.cast(arr, pa.int64())
-                total = 0
-            else:
-                vals = pc.binary_length(arr)  # bytes, = SQL OCTET_LENGTH
-                s = pc.sum(vals)
-                total = int(s.as_py() or 0)
-            mn, mx = pc.min(vals), pc.max(vals)
-            if mn.as_py() is None and not n_null:  # empty batch
-                continue
-            names.append(c)
-            nulls.append(n_null)
-            # all-null batch: identity elements so min/max still reduce
-            los.append(
-                int(mn.as_py()) if mn.as_py() is not None else 2**63 - 1
-            )
-            his.append(
-                int(mx.as_py()) if mx.as_py() is not None else -(2**63)
-            )
-            lens.append(total)
-        return pa.table(
-            {
-                "col": pa.array(names, pa.string()),
-                "n_nulls": pa.array(nulls, pa.int64()),
-                "lo": pa.array(los, pa.int64()),
-                "hi": pa.array(his, pa.int64()),
-                "total_len": pa.array(lens, pa.int64()),
-            }
-        )
-
-    from ray.data.aggregate import Max, Min
-
-    stats = {
-        r["col"]: r
-        for r in (
-            _read(sf_dir, table, cols)
-            .map_batches(partials, batch_format="pyarrow")
-            .groupby("col")
-            .aggregate(
-                Sum("n_nulls", alias_name="n_nulls"),
-                Min("lo", alias_name="lo"),
-                Max("hi", alias_name="hi"),
-                Sum("total_len", alias_name="total_len"),
-            )
-            .take_all()  # bounded by the column domain
-        )
-    }
+    I64_MAX, I64_MIN = 2**63 - 1, -(2**63)
     mask = coarse_parts(sf_dir) - 1
 
-    def _drop_nulls(c):
-        # SQL COUNT(DISTINCT x) semantics: nulls are not a distinct value
-        def f(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_valid(t[c]))
-        return f
+    def melt(t: pa.Table) -> pa.Table:
+        out_col, out_val, out_null = [], [], []
+        out_lo, out_hi, out_len, n_us = [], [], [], []
+        for c in cols:
+            arr = t[c]
+            valid = arr.drop_null()
+            # distinct candidates: locally unique, stringified
+            u = pc.unique(pc.cast(valid, pa.string()))
+            n_u = len(u)
+            n_us.append(n_u)
+            out_col.extend([c] * n_u)
+            out_val.append(u)
+            out_null.extend([0] * n_u)
+            out_lo.extend([I64_MAX] * n_u)
+            out_hi.extend([I64_MIN] * n_u)
+            out_len.extend([0] * n_u)
+            # one stats-partial row per column
+            if kinds[c] == "int":
+                vals = pc.cast(valid, pa.int64())
+                total = 0
+            else:
+                vals = pc.binary_length(valid)  # bytes = SQL strlen
+                total = int(pc.sum(vals).as_py() or 0)
+            mn, mx = pc.min(vals), pc.max(vals)
+            out_col.append(c)
+            out_val.append(pa.array([""], pa.string()))
+            out_null.append(int(arr.null_count))
+            out_lo.append(I64_MAX if mn.as_py() is None else int(mn.as_py()))
+            out_hi.append(I64_MIN if mx.as_py() is None else int(mx.as_py()))
+            out_len.append(total)
+        tbl = pa.table(
+            {
+                "col": pa.array(out_col, pa.string()),
+                "val": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                     else a for a in out_val]
+                ),
+                "n_nulls": pa.array(out_null, pa.int64()),
+                "lo": pa.array(out_lo, pa.int64()),
+                "hi": pa.array(out_hi, pa.int64()),
+                "total_len": pa.array(out_len, pa.int64()),
+            }
+        )
+        # stats rows go to the reserved partition -1; distinct rows hash
+        # on (col, val)
+        is_stats = np.zeros(len(tbl), bool)
+        pos = 0
+        for n_u in n_us:
+            pos += n_u
+            is_stats[pos] = True
+            pos += 1
+        pp = coarse_key(tbl.select(["col", "val"]).to_pandas(),
+                        ["col", "val"], mask)
+        pp[is_stats] = -1
+        return tbl.append_column("pp", pa.array(pp, pa.int64()))
 
-    distinct = {
-        c: coarse_distinct(
-            _read(sf_dir, table, [c]).map_batches(
-                _drop_nulls(c), batch_format="pyarrow"
-            ),
-            [c], mask,
-        ).count()
-        for c in cols
-    }
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if int(g["pp"].iloc[0]) == -1:
+            agg = g.groupby("col", sort=False).agg(
+                n_nulls=("n_nulls", "sum"), lo=("lo", "min"),
+                hi=("hi", "max"), total_len=("total_len", "sum"),
+            ).reset_index()
+            agg["nd"] = 0
+            return agg[["col", "nd", "n_nulls", "lo", "hi", "total_len"]]
+        t = pa.Table.from_pandas(g[["col", "val"]], preserve_index=False)
+        dd = t.group_by(["col", "val"]).aggregate([])  # binary-safe dedup
+        cnt = dd.group_by("col").aggregate([([], "count_all")])
+        out = cnt.rename_columns(["col", "nd"]).to_pandas()
+        out["n_nulls"] = 0
+        out["total_len"] = 0
+        out["lo"] = I64_MAX
+        out["hi"] = I64_MIN
+        return out[["col", "nd", "n_nulls", "lo", "hi", "total_len"]]
+
+    rows = (
+        _read(sf_dir, table, cols)
+        .map_batches(melt, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(resolve, batch_format="pandas")
+        .groupby("col")
+        .aggregate(
+            Sum("nd", alias_name="n_distinct"),
+            Sum("n_nulls", alias_name="n_nulls"),
+            Min("lo", alias_name="lo"),
+            Max("hi", alias_name="hi"),
+            Sum("total_len", alias_name="total_len"),
+        )
+        .take_all()  # bounded by the column domain
+    )
+    by_col = {r["col"]: r for r in rows}
     order = sorted(cols)
     return pa.table(
         {
             "col": pa.array(order, pa.string()),
             "n_nulls": pa.array(
-                [int(stats[c]["n_nulls"]) for c in order], pa.int64()
+                [int(by_col[c]["n_nulls"]) for c in order], pa.int64()
             ),
             "n_distinct": pa.array(
-                [int(distinct[c]) for c in order], pa.int64()
+                [int(by_col[c]["n_distinct"]) for c in order], pa.int64()
             ),
-            "lo": pa.array([int(stats[c]["lo"]) for c in order], pa.int64()),
-            "hi": pa.array([int(stats[c]["hi"]) for c in order], pa.int64()),
+            "lo": pa.array([int(by_col[c]["lo"]) for c in order],
+                           pa.int64()),
+            "hi": pa.array([int(by_col[c]["hi"]) for c in order],
+                           pa.int64()),
             "total_len": pa.array(
-                [int(stats[c]["total_len"]) for c in order], pa.int64()
+                [int(by_col[c]["total_len"]) for c in order], pa.int64()
             ),
         }
     )

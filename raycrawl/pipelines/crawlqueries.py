@@ -30,7 +30,7 @@ from raycrawl.sources.synth import generate_corpus
 __all__ = ["corpus_for", "crawl_bfs", "crawl_edges", "crawl_text_identity",
            "crawl_host_stats", "crawl_filter_by", "crawl_pagerank",
            "crawl_triangles", "crawl_components", "crawl_degree_hist",
-           "crawl_budget_alloc", "CORPUS_ROOT", "SCALES"]
+           "crawl_budget_alloc", "crawl_url_templates", "CORPUS_ROOT", "SCALES"]
 
 CORPUS_ROOT = "/tmp/raycrawl_corpus"
 
@@ -1470,3 +1470,45 @@ def crawl_budget_alloc(sf_dir: str, budget: int = 1000) -> rd.Dataset:
         )
 
     return qt.map_batches(finish, batch_format="pyarrow")
+
+
+def crawl_url_templates(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """(template, n_urls): top-k URL path templates over the DISTINCT
+    candidate-link set, template = url with every digit run collapsed to
+    'N' — the crawler-trap / infinite-space detector (a calendar or
+    session-id trap shows up as one template with a colossal distinct-URL
+    count long before the frontier drowns).
+
+    Scale shape: one vectorized RE2 replace per batch over the shared
+    distinct candidate plan, per-batch partial counts, then the standard
+    coarse-hash grouped sum (template cardinality scales with the corpus)
+    and a distributed top-k sort/limit."""
+    from raycrawl.pipelines.dedup import (coarse_distinct, coarse_parts,
+                                          coarse_sum)
+
+    cand, _nodes, _n_parts = _cand_edges(sf_dir)
+    mask = coarse_parts(sf_dir) - 1
+    urls = coarse_distinct(
+        cand.map_batches(
+            lambda t: t.select(["dst"]), batch_format="pyarrow"
+        ),
+        ["dst"], mask,
+    )
+
+    def templ_partial(t: pa.Table) -> pa.Table:
+        tpl = pc.replace_substring_regex(t["dst"], r"[0-9]+", "N")
+        g = (
+            pa.table({"template": tpl})
+            .group_by("template")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["template", "n_urls"])
+
+    return (
+        coarse_sum(
+            urls.map_batches(templ_partial, batch_format="pyarrow"),
+            ["template"], ["n_urls"], mask,
+        )
+        .sort(["n_urls", "template"], descending=[True, False])
+        .limit(k)
+    )

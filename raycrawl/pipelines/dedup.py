@@ -196,6 +196,32 @@ def coarse_sum(ds: rd.Dataset, key_cols, val_cols, mask: int) -> rd.Dataset:
     )
 
 
+def coarse_min(ds: rd.Dataset, key_cols, val_cols, mask: int) -> rd.Dataset:
+    """Grouped MIN twin of :func:`coarse_sum` (min is associative, so the
+    per-batch partial + in-partition resolve is exact) — same coarse-hash
+    plan, same binary-safe pyarrow ``group_by``."""
+    keys, vals = list(key_cols), list(val_cols)
+
+    def add_pp(t: pa.Table) -> pa.Table:
+        g = t.select(keys + vals).group_by(keys).aggregate(
+            [(v, "min") for v in vals]
+        )
+        g = g.rename_columns(keys + vals)
+        pp = coarse_key(g.to_pandas(), keys, mask)
+        return g.append_column("pp", pa.array(pp, pa.int64()))
+
+    def min_part(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(g[keys + vals], preserve_index=False)
+        out = t.group_by(keys).aggregate([(v, "min") for v in vals])
+        return out.rename_columns(keys + vals).to_pandas()
+
+    return (
+        ds.map_batches(add_pp, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(min_part, batch_format="pandas")
+    )
+
+
 def clean_blocks(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
     """Rebuild ``ds`` from only its NON-EMPTY blocks, as Arrow tables with
     ``schema``'s columns.

@@ -63,6 +63,8 @@ __all__ = [
     "code_score",
     "bpe_encode",
     "hash_sample",
+    "vocab_growth",
+    "lang_source_drift",
 ]
 
 
@@ -3075,4 +3077,135 @@ def readability(sf_dir: str) -> rd.Dataset:
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         per_doc, batch_format="pyarrow"
+    )
+
+
+def vocab_growth(
+    sf_dir: str,
+    thresholds: tuple = (16, 64, 256, 1024, 4096, 16384, 65536, 262144),
+) -> pa.Table:
+    """(threshold, vocab_size): Heaps'-law vocabulary growth — how many
+    distinct tokens (raw \\S+, the vocab_topk contract) appear among the
+    first ``threshold`` documents (doc_id < threshold), for a ladder of
+    thresholds. The curve every tokenizer-budget decision reads: where
+    vocabulary growth flattens is where a bigger corpus stops buying new
+    types.
+
+    Cumulative distinct looks inherently sequential; it isn't — the trick
+    is per-TOKEN first occurrence: vocab_size(T) = |{token : min doc_id
+    over its occurrences < T}|. One coarse-hash grouped MIN over (token,
+    doc_id) partials (token cardinality scales with the corpus — the
+    cost rule), then a per-batch bincount over the threshold ladder and a
+    driver cumsum over <= |ladder|+1 rows. The full curve costs one
+    corpus pass regardless of ladder length.
+    """
+    from ray.data.aggregate import Sum
+
+    from raycrawl.pipelines.dedup import coarse_min, coarse_parts
+
+    thr = np.asarray(sorted(thresholds), np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(t["text"], r"\s+")
+        n_per = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists)
+        docs = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            n_per,
+        )
+        tb = pa.table(
+            {"token": flat, "fd": pa.array(docs, pa.int64())}
+        ).filter(pc.not_equal(flat, ""))
+        g = tb.group_by("token").aggregate([("fd", "min")])
+        return g.rename_columns(["token", "fd"])
+
+    first = coarse_min(
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["token"], ["fd"], coarse_parts(sf_dir) - 1,
+    )
+
+    def bucket(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        # bucket j = first ladder rung ABOVE fd; tokens with fd >= every
+        # rung fall past the ladder and never count
+        idx = np.searchsorted(thr, df["fd"].to_numpy(np.int64),
+                              side="right")
+        c = np.bincount(idx, minlength=len(thr) + 1)[: len(thr)]
+        return pd.DataFrame(
+            {"b": np.arange(len(thr), dtype=np.int64),
+             "n": c.astype(np.int64)}
+        )
+
+    rows = (
+        first.map_batches(bucket, batch_format="pandas")
+        .groupby("b")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded by the ladder length
+    )
+    counts = np.zeros(len(thr), np.int64)
+    for r in rows:
+        counts[int(r["b"])] = int(r["n"])
+    return pa.table(
+        {
+            "threshold": pa.array(thr, pa.int64()),
+            "vocab_size": pa.array(np.cumsum(counts), pa.int64()),
+        }
+    )
+
+
+def lang_source_drift(sf_dir: str) -> rd.Dataset:
+    """(lang, source, n_docs, ratio_4096): the language x source mixing
+    cross-tab with each cell's observed/expected ratio under independence
+    in integer 4096ths (4096 = exactly the rate the marginals predict) —
+    the data-mixing drift audit that catches one feed silently changing
+    language composition.
+
+    Scale shape: cell counts via per-batch partials into a (lang x
+    source)-domain-bounded native aggregate; marginals derive from the
+    cell table on the driver (O(domain) rows); ratio = n * O * 4096 //
+    (R * C), exact integers end to end.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["lang", "source"])
+            .group_by(["lang", "source"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["lang", "source", "n"])
+
+    cells = (
+        _read_docs(sf_dir, ["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .take_all()  # bounded by the lang x source domain
+    )
+    lang_tot: dict = {}
+    src_tot: dict = {}
+    total = 0
+    for r in cells:
+        lang_tot[r["lang"]] = lang_tot.get(r["lang"], 0) + r["n_docs"]
+        src_tot[r["source"]] = src_tot.get(r["source"], 0) + r["n_docs"]
+        total += r["n_docs"]
+    rows = sorted(cells, key=lambda r: (r["lang"], r["source"]))
+    return pa.table(
+        {
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "n_docs": pa.array(
+                [int(r["n_docs"]) for r in rows], pa.int64()
+            ),
+            "ratio_4096": pa.array(
+                [
+                    total * int(r["n_docs"]) * 4096
+                    // (lang_tot[r["lang"]] * src_tot[r["source"]])
+                    for r in rows
+                ],
+                pa.int64(),
+            ),
+        }
     )

@@ -38,7 +38,9 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "supplier_top_revenue", "promo_revenue_share",
          "part_cheapest_supplier", "events_mode_type", "events_wau",
          "docs_hash_sample", "docs_profile", "customers_edit1_pairs",
-         "dedup_source_stats", "ann_quantized_topk", "crawl_budget_alloc"]
+         "dedup_source_stats", "ann_quantized_topk", "crawl_budget_alloc",
+         "docs_vocab_growth", "docs_lang_source_drift",
+         "crawl_url_templates"]
 
 
 @pytest.fixture(scope="module")
