@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_growth": textops.vocab_growth,
         "docs_lang_source_drift": textops.lang_source_drift,
         "crawl_url_templates": crawl_url_templates,
+        "events_weekly_trend": analytics.events_weekly_trend,
     }
 
 
@@ -2114,6 +2115,20 @@ t AS (SELECT SUM(n) AS tot FROM cells)
 SELECT cells.lang, cells.source, CAST(cells.n AS BIGINT) AS n_docs,
        CAST(t.tot * cells.n * 4096 // (l.r * s.c) AS BIGINT) AS ratio_4096
 FROM cells JOIN l USING (lang) JOIN s USING (source) CROSS JOIN t
+"""
+    # weekly trend: LAG over the week x type domain (delta vs previous
+    # OBSERVED week; first week of a type compares to 0)
+    sql["events_weekly_trend"] = """
+WITH w AS (
+  SELECT epoch_us(ts) // 604800000000 AS week, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(week AS BIGINT) AS week, event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(n - COALESCE(LAG(n) OVER (PARTITION BY event_type
+                                      ORDER BY week), 0) AS BIGINT)
+         AS wow_delta
+FROM w
 """
     # URL templates over the distinct candidate set: digit runs -> 'N'
     sql["crawl_url_templates"] = f"""

@@ -71,6 +71,7 @@ __all__ = [
     "events_mode_type",
     "events_wau",
     "table_profile",
+    "events_weekly_trend",
 ]
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -1951,5 +1952,57 @@ def table_profile(sf_dir: str, table: str = "documents") -> pa.Table:
             "total_len": pa.array(
                 [int(by_col[c]["total_len"]) for c in order], pa.int64()
             ),
+        }
+    )
+
+
+def events_weekly_trend(sf_dir: str) -> pa.Table:
+    """(week, event_type, n_events, wow_delta): weekly event counts per
+    type with the week-over-week delta vs the previous OBSERVED week
+    (LAG semantics — a type absent for a week compares to its last
+    active week, exactly like the SQL window twin). The trend panel of
+    every events dashboard.
+
+    Scale shape: per-batch partial counts into a (week x type)-domain-
+    bounded native aggregate; the LAG resolves on the driver over that
+    domain-bounded table (weeks grow with the time span, never the row
+    count). Week = epoch-us // 604800e6 — pure integer."""
+    from ray.data.aggregate import Sum
+
+    WEEK_US = 604_800_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        wk = pc.divide(pc.cast(t["ts"], pa.int64()), WEEK_US)
+        g = (
+            pa.table({"week": wk, "event_type": t["event_type"]})
+            .group_by(["week", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["week", "event_type", "n"])
+
+    rows = (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["week", "event_type"])
+        .aggregate(Sum("n", alias_name="n_events"))
+        .take_all()  # bounded by the week x type domain
+    )
+    rows.sort(key=lambda r: (r["event_type"], r["week"]))
+    weeks, types, ns, deltas = [], [], [], []
+    prev_type, prev_n = None, 0
+    for r in rows:
+        if r["event_type"] != prev_type:
+            prev_type, prev_n = r["event_type"], 0
+        weeks.append(int(r["week"]))
+        types.append(r["event_type"])
+        ns.append(int(r["n_events"]))
+        deltas.append(int(r["n_events"]) - prev_n)
+        prev_n = int(r["n_events"])
+    return pa.table(
+        {
+            "week": pa.array(weeks, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "n_events": pa.array(ns, pa.int64()),
+            "wow_delta": pa.array(deltas, pa.int64()),
         }
     )

@@ -58,6 +58,8 @@ def format_warc_record(
     mime: str = "text/html",
 ) -> bytes:
     """One WARC/1.0 response record wrapping an HTTP/1.1 response."""
+    if "\r" in url or "\n" in url or "\r" in mime or "\n" in mime:
+        raise ValueError("CR/LF in url or mime would corrupt WARC headers")
     http = (
         f"HTTP/1.1 {status} OK\r\n"
         f"Content-Type: {mime}\r\n"

@@ -476,3 +476,51 @@ def test_export_warc_roundtrip_and_resume(ray_session, corpus, tmp_path):
     import pyarrow as pa
 
     assert key_set(back) == key_set(src)
+
+
+def test_warc_parser_fuzz_roundtrip():
+    """Hypothesis fuzz: arbitrary records (binary bodies incl. CRLF/NUL
+    runs, odd mimes, zero-length) survive write->parse bit-exactly, and
+    arbitrary garbage prefixes/suffixes never crash the walker."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from raycrawl.sources.warc import format_warc_record, parse_warc
+
+    rec = st.fixed_dictionaries({
+        "url": st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=40,
+        ).map(lambda p: "http://h.example.com/" + p),
+        "warc_ts": st.integers(min_value=0, max_value=4_000_000_000_000_000),
+        "html": st.binary(max_size=300),
+        "status": st.integers(min_value=100, max_value=599),
+        "mime": st.sampled_from(
+            ["text/html", "text/plain", "application/octet-stream",
+             "text/html; charset=utf-8"]
+        ),
+    })
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(rec, max_size=5), st.binary(max_size=30))
+    def run(records, junk):
+        raw = b"".join(
+            format_warc_record(r["url"], r["warc_ts"], r["html"],
+                               r["status"], r["mime"])
+            for r in records
+        )
+        got = parse_warc(raw)
+        assert len(got) == len(records)
+        for g, r in zip(got, records):
+            assert g["url"] == r["url"]
+            assert g["warc_ts"] == r["warc_ts"]
+            assert g["html"] == r["html"]
+            assert g["status"] == r["status"]
+            assert g["mime"] == r["mime"]
+        # garbage SUFFIX: parsed prefix records stay intact, no crash
+        got2 = parse_warc(raw + junk)
+        assert got2[: len(records)] == got
+        # pure garbage: never raises
+        parse_warc(junk)
+
+    run()
