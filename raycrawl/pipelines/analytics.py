@@ -998,15 +998,25 @@ def events_latest_state(sf_dir: str) -> rd.Dataset:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
         return g.groupby("user_id", sort=False).tail(1)
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
+    def latest(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
         last = g.groupby("user_id", sort=False).tail(1)
         live = last[last["event_type"] != "error"]
-        out = live.rename(
-            columns={"event_type": "last_type", "ts_us": "last_ts_us",
-                     "cents": "last_cents"}
+        # typed Arrow output: an all-tombstone partition is a ZERO-ROW
+        # block, and Ray's pandas size estimator chokes on empty object
+        # columns (np.vectorize size-0) — Arrow empties carry their schema
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    live["user_id"].to_numpy(np.int64)),
+                "last_type": pa.array(
+                    live["event_type"].astype(object), pa.string()),
+                "last_ts_us": pa.array(
+                    live["ts_us"].to_numpy(np.int64)),
+                "last_cents": pa.array(
+                    live["cents"].to_numpy(np.int64)),
+            }
         )
-        return out[["user_id", "last_type", "last_ts_us", "last_cents"]]
 
     return (
         _read(sf_dir, "events",
