@@ -440,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_source_drift": textops.lang_source_drift,
         "crawl_url_templates": crawl_url_templates,
         "events_weekly_trend": analytics.events_weekly_trend,
+        "events_conversion_lag": analytics.events_conversion_lag,
     }
 
 
@@ -2129,6 +2130,24 @@ SELECT CAST(week AS BIGINT) AS week, event_type,
                                       ORDER BY week), 0) AS BIGINT)
          AS wow_delta
 FROM w
+"""
+    # conversion lag histogram: first click -> first purchase per user,
+    # hour buckets capped at 48 (the overflow bucket); negative lags
+    # (purchase before any click) are non-conversions
+    sql["events_conversion_lag"] = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+  FROM events GROUP BY 1
+),
+lags AS (
+  SELECT LEAST((p - c) // 3600000000, 48) AS lag_bucket
+  FROM firsts WHERE c IS NOT NULL AND p IS NOT NULL AND p >= c
+)
+SELECT CAST(lag_bucket AS BIGINT) AS lag_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM lags GROUP BY 1 ORDER BY 1
 """
     # URL templates over the distinct candidate set: digit runs -> 'N'
     sql["crawl_url_templates"] = f"""

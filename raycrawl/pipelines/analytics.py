@@ -72,6 +72,7 @@ __all__ = [
     "events_wau",
     "table_profile",
     "events_weekly_trend",
+    "events_conversion_lag",
 ]
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -2014,5 +2015,89 @@ def events_weekly_trend(sf_dir: str) -> pa.Table:
             "event_type": pa.array(types, pa.string()),
             "n_events": pa.array(ns, pa.int64()),
             "wow_delta": pa.array(deltas, pa.int64()),
+        }
+    )
+
+
+def events_conversion_lag(sf_dir: str, bucket_minutes: int = 60,
+                          cap_buckets: int = 48) -> pa.Table:
+    """(lag_bucket, n_users): distribution of each user's first-click ->
+    first-purchase delay in ``bucket_minutes`` buckets (capped at
+    ``cap_buckets``, the overflow bucket) — the conversion-latency
+    histogram behind every funnel-timing dashboard. Users who purchase
+    before ever clicking (or never do both) don't convert and are
+    excluded, matching the SQL twin's join semantics.
+
+    Scale shape: per-user MIN(ts) per side collapses per batch (one row
+    per (batch, user, side)), resolves exactly inside coarse user
+    partitions (user cardinality scales with the corpus — the cost
+    rule), where the click/purchase pairing and bucketing also happen;
+    the final aggregate is bounded by the BUCKET domain.
+    """
+    from ray.data.aggregate import Sum
+
+    from raycrawl.pipelines.dedup import coarse_key, coarse_parts
+
+    mask = coarse_parts(sf_dir) - 1
+    BUCKET_US = bucket_minutes * 60_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = t.filter(
+            pc.is_in(t["event_type"],
+                     value_set=pa.array(["click", "purchase"]))
+        )
+        g = (
+            pa.table(
+                {
+                    "user_id": keep["user_id"],
+                    "event_type": keep["event_type"],
+                    "ts_us": pc.cast(keep["ts"], pa.int64()),
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([("ts_us", "min")])
+        )
+        g = g.rename_columns(["user_id", "event_type", "ts_us"])
+        pp = coarse_key(g.select(["user_id"]).to_pandas(), ["user_id"],
+                        mask)
+        return g.append_column("pp", pa.array(pp, pa.int64()))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        first = (
+            g.groupby(["user_id", "event_type"], sort=False)["ts_us"]
+            .min()
+            .unstack("event_type")
+        )
+        if "click" not in first or "purchase" not in first:
+            return pd.DataFrame({"lag_bucket": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        conv = first.dropna(subset=["click", "purchase"])
+        lag = conv["purchase"].astype("int64") - conv["click"].astype(
+            "int64")
+        lag = lag[lag >= 0]
+        buckets = np.minimum(lag.to_numpy() // BUCKET_US, cap_buckets)
+        c = np.bincount(buckets.astype(np.int64), minlength=1)
+        nz = np.flatnonzero(c)
+        return pd.DataFrame(
+            {"lag_bucket": nz.astype(np.int64),
+             "n": c[nz].astype(np.int64)}
+        )
+
+    rows = (
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(resolve, batch_format="pandas")
+        .groupby("lag_bucket")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .take_all()  # bounded by the bucket domain
+    )
+    rows.sort(key=lambda r: int(r["lag_bucket"]))
+    return pa.table(
+        {
+            "lag_bucket": pa.array(
+                [int(r["lag_bucket"]) for r in rows], pa.int64()),
+            "n_users": pa.array(
+                [int(r["n_users"]) for r in rows], pa.int64()),
         }
     )

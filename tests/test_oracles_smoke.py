@@ -40,7 +40,8 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "docs_hash_sample", "docs_profile", "customers_edit1_pairs",
          "dedup_source_stats", "ann_quantized_topk", "crawl_budget_alloc",
          "docs_vocab_growth", "docs_lang_source_drift",
-         "crawl_url_templates", "events_weekly_trend"]
+         "crawl_url_templates", "events_weekly_trend",
+         "events_conversion_lag"]
 
 
 @pytest.fixture(scope="module")
