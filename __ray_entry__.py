@@ -441,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_templates": crawl_url_templates,
         "events_weekly_trend": analytics.events_weekly_trend,
         "events_conversion_lag": analytics.events_conversion_lag,
+        "events_user_value_deciles": analytics.events_user_value_deciles,
     }
 
 
@@ -2148,6 +2149,27 @@ lags AS (
 SELECT CAST(lag_bucket AS BIGINT) AS lag_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM lags GROUP BY 1 ORDER BY 1
+"""
+    # LTV deciles: distributed NTILE — ranked by (total, user_id), SQL
+    # NTILE bucket-size semantics (first n%10 buckets one larger)
+    sql["events_user_value_deciles"] = """
+WITH t AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+r AS (
+  SELECT user_id, total_cents,
+         NTILE(10) OVER (ORDER BY total_cents, user_id) AS tile
+  FROM t
+)
+SELECT CAST(tile - 1 AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(total_cents) AS BIGINT) AS min_cents,
+       CAST(MAX(total_cents) AS BIGINT) AS max_cents,
+       CAST(SUM(total_cents) AS BIGINT) AS sum_cents
+FROM r GROUP BY 1
 """
     # URL templates over the distinct candidate set: digit runs -> 'N'
     sql["crawl_url_templates"] = f"""

@@ -73,6 +73,7 @@ __all__ = [
     "table_profile",
     "events_weekly_trend",
     "events_conversion_lag",
+    "events_user_value_deciles",
 ]
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -2099,5 +2100,134 @@ def events_conversion_lag(sf_dir: str, bucket_minutes: int = 60,
                 [int(r["lag_bucket"]) for r in rows], pa.int64()),
             "n_users": pa.array(
                 [int(r["n_users"]) for r in rows], pa.int64()),
+        }
+    )
+
+
+def events_user_value_deciles(sf_dir: str, n_tiles: int = 10) -> pa.Table:
+    """(decile, n_users, min_cents, max_cents, sum_cents): users ranked
+    by lifetime purchase value and cut into NTILE(10) buckets (SQL NTILE
+    semantics exactly: ordered by (total, user_id), the first n%10
+    buckets one user larger) — the LTV decile table behind every
+    retention/value segmentation.
+
+    This is the distributed GLOBAL RANK primitive: per-user totals
+    (coarse partitions — user cardinality scales), a range-partitioned
+    ``Dataset.sort``, then each sorted block learns its global offset
+    from an O(blocks) driver collect of block LENGTHS (never rows) and
+    assigns rank = offset + arange and the closed-form NTILE bucket
+    inside the block. The final aggregate is bounded by the tile domain.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from raycrawl.pipelines.dedup import coarse_key, coarse_parts
+
+    mask = coarse_parts(sf_dir) - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t["event_type"], "purchase"))
+        g = (
+            pa.table(
+                {
+                    "user_id": keep["user_id"],
+                    "cents": _cents(keep["value"]),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("cents", "sum")])
+        )
+        g = g.rename_columns(["user_id", "total_cents"])
+        pp = coarse_key(g.select(["user_id"]).to_pandas(), ["user_id"],
+                        mask)
+        return g.append_column("pp", pa.array(pp, pa.int64()))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("user_id", sort=False)["total_cents"]
+            .sum()
+            .reset_index()
+        )
+        out["total_cents"] = out["total_cents"].astype("int64")
+        return out
+
+    totals = (
+        _read(sf_dir, "events", ["user_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(resolve, batch_format="pandas")
+        .sort(["total_cents", "user_id"])
+        .materialize()
+    )
+    # ordered block refs -> per-block lengths (tiny tasks, rows stay put)
+    refs = totals.to_arrow_refs()
+    sizes = _ray.get(
+        [_ray.remote(num_cpus=0.25)(lambda r: len(r)).remote(r)
+         for r in refs]
+    )
+    offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    n = int(sum(sizes))
+    if n == 0:
+        return pa.table(
+            {"decile": pa.array([], pa.int64()),
+             "n_users": pa.array([], pa.int64()),
+             "min_cents": pa.array([], pa.int64()),
+             "max_cents": pa.array([], pa.int64()),
+             "sum_cents": pa.array([], pa.int64())}
+        )
+    base, rem = divmod(n, n_tiles)
+
+    @_ray.remote(num_cpus=0.25)
+    def tile_block(tbl, off: int) -> pa.Table:
+        if not isinstance(tbl, pa.Table):
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+        if len(tbl) == 0:  # empty sorted blocks arrive SCHEMA-LESS
+            return pa.table(
+                {"decile": pa.array([], pa.int64()),
+                 "total_cents": pa.array([], pa.int64())}
+            )
+        rank = off + np.arange(len(tbl), dtype=np.int64)
+        if base == 0:
+            tile = rank  # fewer users than tiles: one user per tile
+        else:
+            cut = rem * (base + 1)
+            tile = np.where(
+                rank < cut, rank // (base + 1),
+                rem + (rank - cut) // base,
+            )
+        return pa.table(
+            {
+                "decile": pa.array(tile.astype(np.int64)),
+                "total_cents": pc.cast(tbl["total_cents"], pa.int64()),
+            }
+        )
+
+    tiled = rd.from_arrow_refs(
+        [tile_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )
+    rows = (
+        tiled.groupby("decile")
+        .aggregate(
+            Sum("total_cents", alias_name="sum_cents"),
+            Min("total_cents", alias_name="min_cents"),
+            Max("total_cents", alias_name="max_cents"),
+        )
+        .take_all()  # bounded by the tile domain
+    )
+    counts = {int(r["decile"]): r for r in rows}
+    order = sorted(counts)
+    n_users = [
+        (base + 1) if d < rem else base for d in order
+    ] if base else [1] * len(order)
+    return pa.table(
+        {
+            "decile": pa.array(order, pa.int64()),
+            "n_users": pa.array(n_users, pa.int64()),
+            "min_cents": pa.array(
+                [int(counts[d]["min_cents"]) for d in order], pa.int64()),
+            "max_cents": pa.array(
+                [int(counts[d]["max_cents"]) for d in order], pa.int64()),
+            "sum_cents": pa.array(
+                [int(counts[d]["sum_cents"]) for d in order], pa.int64()),
         }
     )

@@ -41,7 +41,7 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "dedup_source_stats", "ann_quantized_topk", "crawl_budget_alloc",
          "docs_vocab_growth", "docs_lang_source_drift",
          "crawl_url_templates", "events_weekly_trend",
-         "events_conversion_lag"]
+         "events_conversion_lag", "events_user_value_deciles"]
 
 
 @pytest.fixture(scope="module")
