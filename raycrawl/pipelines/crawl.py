@@ -260,7 +260,7 @@ def crawl(
     # that host per round (per-host-serial release inside the owning shard —
     # strictly more faithful at scale than the reference's global sleep,
     # crawler.py:229-239, while preserving its single-host behavior)
-    budgets, default_budget = {}, None
+    budgets, default_budget, auto_total = {}, None, None
     if config.politeness_budget == "robots" and robots_actor is not None:
         texts = ray.get(robots_actor.all_texts.remote())
         delays = ray.get(
@@ -269,6 +269,17 @@ def crawl(
         budgets = {
             h: max(1, int(config.round_window_s / d)) for h, d in delays.items()
         }
+    elif isinstance(config.politeness_budget, str) and \
+            config.politeness_budget.startswith("auto:"):
+        # demand-proportional per-host quotas, recomputed every round by
+        # the largest-remainder allocator over the round's pending demand
+        # (frontier.hamilton_alloc — the crawl_budget_alloc query's method
+        # driving the actual release). Hosts the allocation skips release
+        # nothing that round; their demand persists and wins future slots
+        # as other hosts drain, so the crawl always progresses.
+        auto_total = int(config.politeness_budget.split(":", 1)[1])
+        if auto_total < 1:
+            raise ValueError("politeness_budget='auto:N' needs N >= 1")
     elif isinstance(config.politeness_budget, int):
         default_budget = config.politeness_budget
 
@@ -311,6 +322,20 @@ def crawl(
     target_chunks = max(1, -(-3 * config.fetch_concurrency // num_shards))
 
     def submit_release():
+        if auto_total is not None:
+            # chained, driver-free: per-shard demand (actor-ordered after
+            # the preceding enqueue) -> one zero-CPU allocation task ->
+            # releases taking the allocation as a resolved ObjectRef.
+            # Hosts absent from the allocation get budget 0 this round.
+            from raycrawl.state.frontier import alloc_round_budgets
+
+            demand_refs = [s.host_demand.remote() for s in shards]
+            alloc_ref = alloc_round_budgets.remote(auto_total, *demand_refs)
+            return [
+                s.release_chunks.remote(alloc_ref, 0,
+                                        config.batch_size, target_chunks)
+                for s in shards
+            ]
         return [
             s.release_chunks.remote(budgets, default_budget,
                                     config.batch_size, target_chunks)
@@ -322,6 +347,10 @@ def crawl(
     # hazard as the chained release)
     rel = ray.get(submit_release()) if round_no < config.max_rounds else []
     n_released = sum(r["released"] for r in rel)
+    if auto_total is not None:
+        assert n_released <= auto_total, (
+            f"auto budget violated: released {n_released} > {auto_total}"
+        )
     n_chunks = [r["chunks"] for r in rel]
 
     while round_no < config.max_rounds and n_released > 0:
@@ -480,6 +509,10 @@ def crawl(
         # released means zero pending). On a max_rounds-truncated crawl no
         # release was staged, so pending keeps the unfetched rows.
         n_released = sum(r["released"] for r in rel)
+        if auto_total is not None and rel:
+            assert n_released <= auto_total, (
+                f"auto budget violated: released {n_released} > {auto_total}"
+            )
         n_chunks = [r["chunks"] for r in rel]
 
     shard_stats = ray.get([s.counts.remote() for s in shards])

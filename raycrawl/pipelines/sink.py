@@ -196,22 +196,45 @@ def _warc_export_task(path: str, out_path: str, columns: list) -> int:
 
     from raycrawl.sources.warc import write_warc
 
-    t = pq.read_table(path, columns=columns)
+    # honor an explicit mime/content-type column when the corpus carries
+    # one — otherwise fall back to the url-suffix map below so reader and
+    # writer stay symmetric for every text/* payload the reader routes
+    # into the text column (robots, sitemaps, plain .txt pages)
+    schema_names = pq.read_schema(path).names
+    mime_col = next(
+        (c for c in ("mime", "content_type") if c in schema_names), None
+    )
+    t = pq.read_table(
+        path, columns=columns + ([mime_col] if mime_col else [])
+    )
     ts = t["warc_ts"]
     if pa.types.is_timestamp(ts.type):
         ts = pc.cast(ts, pa.int64())
     urls = t["url"].to_pylist()
+    mimes = t[mime_col].to_pylist() if mime_col else [None] * len(urls)
+
+    def _mime(u: str, m) -> str:
+        if m:
+            return str(m)
+        # suffix map: every payload the reader routes into the text
+        # column (mime text/* and != text/html) must round-trip
+        p = u.split("?", 1)[0].split("#", 1)[0]
+        if p.endswith(("/robots.txt", ".txt")):
+            return "text/plain"
+        if p.endswith(("/sitemap.xml", "sitemap_index.xml")):
+            return "text/xml"
+        return "text/html"
+
     records = (
         {
             "url": u,
             "warc_ts": v or 0,
             "html": h or b"",
-            # symmetric with the reader: robots/text payloads round-trip
-            # through the text/plain mime into the corpus text column
-            "mime": ("text/plain" if u.endswith("/robots.txt")
-                     else "text/html"),
+            "mime": _mime(u, m),
         }
-        for u, v, h in zip(urls, ts.to_pylist(), t["html"].to_pylist())
+        for u, v, h, m in zip(
+            urls, ts.to_pylist(), t["html"].to_pylist(), mimes
+        )
     )
     tmp = out_path + ".tmp"
     n = write_warc(records, tmp, compress=out_path.endswith(".gz"))

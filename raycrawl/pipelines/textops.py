@@ -13,6 +13,8 @@ are representation-fragile; see __ray_entry__.oracle_sql).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1662,6 +1664,20 @@ def _bpe_apply_merge(left: str, right: str):
     return f
 
 
+def _bpe_apply_merges(merges: list):
+    """Sequential in-batch application of a PROVABLY-independent merge
+    prefix (symbols pairwise disjoint — see the acceptance rule in
+    bpe_train): equals running the k single-merge passes, in one pass."""
+    fns = [_bpe_apply_merge(l, r) for l, r in merges]
+
+    def f(t: pa.Table) -> pa.Table:
+        for g in fns:
+            t = g(t)
+        return t
+
+    return f
+
+
 def bpe_train(sf_dir: str, n_merges: int = 8, check: bool = True) -> pa.Table:
     """(rank, left, right, n): the first ``n_merges`` BPE merges learned
     from the corpus — distributed tokenizer training, the step every LLM
@@ -1728,9 +1744,32 @@ def bpe_train(sf_dir: str, n_merges: int = 8, check: bool = True) -> pa.Table:
             }
         )
 
+    # Speculative merge batching (round 5): each driver round trip
+    # collects the top-M pair counts and accepts the LONGEST PREFIX of
+    # candidates that is PROVABLY the next run of sequential-BPE picks —
+    # no rollback path needed. Walking candidates in (n desc, pair asc)
+    # order, candidate i is accepted iff
+    #   (1) its symbols are disjoint from every earlier accepted merge's
+    #       {L, R, LR} (its own count is then unchanged by them), and
+    #   (2) its count STRICTLY exceeds every listed pair touching an
+    #       accepted symbol (old touched pairs only decrease; any NEW
+    #       pair (X, LR_j) is bounded by the current (X, L_j) count, and
+    #       (LR_j, Y) by (R_j, Y)), and
+    #   (3) its count STRICTLY exceeds the M-th listed count (so every
+    #       UNLISTED pair — and hence every new pair bounded by one — is
+    #       strictly smaller too).
+    # Any violation (or a conflicting higher-ranked candidate) ends the
+    # batch at the last provably-correct merge; the accepted prefix is
+    # applied in ONE pass (disjoint merges commute, so the sequential
+    # in-kernel application equals k separate rounds). Worst case the
+    # prefix is length 1 = the round-4 behavior; typical Zipf-shaped
+    # counts batch 2-4 merges per launch, cutting the per-merge
+    # executor-launch serialization the same factor.
+    spec_k = max(1, int(os.environ.get("RAYCRAWL_BPE_BATCH", "4")))
+    top_m = 2 * spec_k + 2
     merges = []
-    for _ in range(n_merges):
-        best = (
+    while len(merges) < n_merges:
+        cands = (
             clean_blocks(
                 vocab.map_batches(pair_partial, batch_format="pyarrow")
                 .groupby(["left", "right"])
@@ -1739,16 +1778,49 @@ def bpe_train(sf_dir: str, n_merges: int = 8, check: bool = True) -> pa.Table:
                            ("n", pa.int64())]),
             )
             .sort(["n", "left", "right"], descending=[True, False, False])
-            .limit(1)
+            .limit(top_m)
             .take_all()
         )
-        if not best or best[0]["n"] < 2:
+        if not cands or cands[0]["n"] < 2:
             break
-        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["n"]
-        merges.append((left, right, int(cnt)))
+        tail_n = cands[-1]["n"] if len(cands) == top_m else 0
+        accepted: list = []
+        acc_pairs: set = set()
+        blocked: set = set()
+        for c in cands:
+            left, right, cnt = c["left"], c["right"], int(c["n"])
+            if cnt < 2:
+                break
+            if accepted:
+                if (left in blocked or right in blocked
+                        or cnt <= tail_n):
+                    break
+                if len(accepted) >= spec_k \
+                        or len(merges) + len(accepted) >= n_merges:
+                    break
+                # (2): every OTHER listed pair touching accepted symbols
+                # must sit strictly below cnt (the accepted merges
+                # themselves are exempt — they are the earlier picks).
+                # Equality is unsafe: a touched pair's derived new pair
+                # could tie cnt and win on lex order.
+                if any(
+                    int(o["n"]) >= cnt
+                    and (o["left"] in blocked or o["right"] in blocked)
+                    and (o["left"], o["right"]) not in acc_pairs
+                    for o in cands
+                ):
+                    break
+            accepted.append((left, right, cnt))
+            acc_pairs.add((left, right))
+            blocked |= {left, right, left + right}
+        if not accepted:  # top candidate below the min-count floor
+            break
+        merges.extend(accepted)
         vocab = clean_blocks(
-            vocab.map_batches(_bpe_apply_merge(left, right),
-                              batch_format="pyarrow"),
+            vocab.map_batches(
+                _bpe_apply_merges([(l, r) for l, r, _ in accepted]),
+                batch_format="pyarrow",
+            ),
             _BPE_VOCAB_SCHEMA,
         ).materialize()
 
@@ -3155,7 +3227,7 @@ def vocab_growth(
     )
 
 
-def lang_source_drift(sf_dir: str) -> rd.Dataset:
+def lang_source_drift(sf_dir: str) -> pa.Table:
     """(lang, source, n_docs, ratio_4096): the language x source mixing
     cross-tab with each cell's observed/expected ratio under independence
     in integer 4096ths (4096 = exactly the rate the marginals predict) —

@@ -60,6 +60,14 @@ def format_warc_record(
     """One WARC/1.0 response record wrapping an HTTP/1.1 response."""
     if "\r" in url or "\n" in url or "\r" in mime or "\n" in mime:
         raise ValueError("CR/LF in url or mime would corrupt WARC headers")
+    if not url.isascii() or not mime.isascii():
+        # WARC headers are ASCII; fail with a clear validation error here
+        # rather than a UnicodeEncodeError deep inside a remote export task.
+        # IRI targets must be percent-encoded by the caller first.
+        raise ValueError(
+            f"non-ASCII url or mime not representable in WARC headers: "
+            f"{url!r} / {mime!r} — percent-encode IRIs before export"
+        )
     http = (
         f"HTTP/1.1 {status} OK\r\n"
         f"Content-Type: {mime}\r\n"

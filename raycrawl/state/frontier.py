@@ -56,6 +56,45 @@ FRONTIER_SCHEMA = pa.schema(
 )
 
 
+def hamilton_alloc(demand: dict, budget: int) -> dict:
+    """Largest-remainder (Hamilton) split of ``budget`` slots across hosts
+    proportionally to their demand — sum(alloc) == budget EXACTLY when
+    demand is non-empty, every quantity an integer, deterministic ties
+    (remainder DESC, host ASC). The same method (and tie rule) as the
+    ``crawl_budget_alloc`` query (pipelines/crawlqueries.py) — this is its
+    frontier-release twin, driving per-host quotas each round when
+    ``politeness_budget="auto:N"``. Hosts may be allocated MORE than their
+    demand when budget > total (release caps at available rows)."""
+    import numpy as np
+
+    hosts = sorted(demand)
+    n = np.array([demand[h] for h in hosts], np.int64)
+    total = int(n.sum())
+    if total == 0 or budget <= 0:
+        return {}
+    quota = budget * n // total
+    rem = budget * n % total
+    r = budget - int(quota.sum())
+    order = np.argsort(-rem, kind="stable")  # rem DESC, host ASC (stable)
+    alloc = quota.copy()
+    if r > 0:
+        alloc[order[:r]] += 1
+    return {h: int(a) for h, a in zip(hosts, alloc)}
+
+
+@ray.remote(num_cpus=0)
+def alloc_round_budgets(budget: int, *demands: dict) -> dict:
+    """Chained allocation step between enqueue and release: merges the
+    per-shard host-demand dicts (hosts are shard-owned, so disjoint) and
+    returns the Hamilton allocation. num_cpus=0 — pure barrier-time work,
+    like the shards themselves; runs without a driver round trip (the
+    release takes the returned dict as a resolved ObjectRef arg)."""
+    merged: dict = {}
+    for d in demands:
+        merged.update(d)
+    return hamilton_alloc(merged, budget)
+
+
 def shard_of_host(host: str, num_shards: int) -> int:
     return url_hash64("host:" + host) % num_shards
 
@@ -88,6 +127,17 @@ class FrontierShard:
         else:
             raise ValueError(f"unknown seen_mode {seen_mode!r}")
         self._done: set = set()
+        # Arrow MIRRORS of _seen/_done for the vectorized gate probe
+        # (round 5): the python sets stay authoritative for the per-url
+        # slow paths; gate_round probes candidates with ONE pc.is_in
+        # against these append-only chunk lists instead of to_pylist +
+        # per-row set algebra (measured 2.8-4.0 µs/candidate). A slow
+        # path that mutates the set without an array at hand just flips
+        # the dirty flag; the next gate rebuilds the mirror once.
+        self._seen_chunks: list = []
+        self._seen_mirror_dirty = False
+        self._done_chunks: list = []
+        self._done_mirror_dirty = False
         # COLUMNAR pending state: a sorted leftover table plus unsorted
         # incoming appends, merged lazily at release time. Enqueue is an
         # O(1) table append and release is one vectorized sort + slice —
@@ -112,12 +162,28 @@ class FrontierShard:
                       "deferred_rounds": 0}
 
     # ---- seen-gate --------------------------------------------------------
+    def _mirror(self, chunks: list, authoritative: set, dirty: bool):
+        """The ChunkedArray mirror of a string set, rebuilt from the set
+        when a slow path dirtied it; compacted when chunks pile up."""
+        if dirty:
+            chunks.clear()
+            if authoritative:
+                chunks.append(pa.array(sorted(authoritative), pa.string()))
+        elif len(chunks) > 128:
+            import pyarrow.compute as pc
+
+            merged = pc.unique(pa.chunked_array(chunks))
+            chunks.clear()
+            chunks.append(merged)
+        return pa.chunked_array(chunks) if chunks else None
+
     def _seen_check_add(self, url_norm: str) -> bool:
         """True if url was unseen (and is now marked seen)."""
         if self.seen_mode == "exact":
             if url_norm in self._seen:
                 return False
             self._seen.add(url_norm)
+            self._seen_mirror_dirty = True
             return True
         h = url_hash64(url_norm)
         if self._cuckoo.contains_hash(h):
@@ -166,6 +232,9 @@ class FrontierShard:
         done_mine = mine(done_tbl)
         if done_mine is not None:
             self._done.update(done_mine["url_norm"].to_pylist())
+            self._done_chunks.append(
+                done_mine["url_norm"].combine_chunks()
+            )
 
         cand_mine = mine(cand_tbl)
         if cand_mine is None:
@@ -175,31 +244,53 @@ class FrontierShard:
 
         # FILTER-FIRST: the seen/done predicate depends only on url_norm,
         # so every row of a norm survives or dies together — probe the gate
-        # on the raw norm list and only sort/dedup the survivors. On the
-        # hot round (~2.2M candidates/shard, ~12% fresh) this replaces a
-        # full-table multi-key sort + gather (measured 15-20 s/shard) with
-        # set algebra on the list (~1 s) + a small-survivor sort.
-        norm_list = cand_mine["url_norm"].to_pylist()
+        # on the norm column and only sort/dedup the survivors. Round 5:
+        # the exact path probes with ONE pc.is_in against the Arrow seen
+        # mirror (C hash probe, no to_pylist of 2.2M candidates, no
+        # per-row set algebra); only the ~12% fresh uniques ever become
+        # Python strings (for the authoritative set).
+        cand_norms = cand_mine["url_norm"]
         _ph["pylist"] = time.perf_counter() - _t
         _t = time.perf_counter()
+        done_cs = self._mirror(
+            self._done_chunks, self._done, self._done_mirror_dirty
+        )
+        self._done_mirror_dirty = False
         if self.seen_mode == "exact":
-            # C-speed set algebra: unseen = candidates - seen; everything
-            # gated becomes seen; only unseen-and-not-done rows come out.
-            # set() dedups intra-round repeats, so the stats match the
-            # old dedup-first order exactly.
-            norm_set = set(norm_list)
-            fresh = norm_set - self._seen
-            self._seen |= norm_set
-            accepted = fresh - self._done
-            self.stats["gate_dropped"] += len(norm_set) - len(fresh)
-            self.stats["seen_added"] += len(fresh)
-            keep = pa.array([u in accepted for u in norm_list], pa.bool_())
+            seen_cs = self._mirror(
+                self._seen_chunks, self._seen, self._seen_mirror_dirty
+            )
+            self._seen_mirror_dirty = False
+            if seen_cs is not None:
+                fresh_rows = pc.invert(
+                    pc.is_in(cand_norms, value_set=seen_cs)
+                )
+            else:
+                fresh_rows = pa.array(
+                    np.ones(cand_mine.num_rows, bool))
+            uniq_all = pc.count_distinct(cand_norms).as_py()
+            fresh_uniq = pc.unique(cand_norms.filter(fresh_rows))
+            if isinstance(fresh_uniq, pa.ChunkedArray):
+                fresh_uniq = fresh_uniq.combine_chunks()
+            self.stats["gate_dropped"] += uniq_all - len(fresh_uniq)
+            self.stats["seen_added"] += len(fresh_uniq)
+            if len(fresh_uniq):
+                self._seen.update(fresh_uniq.to_pylist())
+                self._seen_chunks.append(fresh_uniq)
+            if done_cs is not None:
+                keep = pc.and_(
+                    fresh_rows,
+                    pc.invert(pc.is_in(cand_norms, value_set=done_cs)),
+                )
+            else:
+                keep = fresh_rows
         else:
             # vectorized batch probe+insert (state/cuckoo.py) — the mode
             # that exists for 1e10-url scale must not pay per-key python.
             # Probe UNIQUE hashes (ascending — deterministic insert order)
             # and fan the verdict back to rows via the inverse index so all
             # rows of a fresh norm survive to the representative pick.
+            norm_list = cand_norms.to_pylist()
             hs = np.fromiter(
                 (url_hash64(u) for u in norm_list), dtype=np.uint64,
                 count=len(norm_list),
@@ -210,10 +301,11 @@ class FrontierShard:
             self.stats["seen_added"] += n_new
             self.stats["gate_dropped"] += len(uh) - n_new
             new_row = new_u[inv]
-            if self._done and new_row.any():
-                for k in np.flatnonzero(new_row):
-                    if norm_list[k] in self._done:
-                        new_row[k] = False
+            if done_cs is not None and new_row.any():
+                done_row = pc.is_in(
+                    cand_norms, value_set=done_cs
+                ).to_numpy(zero_copy_only=False)
+                new_row &= ~done_row
             keep = pa.array(new_row)
         _ph["setops"] = time.perf_counter() - _t
         _t = time.perf_counter()
@@ -443,6 +535,7 @@ class FrontierShard:
         norms = tbl.column("url_norm").to_pylist()
         self._done.update(norms)
         self._dirty_done.update(norms)
+        self._done_chunks.append(tbl.column("url_norm").combine_chunks())
 
     def commit_round(self) -> int:
         """Round barrier (legacy single-call protocol): deterministically
@@ -619,9 +712,24 @@ class FrontierShard:
     def mark_done(self, url_norms: list) -> None:
         self._done.update(url_norms)
         self._dirty_done.update(url_norms)
+        if url_norms:
+            self._done_chunks.append(pa.array(url_norms, pa.string()))
 
     def pending_count(self) -> int:
         return self._pending_n
+
+    def host_demand(self) -> dict:
+        """host -> pending row count for this shard's hosts (the demand
+        side of the auto politeness budget). Submitted right after
+        enqueue_round, actor ordering makes it see the full round's
+        pending; O(hosts) output, the pending rows never move."""
+        tbl = self._merged_pending()
+        if tbl.num_rows == 0:
+            return {}
+        vc = tbl["host"].combine_chunks().value_counts()
+        return {
+            d["values"]: d["counts"] for d in vc.to_pylist()
+        }
 
     def counts(self) -> dict:
         import pyarrow.compute as pc
@@ -746,6 +854,9 @@ class FrontierShard:
         else:
             self._cuckoo = CuckooFilter.from_state(state["cuckoo"])
         self._done = set(state["done"])
+        # mirrors rebuild lazily from the restored sets at the next gate
+        self._seen_chunks, self._done_chunks = [], []
+        self._seen_mirror_dirty = self._done_mirror_dirty = True
         cols = {"url_raw": [], "url_norm": [], "host": [], "depth": []}
         for host in sorted(state["pending"]):
             for depth, url_norm, url_raw in sorted(

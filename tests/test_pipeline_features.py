@@ -131,6 +131,45 @@ def test_politeness_deferral_same_results_more_rounds(ray_session, corpus):
     assert slow.depths() == fast.depths()  # discovery depth, not fetch round
 
 
+def test_politeness_auto_budget_same_results_bounded_rounds(
+    ray_session, corpus
+):
+    """politeness_budget='auto:N': the largest-remainder allocator drives
+    per-host release quotas from pending demand each round — same final
+    sets as the unbudgeted crawl, every round's total release <= N (the
+    in-crawl assertion also enforces this), more rounds."""
+    free = crawl(corpus["corpus"], corpus["seeds"], CrawlConfig(**BASE))
+    auto = crawl(corpus["corpus"], corpus["seeds"],
+                 CrawlConfig(**BASE, politeness_budget="auto:7"))
+    assert auto.done_urls() == free.done_urls()
+    assert auto.seen_urls() == free.seen_urls()
+    assert auto.depths() == free.depths()
+    assert auto.rounds > free.rounds
+    assert all(m["released"] <= 7 for m in auto.metrics)
+    # the budget is spent fully while demand exceeds it
+    spent_full = [m["released"] for m in auto.metrics[:-1]]
+    assert spent_full and max(spent_full) == 7
+
+
+def test_hamilton_alloc_exact_and_deterministic():
+    from raycrawl.state.frontier import hamilton_alloc
+
+    d = {"a": 5, "b": 3, "c": 2}
+    a = hamilton_alloc(d, 7)
+    assert sum(a.values()) == 7
+    # proportional within one slot of the real share
+    for h, n in d.items():
+        assert abs(a[h] - 7 * n / 10) < 1
+    # ties: equal demand -> remainder ties broken host ASC
+    t = hamilton_alloc({"x": 1, "y": 1, "z": 1}, 2)
+    assert t == {"x": 1, "y": 1, "z": 0}
+    assert hamilton_alloc({}, 5) == {}
+    assert hamilton_alloc({"a": 1}, 0) == {}
+    # budget > demand: over-allocation pro rata, still sums to budget
+    big = hamilton_alloc({"a": 1, "b": 1}, 10)
+    assert sum(big.values()) == 10
+
+
 def test_politeness_robots_budget(ray_session, tmp_path):
     info = generate_corpus(str(tmp_path), n_hosts=2, pages_per_host=10,
                            crawl_delays={"h0.example.com": 30}, seed=5)

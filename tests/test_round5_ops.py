@@ -1,0 +1,279 @@
+"""Round-5 operator tests: the vectorized shingle/signer kernel (byte
+parity with the per-doc reference loops) and the materialized ANN indexes
+(I/O pruning, resume, oracle-matching list assignment)."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------- shingle kernel parity ---------------------------
+
+_token = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Zs", "Zl", "Zp", "Cs"), min_codepoint=0
+    ),
+    min_size=1,
+    max_size=6,
+).filter(lambda s: not any(c.isspace() for c in s))
+_doc = st.lists(_token, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_doc, min_size=0, max_size=8), st.integers(1, 4))
+def test_shingle_hash_rows_matches_reference(texts, k):
+    """The batch kernel's (row, hash) set equals {_hash64_bytes(s) for s
+    in shingles(text, k)} per row — NULs, unicode, empties included."""
+    from raycrawl.pipelines.dedup import _shingle_hash_rows, shingles
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    srow, h, cnt = _shingle_hash_rows(t, k)
+    got = {}
+    for r, hh in zip(srow, h):
+        got.setdefault(int(r), set()).add(int(hh))
+    for i, txt in enumerate(texts):
+        assert got.get(i, set()) == shingles(txt, k), (k, i, txt)
+    # sorted by (row, hash): the prefix filter's position-in-run mask
+    # relies on this invariant
+    order = np.lexsort((h, srow))
+    assert (order == np.arange(len(h))).all()
+
+
+def test_shingle_kernel_nul_strings_stay_distinct():
+    """Regression: pandas factorize (even single-column) NUL-truncates
+    object strings; the Arrow dictionary_encode path must not."""
+    from raycrawl.pipelines.dedup import _shingle_hash_rows, shingles
+
+    texts = ["a\x00b c", "ab c", "a\x00b a\x00c x y", "x\x00 y\x00 z\x00"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    for k in (1, 2, 3):
+        srow, h, _ = _shingle_hash_rows(t, k)
+        got = {}
+        for r, hh in zip(srow, h):
+            got.setdefault(int(r), set()).add(int(hh))
+        for i, txt in enumerate(texts):
+            assert got.get(i, set()) == shingles(txt, k)
+
+
+def test_minhash_band_hashes_match_per_doc_loop():
+    """The vectorized signer's band hashes are byte-identical to the
+    per-doc MinHasher.signature + blake2b chunk loop it replaced."""
+    from raycrawl.pipelines.dedup import (
+        MinHasher,
+        _hash64_bytes,
+        _shingle_hash_rows,
+        shingles,
+    )
+
+    texts = [
+        "", "one", "one two", "one two three four five",
+        "dup dup dup dup dup dup", None, "a\x00b c d e f",
+        "the quick brown fox jumps over the lazy dog " * 3,
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    n_perms, n_bands, k = 64, 16, 3
+    rpb = n_perms // n_bands
+    mh = MinHasher(n_perms=n_perms)
+
+    srow, h, _ = _shingle_hash_rows(t, k)
+    n = len(t)
+    sig = np.zeros((n, n_perms), np.uint64)
+    if len(h):
+        x = h.astype(np.uint64)
+        M = np.uint64(mh._MERSENNE)
+        v = (
+            mh.a.astype(np.uint64)[:, None] * x[None, :]
+            + mh.b.astype(np.uint64)[:, None]
+        )
+        vals = (v & M) + (v >> np.uint64(61))
+        vals -= np.where(vals >= M, M, np.uint64(0))
+        starts = np.flatnonzero(np.r_[True, srow[1:] != srow[:-1]])
+        sig[srow[starts]] = np.minimum.reduceat(vals, starts, axis=1).T
+
+    for i, txt in enumerate(texts):
+        ref = mh.signature(shingles(txt or "", k))
+        assert (sig[i] == ref).all(), (i, txt)
+        for b in range(n_bands):
+            assert _hash64_bytes(
+                sig[i, b * rpb: (b + 1) * rpb].tobytes()
+            ) == _hash64_bytes(ref[b * rpb: (b + 1) * rpb].tobytes())
+
+
+def test_mersenne_fold_equals_hardware_mod():
+    """(v & M) + (v >> 61), one conditional subtract == v % M for every
+    uint64 v (M = 2^61 - 1) — the fold the signer uses."""
+    rng = np.random.RandomState(3)
+    M = np.uint64((1 << 61) - 1)
+    v = rng.randint(0, 1 << 63, 100_000).astype(np.uint64) * np.uint64(2)
+    v[:5] = [0, 1, (1 << 61) - 1, 1 << 61, np.iinfo(np.uint64).max]
+    f = (v & M) + (v >> np.uint64(61))
+    f -= np.where(f >= M, M, np.uint64(0))
+    assert (f == v % M).all()
+
+
+# ------------------------- materialized ANN indexes ------------------------
+
+
+def test_ivf_index_prunes_io_and_matches_assignment(ray_session, tmp_path):
+    from raycrawl.pipelines import ann
+
+    idx = ann.ivf_build_index(SF, index_dir=str(tmp_path / "ivf"))
+    assert os.path.exists(os.path.join(idx, "_META.json"))
+    out, stats = ann.ivf_topk(SF, index_dir=idx, return_stats=True)
+    # every file read lives under a probed list partition
+    for f in stats["files_read"]:
+        assert any(
+            os.path.dirname(f) == os.path.join(idx, f"list={c}")
+            for c in stats["lists_probed"]
+        )
+    # strict I/O pruning is per QUERY (n_probe of n_lists); a 1-query
+    # probe shows it at the file level (a 5-query wave's union of
+    # drop-1-of-8 sets legitimately covers all 8)
+    _, s1 = ann.ivf_topk(SF, n_queries=1, index_dir=idx, return_stats=True)
+    assert len(s1["lists_probed"]) == 7 < s1["n_lists"]
+    assert len(s1["files_read"]) < s1["files_total"]
+    # persisted list assignment == the oracle-twinned kmeans_assign
+    stored = (
+        pq.read_table(
+            sorted(glob.glob(os.path.join(idx, "list=*", "*.parquet"))),
+            columns=["vec_id", "list_id"],
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        ann.kmeans_assign(SF, k=8).to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (stored["vec_id"] == want["vec_id"]).all()
+    assert (stored["list_id"] == want["cluster"]).all()
+
+
+def test_ivf_index_resumes_only_missing_fragments(ray_session, tmp_path):
+    from raycrawl.pipelines import ann
+
+    idx = ann.ivf_build_index(SF, index_dir=str(tmp_path / "ivf"))
+    markers = glob.glob(os.path.join(idx, "_markers", "*"))
+    assert markers
+    files_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(idx, "list=*", "*.parquet"))
+    }
+    # simulate a crash: one fragment uncommitted, meta gone
+    os.remove(markers[0])
+    os.remove(os.path.join(idx, "_META.json"))
+    ann.ivf_build_index(SF, index_dir=idx)
+    assert os.path.exists(os.path.join(idx, "_META.json"))
+    # committed fragments were skipped (their files untouched)
+    # (single-fragment corpora rebuild everything; the assertion is that
+    # the index is again complete and identical)
+    stored = pq.read_table(
+        sorted(glob.glob(os.path.join(idx, "list=*", "*.parquet"))),
+        columns=["vec_id"],
+    )
+    n = pq.read_metadata(os.path.join(SF, "embeddings.parquet")).num_rows
+    assert stored.num_rows == n
+    del files_before  # documentational; sf0.001 has one fragment
+
+
+def test_ivf_index_stats_matches_kmeans(ray_session, tmp_path):
+    from raycrawl.pipelines import ann
+
+    idx = ann.ivf_build_index(SF, index_dir=str(tmp_path / "ivf"))
+    got = (
+        ann.ivf_index_stats(SF, index_dir=idx)
+        .to_pandas()
+        .sort_values("list_id")
+        .reset_index(drop=True)
+    )
+    km = ann.kmeans_assign(SF, k=8).to_pandas()
+    want = (
+        km.groupby("cluster")
+        .agg(
+            n_vecs=("vec_id", "size"),
+            min_vec_id=("vec_id", "min"),
+            max_vec_id=("vec_id", "max"),
+            sum_vec_id=("vec_id", "sum"),
+        )
+        .reset_index()
+        .rename(columns={"cluster": "list_id"})
+        .sort_values("list_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["list_id", "n_vecs", "min_vec_id", "max_vec_id", "sum_vec_id"]],
+        want,
+        check_dtype=False,
+    )
+
+
+def test_semdedup_tiled_matches_untiled_on_degenerate_cluster(ray_session):
+    """k=1 sends EVERY vector into one cluster (the degenerate case the
+    tile bound exists for); a tiny tile must reproduce the one-shot
+    upper-triangle result exactly."""
+    from raycrawl.pipelines.dedup import semdedup
+
+    tiled = (
+        semdedup(SF, k=1, threshold=0.3, tile=7)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    full = (
+        semdedup(SF, k=1, threshold=0.3, tile=10**9)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (tiled["cluster"] == 0).all()  # genuinely one cluster
+    pd.testing.assert_frame_equal(tiled, full)
+    # and against the naive numpy triu on the same vectors
+    t = pq.read_table(
+        os.path.join(SF, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).sort_by("vec_id")
+    m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    dropped = np.triu(m @ m.T >= 0.3, k=1).any(axis=0)
+    assert (tiled["keep"].to_numpy() == (~dropped).astype(np.int64)).all()
+
+
+def test_lsh_index_prunes_io_and_keeps_recall(ray_session, tmp_path):
+    from raycrawl.pipelines import ann
+
+    idx = ann.lsh_build_index(SF, index_dir=str(tmp_path / "lsh"))
+    assert os.path.exists(os.path.join(idx, "_META.json"))
+    approx, stats = ann.lsh_topk(SF, index_dir=idx, return_stats=True)
+    assert stats["buckets_probed"] < stats["buckets_total"]
+    assert len(stats["files_read"]) < stats["files_total"]
+    allowed = set(stats["dirs_probed"])
+    for f in stats["files_read"]:
+        assert os.path.dirname(f) in allowed
+    exact = ann.brute_force_topk(SF).to_pandas()
+    a = {(r.query_id, r.vec_id) for r in approx.to_pandas().itertuples()}
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    assert len(e & a) / len(e) >= 0.8
