@@ -335,17 +335,24 @@ def _shingle_hash_rows(t: pa.Table, k: int):
     toks = pc.split_pattern_regex(txt, r"\s+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
-    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    flat_arr = toks.flatten()
     offs = toks.offsets.to_numpy()
     trow = np.repeat(np.arange(len(t)), np.diff(offs))
-    keep = flat != ""
-    flat, trow = flat[keep], trow[keep]
+    # drop the empty strings a leading/trailing-whitespace split produces
+    # (findall(\S+) has none) — one C filter, tokens stay in Arrow
+    nonempty = pc.not_equal(pc.binary_length(flat_arr), 0)
+    ne = nonempty.to_numpy(zero_copy_only=False)
+    if not ne.all():
+        flat_arr = flat_arr.filter(nonempty)
+        trow = trow[ne]
     cnt = np.bincount(trow, minlength=len(t)).astype(np.int64)
 
-    m = len(flat) - k + 1
+    m = len(flat_arr) - k + 1
     if m > 0:
         ok = trow[:m] == trow[k - 1:]
-        parts = [pa.array(flat[i: m + i], pa.string()) for i in range(k)]
+        # k shifted ZERO-COPY Arrow slices joined element-wise in C —
+        # token strings never round-trip through numpy object arrays
+        parts = [flat_arr.slice(i, m) for i in range(k)]
         joined = pc.binary_join_element_wise(*parts, " ").filter(
             pa.array(ok)
         )
@@ -355,12 +362,20 @@ def _shingle_hash_rows(t: pa.Table, k: int):
 
     short = np.flatnonzero((cnt > 0) & (cnt < k))
     if len(short):
-        starts = np.cumsum(cnt) - cnt
-        extra = pa.array(
-            [" ".join(flat[starts[r]: starts[r] + cnt[r]]) for r in short],
-            pa.string(),
+        # rare path (docs with 0 < n_words < k): one all-words shingle
+        # each, via a rebuilt ListArray + one vectorized binary_join
+        starts = (np.cumsum(cnt) - cnt)[short]
+        word_idx = np.concatenate(
+            [np.arange(s, s + n) for s, n in zip(starts, cnt[short])]
         )
-        joined = pa.concat_arrays([joined, extra])
+        packed = flat_arr.take(pa.array(word_idx, pa.int64()))
+        po = np.r_[0, np.cumsum(cnt[short])].astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(po, pa.int32()), packed)
+        extra = pc.binary_join(lists, " ")
+        joined = pa.concat_arrays(
+            [joined.combine_chunks() if isinstance(joined, pa.ChunkedArray)
+             else joined, extra]
+        )
         srow = np.concatenate([srow, short.astype(np.int64)])
 
     if not len(srow):

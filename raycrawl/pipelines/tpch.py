@@ -1100,6 +1100,19 @@ def q11_important_stock(
         )
         return t.rename_columns(["l_partkey", "value_ccents"])
 
-    return per_part.map_batches(keep, batch_format="pyarrow").sort(
-        ["value_ccents", "l_partkey"], descending=[True, False]
+    # at larger sf no part may clear the ppm threshold (sf0.1: max share
+    # ~370 ppm < 1000) and Dataset.sort on an all-empty input returns a
+    # SCHEMA-LESS dataset (sharp edge caught by the r5 sf0.1 gate run) —
+    # clean_blocks pins the schema and the empty case skips the sort
+    out_schema = pa.schema(
+        [("l_partkey", pa.int64()), ("value_ccents", pa.int64())]
     )
+    out = _cb(
+        per_part.map_batches(keep, batch_format="pyarrow"), out_schema
+    )
+    if out.count() == 0:
+        # a typed empty pa.Table, NOT an empty Dataset: this Ray
+        # version's Dataset.to_pandas() drops the columns of an empty
+        # dataset (and Dataset.sort of one returns schema None)
+        return out_schema.empty_table()
+    return out.sort(["value_ccents", "l_partkey"], descending=[True, False])
