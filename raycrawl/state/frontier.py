@@ -198,7 +198,8 @@ class FrontierShard:
         self._buffer.extend(rows)
         return len(self._buffer)
 
-    def gate_round(self, cand_tbl, done_tbl, num_shards: int) -> pa.Table:
+    def gate_round(self, cand_tbl, done_tbl, num_shards: int,
+                   prebucketed: bool = False) -> pa.Table:
         """Round barrier phase A (balanced): seen-gate MY url-hash
         partition of the round's candidates.
 
@@ -223,9 +224,15 @@ class FrontierShard:
 
         def mine(tbl):
             # gshard was computed in the extract stage (distributed);
-            # selecting my partition is one vectorized equality filter
+            # selecting my partition is one vectorized equality filter.
+            # The gate_pieces path delivers tables split_stripe ALREADY
+            # bucketed to this shard — re-filtering there copied the
+            # whole string table for nothing (measured 2.5-4.4 s on the
+            # 552k-candidate round, the largest single gate phase).
             if tbl is None or tbl.num_rows == 0:
                 return None
+            if prebucketed:
+                return tbl
             sub = tbl.filter(pc.equal(tbl["gshard"], self.shard_id))
             return sub if sub.num_rows else None
 
@@ -433,7 +440,7 @@ class FrontierShard:
         cand = pa.concat_tables(cands) if cands else None
         done = pa.concat_tables(dones) if dones else None
         t1 = time.perf_counter()
-        out = self.gate_round(cand, done, num_shards)
+        out = self.gate_round(cand, done, num_shards, prebucketed=True)
         if os.environ.get("RAYCRAWL_TIMING") == "1" and self.shard_id == 0:
             print(
                 f"[gate s0] fetch {t1 - t0:.2f}s gate {time.perf_counter() - t1:.2f}s "
