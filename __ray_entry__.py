@@ -431,6 +431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": tpch.q3_shipping_priority,
         "q11_important_stock": tpch.q11_important_stock,
         "orders_price_median": relops.orders_price_median,
+        "orders_price_p90": relops.orders_price_p90,
+        "docs_langid_confusion": textops.langid_confusion,
+        "docs_chunks": textops.doc_chunks,
         # ---- round 4: profiling / grouped-sketch / fuzzy-linkage batch ----
         "docs_profile": analytics.table_profile,
         "events_hll_by_type": _hll_by_type_checked,
@@ -1756,6 +1759,44 @@ SELECT CAST(cluster AS BIGINT) AS list_id,
        CAST(MAX(vec_id) AS BIGINT) AS max_vec_id,
        CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
 FROM km GROUP BY 1
+"""
+    # exact discrete p90 — same quantile_disc convention the median twin
+    # probes (1-based rank ceil(q*n))
+    sql["orders_price_p90"] = """
+SELECT o_orderpriority,
+       quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.9)
+         AS p90_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+"""
+    # declared-vs-predicted language cross-tab: wraps the langid twin so
+    # the confusion matrix and the per-doc prediction can never disagree
+    sql["docs_langid_confusion"] = f"""
+WITH pred AS ({sql["docs_langid"]})
+SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""
+    # overlapping token-window chunking (window 64, stride 48): DuckDB
+    # list slices are 1-based end-inclusive and clamp at the list end,
+    # exactly the tokens[pos : pos+64] numpy gather; md5 of the
+    # space-joined chunk text matches hashlib.md5 byte for byte
+    sql["docs_chunks"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ts
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ts, len(ts) AS n,
+         unnest(range(0, len(ts), 48)) AS pos
+  FROM toks WHERE len(ts) > 0
+)
+SELECT doc_id, CAST(pos // 48 AS BIGINT) AS chunk_id,
+       CAST(pos AS BIGINT) AS pos,
+       CAST(LEAST(64, n - pos) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ts[pos + 1 : pos + 64], ' ')) AS chunk_hash
+FROM c
 """
     # the fused curation decision: length gate + top-bigram repetition gate
     # + decontamination + hash split computed per doc, survivor flag from

@@ -30,7 +30,8 @@ from raycrawl.sources.synth import generate_corpus
 __all__ = ["corpus_for", "crawl_bfs", "crawl_edges", "crawl_text_identity",
            "crawl_host_stats", "crawl_filter_by", "crawl_pagerank",
            "crawl_triangles", "crawl_components", "crawl_degree_hist",
-           "crawl_budget_alloc", "crawl_url_templates", "CORPUS_ROOT", "SCALES"]
+           "crawl_budget_alloc", "crawl_url_templates", "crawl_hits",
+           "CORPUS_ROOT", "SCALES"]
 
 CORPUS_ROOT = "/tmp/raycrawl_corpus"
 

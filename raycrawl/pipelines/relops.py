@@ -44,6 +44,7 @@ __all__ = [
     "region_nation_counts",
     "orders_price_quantiles",
     "orders_price_median",
+    "orders_price_p90",
     "events_cms_counts",
     "q19_disjunctive_revenue",
 ]
@@ -1558,15 +1559,18 @@ def events_gap_hist(sf_dir: str, cap_minutes: int = 240) -> rd.Dataset:
     )
 
 
-def orders_price_median(sf_dir: str) -> rd.Dataset:
-    """(o_orderpriority, median_cents, n_orders): EXACT per-group lower
-    median (the element at index (n-1)//2 — DuckDB's quantile_disc(0.5)
-    convention, probed) of order price in cents, per priority.
+def _orders_price_quantile(
+    sf_dir: str, q_num: int, q_den: int, out_col: str
+) -> rd.Dataset:
+    """EXACT per-group discrete quantile of order price in cents, per
+    priority — the element at 1-based rank ceil(q*n) (DuckDB's
+    quantile_disc convention, probed for q in {0.25, 0.5, 0.9}). q is a
+    rational q_num/q_den so the rank stays integer-exact.
 
     Scale shape: the group's values never assemble anywhere — per-batch
     (priority, cents) histogram partials merge through coarse partitions
     (distinct price values can scale with the corpus), then each
-    priority's MEDIAN is one cumulative-count pass over its
+    priority's quantile is one cumulative-count pass over its
     histogram-compressed rows inside a domain-bounded map_groups (5
     priorities)."""
     from raycrawl.pipelines.dedup import coarse_parts, coarse_sum
@@ -1591,19 +1595,34 @@ def orders_price_median(sf_dir: str) -> rd.Dataset:
         ["o_orderpriority", "cents"], ["n"], coarse_parts(sf_dir) - 1,
     )
 
-    def med(g: pd.DataFrame) -> pd.DataFrame:
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("cents")
         total = int(g["n"].sum())
+        rank = -(-q_num * total // q_den)  # ceil(q*n), integer-exact
         cum = g["n"].cumsum()
-        v = int(g.loc[cum >= (total - 1) // 2 + 1, "cents"].iloc[0])
+        v = int(g.loc[cum >= rank, "cents"].iloc[0])
         return pd.DataFrame(
             {
                 "o_orderpriority": [g["o_orderpriority"].iloc[0]],
-                "median_cents": pd.array([v], "int64"),
+                out_col: pd.array([v], "int64"),
                 "n_orders": pd.array([total], "int64"),
             }
         )
 
     return hist.groupby("o_orderpriority").map_groups(
-        med, batch_format="pandas"
+        pick, batch_format="pandas"
     )
+
+
+def orders_price_median(sf_dir: str) -> rd.Dataset:
+    """(o_orderpriority, median_cents, n_orders): exact per-group lower
+    median — see _orders_price_quantile."""
+    return _orders_price_quantile(sf_dir, 1, 2, "median_cents")
+
+
+def orders_price_p90(sf_dir: str) -> rd.Dataset:
+    """(o_orderpriority, p90_cents, n_orders): exact per-group 90th
+    percentile (discrete) — the tail-latency-style threshold report over
+    the same histogram-compressed plan as the median (ONE more quantile
+    costs nothing extra: same partials, different rank probe)."""
+    return _orders_price_quantile(sf_dir, 9, 10, "p90_cents")

@@ -67,6 +67,8 @@ __all__ = [
     "hash_sample",
     "vocab_growth",
     "lang_source_drift",
+    "langid_confusion",
+    "doc_chunks",
 ]
 
 
@@ -1021,9 +1023,10 @@ class LangId:
     def __call__(self, t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
-            return pa.schema(
-                [("doc_id", pa.int64()), ("lang_pred", pa.string())]
-            ).empty_table()
+            fields = [("doc_id", pa.int64()), ("lang_pred", pa.string())]
+            if "lang" in t.column_names:
+                fields.append(("lang", pa.string()))
+            return pa.schema(fields).empty_table()
         low = pc.utf8_lower(pc.fill_null(t["text"], ""))
         toks = pc.split_pattern_regex(low, self._SPLIT)
         if isinstance(toks, pa.ChunkedArray):
@@ -1046,14 +1049,124 @@ class LangId:
         best_n = scores.max(axis=1)
         best = self.lang_arr[scores.argmax(axis=1)]  # first max == sorted tie-break
         preds = np.where(best_n > 0, best, "en")
-        return pa.table(
-            {"doc_id": t["doc_id"], "lang_pred": pa.array(preds, pa.string())}
-        )
+        cols = {"doc_id": t["doc_id"], "lang_pred": pa.array(preds, pa.string())}
+        if "lang" in t.column_names:  # declared-lang passthrough (confusion)
+            cols["lang"] = t["lang"]
+        return pa.table(cols)
 
 
 def langid(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow", concurrency=pool_size(), num_cpus=1
+    )
+
+
+def langid_confusion(sf_dir: str) -> rd.Dataset:
+    """(lang, lang_pred, n_docs): declared-vs-predicted language
+    cross-tab — the ingest audit that catches a feed whose metadata
+    disagrees with its content (the off-diagonal mass). Rides the same
+    LangId actor pool with the declared column passed through; counts
+    are per-batch partials into a (langs x langs)-domain-bounded native
+    aggregate — the drift-audit plan of lang_source_drift."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["lang", "lang_pred"])
+            .append_column(
+                "n", pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+            )
+            .group_by(["lang", "lang_pred"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["lang", "lang_pred", "n_docs"])
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(
+            LangId, batch_format="pyarrow", concurrency=pool_size(),
+            num_cpus=1,
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+def doc_chunks(
+    sf_dir: str, window: int = 64, stride: int = 48
+) -> rd.Dataset:
+    """(doc_id, chunk_id, pos, n_tokens, chunk_hash): overlapping
+    token-window CHUNKING — the retrieval/RAG indexing step (and the
+    long-doc splitting step before embedding): windows of ``window``
+    tokens starting every ``stride`` tokens (tail windows shorter), one
+    row per chunk, chunk_hash = md5 of the space-joined chunk text so
+    chunk content is verifiable (and dedupable) without shipping it.
+
+    Scale shape: stateless per-batch kernel, no shuffle — tokens flatten
+    ONCE per batch (the shared \\S+ contract), every chunk's token span
+    is a gather into one rebuilt ListArray + ONE vectorized binary_join
+    (no Python loop over chunks for the text), md5 per chunk (C call,
+    ~tokens/stride calls per batch). Chunk count and byte volume scale
+    linearly with the corpus; the op emits ~1/stride rows per token."""
+    def chunk(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+             ("pos", pa.int64()), ("n_tokens", pa.int64()),
+             ("chunk_hash", pa.string())]
+        ).empty_table()
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(pc.fill_null(t["text"], ""), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat_arr = toks.flatten()
+        offs = toks.offsets.to_numpy()
+        trow = np.repeat(np.arange(t.num_rows), np.diff(offs))
+        ne = pc.not_equal(
+            pc.binary_length(flat_arr), 0
+        ).to_numpy(zero_copy_only=False)
+        if not ne.all():
+            flat_arr = flat_arr.filter(pa.array(ne))
+            trow = trow[ne]
+        cnt = np.bincount(trow, minlength=t.num_rows).astype(np.int64)
+        starts = np.cumsum(cnt) - cnt
+        n_chunks = -(-cnt // stride)  # ceil(n/stride); 0 for empty docs
+        if int(n_chunks.sum()) == 0:
+            return empty
+        crow = np.repeat(np.arange(t.num_rows), n_chunks)
+        cid = np.concatenate([np.arange(k) for k in n_chunks if k])
+        pos = cid * stride
+        clen = np.minimum(window, cnt[crow] - pos)
+        # gather every chunk's token span into one ListArray, join in C
+        word_idx = np.concatenate(
+            [np.arange(s, s + l)
+             for s, l in zip(starts[crow] + pos, clen)]
+        )
+        po = np.r_[0, np.cumsum(clen)].astype(np.int32)
+        packed = flat_arr.take(pa.array(word_idx, pa.int64()))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(po, pa.int32()), packed), " "
+        )
+        import hashlib
+
+        hashes = [
+            hashlib.md5(s.encode()).hexdigest()
+            for s in joined.to_pylist()
+        ]
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[crow], pa.int64()),
+                "chunk_id": pa.array(cid, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "n_tokens": pa.array(clen, pa.int64()),
+                "chunk_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk, batch_format="pyarrow"
     )
 
 

@@ -277,3 +277,76 @@ def test_lsh_index_prunes_io_and_keeps_recall(ray_session, tmp_path):
     a = {(r.query_id, r.vec_id) for r in approx.to_pandas().itertuples()}
     e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
     assert len(e & a) / len(e) >= 0.8
+
+
+# ------------------------- round-5 surface additions -----------------------
+
+
+def test_doc_chunks_hand_case(ray_session, tmp_path):
+    """Windows of 4 tokens every stride 3; tail chunks shorter; empty and
+    whitespace-only docs emit nothing; hashes match hashlib on the
+    space-joined chunk text."""
+    import hashlib
+
+    from raycrawl.pipelines.textops import doc_chunks
+
+    texts = ["a b c d e f g", "x y", "", "   ", "one two three four"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        doc_chunks(str(tmp_path), window=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for did, txt in enumerate(texts):
+        toks = txt.split()
+        for ci, pos in enumerate(range(0, len(toks), 3)):
+            chunk = toks[pos: pos + 4]
+            want.append(
+                (did, ci, pos, len(chunk),
+                 hashlib.md5(" ".join(chunk).encode()).hexdigest())
+            )
+    assert list(map(tuple, got.to_numpy())) == want
+
+
+def test_langid_confusion_consistent_with_langid(ray_session):
+    """The cross-tab's marginals equal the per-doc prediction counts."""
+    from raycrawl.pipelines.textops import langid, langid_confusion
+
+    conf = langid_confusion(SF).to_pandas()
+    preds = langid(SF).to_pandas()["lang_pred"].value_counts().to_dict()
+    got = conf.groupby("lang_pred")["n_docs"].sum().to_dict()
+    assert got == preds
+    n_docs = pq.read_metadata(
+        os.path.join(SF, "documents.parquet")
+    ).num_rows
+    assert int(conf["n_docs"].sum()) == n_docs
+
+
+def test_orders_price_p90_matches_duckdb(ray_session):
+    import duckdb
+
+    from raycrawl.pipelines.relops import orders_price_p90
+
+    got = (
+        orders_price_p90(SF).to_pandas()
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""SELECT o_orderpriority,
+               quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.9)
+                 AS p90_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM read_parquet('{SF}/orders.parquet')
+        GROUP BY 1 ORDER BY 1"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
