@@ -44,6 +44,8 @@ from raycrawl.pipelines.crawlqueries import (
     crawl_bfs_with_query,
     crawl_budget_alloc,
     crawl_degree_hist,
+    crawl_outlink_spam,
+    crawl_recrawl_priority,
     crawl_url_templates,
     crawl_edges,
     crawl_edges_joined,
@@ -434,6 +436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_p90": relops.orders_price_p90,
         "docs_langid_confusion": textops.langid_confusion,
         "docs_chunks": textops.doc_chunks,
+        "crawl_recrawl_priority": crawl_recrawl_priority,
+        "crawl_outlink_spam": crawl_outlink_spam,
         # ---- round 4: profiling / grouped-sketch / fuzzy-linkage batch ----
         "docs_profile": analytics.table_profile,
         "events_hll_by_type": _hll_by_type_checked,
@@ -1797,6 +1801,69 @@ SELECT doc_id, CAST(pos // 48 AS BIGINT) AS chunk_id,
        CAST(LEAST(64, n - pos) AS BIGINT) AS n_tokens,
        md5(array_to_string(ts[pos + 1 : pos + 64], ' ')) AS chunk_hash
 FROM c
+"""
+    # freshness re-crawl priority: age x (1 + indegree) over the resolved
+    # graph; "now" = the corpus's own max warc_ts (deterministic)
+    _rk = inspect.signature(crawl_recrawl_priority).parameters["k"].default
+    sql["crawl_recrawl_priority"] = f"""
+WITH pageset AS (
+  SELECT url, warc_ts FROM read_parquet('{_SF001_CORPUS}')
+),
+cand AS (
+  SELECT DISTINCT url AS src,
+         CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+              ELSE 'http://' || host || h1 END AS dst
+  FROM (
+    SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+           split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                      '?', 1) AS h1
+    FROM read_parquet('{_SF001_CORPUS}')
+    WHERE {_HTML_FILTER} AND text <> ''
+  )
+),
+edges AS (
+  SELECT src, dst FROM cand
+  WHERE dst IN (SELECT url FROM pageset) AND src <> dst
+),
+ind AS (
+  SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS indeg
+  FROM edges GROUP BY dst
+),
+m AS (SELECT MAX(epoch_us(warc_ts)) AS mx FROM pageset)
+SELECT p.url,
+       CAST((m.mx - epoch_us(p.warc_ts)) // 1000000 AS BIGINT) AS age_s,
+       CAST(COALESCE(i.indeg, 0) AS BIGINT) AS indeg,
+       CAST(((m.mx - epoch_us(p.warc_ts)) // 1000000)
+            * (1 + COALESCE(i.indeg, 0)) AS BIGINT) AS priority
+FROM pageset p CROSS JOIN m LEFT JOIN ind i ON i.url = p.url
+ORDER BY priority DESC, p.url LIMIT {_rk}
+"""
+    # per-page external-link ratio over the distinct candidate set
+    sql["crawl_outlink_spam"] = f"""
+WITH cand AS (
+  SELECT DISTINCT url AS src,
+         CASE WHEN h1 LIKE 'http://%' OR h1 LIKE 'https://%' THEN h1
+              ELSE 'http://' || host || h1 END AS dst
+  FROM (
+    SELECT url, regexp_extract(url, '^http://([^/]+)', 1) AS host,
+           split_part(split_part(unnest(string_split(text, chr(10))), '#', 1),
+                      '?', 1) AS h1
+    FROM read_parquet('{_SF001_CORPUS}')
+    WHERE {_HTML_FILTER} AND text <> ''
+  )
+),
+h AS (
+  SELECT src, dst,
+         regexp_extract(src, '^https?://([^/]+)', 1) AS sh,
+         regexp_extract(dst, '^https?://([^/]+)', 1) AS dh
+  FROM cand
+  WHERE src <> dst  -- the extract stage drops self-links (norm != url)
+)
+SELECT src AS url, CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(*) FILTER (WHERE sh <> dh) AS BIGINT) AS n_external,
+       CAST((COUNT(*) FILTER (WHERE sh <> dh)) * 4096 // COUNT(*)
+            AS BIGINT) AS ext_ratio_4096
+FROM h GROUP BY src
 """
     # the fused curation decision: length gate + top-bigram repetition gate
     # + decontamination + hash split computed per doc, survivor flag from

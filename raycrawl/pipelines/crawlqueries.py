@@ -31,6 +31,7 @@ __all__ = ["corpus_for", "crawl_bfs", "crawl_edges", "crawl_text_identity",
            "crawl_host_stats", "crawl_filter_by", "crawl_pagerank",
            "crawl_triangles", "crawl_components", "crawl_degree_hist",
            "crawl_budget_alloc", "crawl_url_templates", "crawl_hits",
+           "crawl_recrawl_priority", "crawl_outlink_spam",
            "CORPUS_ROOT", "SCALES"]
 
 CORPUS_ROOT = "/tmp/raycrawl_corpus"
@@ -1513,3 +1514,145 @@ def crawl_url_templates(sf_dir: str, k: int = 20) -> rd.Dataset:
         .sort(["n_urls", "template"], descending=[True, False])
         .limit(k)
     )
+
+
+def crawl_recrawl_priority(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """(url, age_s, indeg, priority): top-k pages by RE-CRAWL priority —
+    the freshness scheduling step of an incremental crawler (Cho &
+    Garcia-Molina / Olston & Najork): stale AND well-linked pages
+    re-fetch first. priority = age_seconds x (1 + indegree), exact
+    integers; "now" is the corpus's own max warc_ts (deterministic — a
+    live crawler passes the wall clock).
+
+    Scale shape: "now" is ONE scalar aggregate over the pruned (url,
+    warc_ts) read; indegree is the standard coarse-partition grouped sum
+    over the resolved edge set; pages meet their indegree in ONE
+    left_outer hash join (absent = 0); the top-k sort moves one small
+    row per page."""
+    from raycrawl.pipelines.dedup import (clean_blocks, coarse_parts,
+                                          coarse_sum)
+
+    edges, nodes, n_parts = _link_edges(sf_dir)
+    info = corpus_for(sf_dir)
+    mask = coarse_parts(sf_dir) - 1
+
+    pages = rd.read_parquet(
+        info["corpus"], columns=["url", "warc_ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"url": t["url"], "us": pc.cast(t["warc_ts"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # read once: scalar max + the join below
+    max_us = int(pages.max("us"))
+
+    indeg = clean_blocks(
+        coarse_sum(
+            edges.map_batches(
+                lambda t: pa.table(
+                    {
+                        "url": t["dst"],
+                        "ind": pa.array(
+                            np.ones(t.num_rows, np.int64), pa.int64()
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["url"], ["ind"], mask,
+        ),
+        pa.schema([("url", pa.string()), ("ind", pa.int64())]),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        ind = pc.coalesce(t["ind"], pa.scalar(0, pa.int64()))
+        age = pc.divide(
+            pc.subtract(pa.scalar(max_us, pa.int64()), t["us"]),
+            pa.scalar(1_000_000, pa.int64()),
+        )
+        return pa.table(
+            {
+                "url": t["url"],
+                "age_s": age,
+                "indeg": ind,
+                "priority": pc.multiply(
+                    age, pc.add(ind, pa.scalar(1, pa.int64()))
+                ),
+            }
+        )
+
+    out = clean_blocks(
+        pages.join(indeg, join_type="left_outer", num_partitions=n_parts,
+                   on=("url",), right_on=("url",)),
+        pa.schema([("url", pa.string()), ("us", pa.int64()),
+                   ("ind", pa.int64())]),
+    ).map_batches(score, batch_format="pyarrow")
+    return out.sort(["priority", "url"], descending=[True, False]).limit(k)
+
+
+def crawl_outlink_spam(sf_dir: str) -> rd.Dataset:
+    """(url, n_links, n_external, ext_ratio_4096): per-page external-link
+    ratio over the DISTINCT candidate-link set (integer 4096ths) — the
+    classic link-spam / link-farm page signal (a page whose links mostly
+    leave its host). External = dst host differs from src host; dead and
+    unfetched targets count (the signal is about where a page POINTS,
+    not what resolved).
+
+    Scale shape: one RE2 host kernel per side + per-batch partials, then
+    the standard coarse-partition grouped sum (per-PAGE output scales
+    with the corpus — never a native aggregate); the ratio is one
+    vectorized integer pass."""
+    from raycrawl.pipelines.dedup import (clean_blocks, coarse_parts,
+                                          coarse_sum)
+
+    cand, nodes, n_parts = _cand_edges(sf_dir)
+    mask = coarse_parts(sf_dir) - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("url", pa.string()), ("n", pa.int64()),
+                 ("n_ext", pa.int64())]
+            ).empty_table()
+        host = r"^https?://(?P<host>[^/]+)"
+        sh = pc.fill_null(
+            pc.struct_field(pc.extract_regex(t["src"], host), "host"), ""
+        )
+        dh = pc.fill_null(
+            pc.struct_field(pc.extract_regex(t["dst"], host), "host"), ""
+        )
+        ext = pc.cast(pc.not_equal(sh, dh), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "url": t["src"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                    "n_ext": ext,
+                }
+            )
+            .group_by("url")
+            .aggregate([("n", "sum"), ("n_ext", "sum")])
+        )
+        return g.rename_columns(["url", "n", "n_ext"])
+
+    def ratio(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "n_links": t["n"],
+                "n_external": t["n_ext"],
+                "ext_ratio_4096": pc.divide(
+                    pc.multiply(t["n_ext"], pa.scalar(4096, pa.int64())),
+                    t["n"],
+                ),
+            }
+        )
+
+    return clean_blocks(
+        coarse_sum(
+            cand.map_batches(partial, batch_format="pyarrow"),
+            ["url"], ["n", "n_ext"], mask,
+        ),
+        pa.schema([("url", pa.string()), ("n", pa.int64()),
+                   ("n_ext", pa.int64())]),
+    ).map_batches(ratio, batch_format="pyarrow")
