@@ -41,7 +41,10 @@ SMOKE = ["crawl_edges", "crawl_host_stats", "docs_token_stats",
          "dedup_source_stats", "ann_quantized_topk", "crawl_budget_alloc",
          "docs_vocab_growth", "docs_lang_source_drift",
          "crawl_url_templates", "events_weekly_trend",
-         "events_conversion_lag", "events_user_value_deciles"]
+         "events_conversion_lag", "events_user_value_deciles",
+         "ann_ivf_index_stats", "orders_price_p90",
+         "docs_langid_confusion", "docs_chunks",
+         "crawl_recrawl_priority", "crawl_outlink_spam"]
 
 
 @pytest.fixture(scope="module")
