@@ -3,9 +3,12 @@
 Baseline: brute-force cosine top-k — the query matrix is broadcast once
 (``ray.put``) and every batch scores a dense numpy matmul against it;
 per-batch top-k partials are then merged in one tiny driver-side reduction
-(k x n_queries rows). Scale path: LSH-bucketed variant — random-hyperplane
-signatures bucket both queries and vectors, so each batch only scores
-queries sharing a bucket (candidate-set pruning instead of full scan).
+(k x n_queries rows). Scale path (round 5): PERSISTED, PARTITIONED
+indexes — IVF vectors live hive-partitioned by their exact-integer
+k-means list, LSH vectors replicated into per-(table, bucket) dirs; a
+probe reads ONLY the partitions its queries assign/hash to, so the
+index prunes I/O, not just arithmetic. Builds are marker-committed per
+input fragment and resumable; see the index section below.
 """
 
 from __future__ import annotations
