@@ -622,8 +622,6 @@ def ngram_jaccard_pairs(
     (min >= t*max) and the same melted single-join exact-Jaccard verify as
     minhash. One shuffle keyed by shingle hash (coarse partitions), pair
     volume bounded by prefix collisions rather than all-pairs."""
-    import math
-
     mask = coarse_parts(sf_dir) - 1
 
     def prefixes(t: pa.Table) -> pa.Table:
